@@ -1,0 +1,25 @@
+from stac_fastapi_duckdb_spark.operators.datetime_filter import (
+    datetime_predicate,
+    parse_datetime_interval,
+)
+from stac_fastapi_duckdb_spark.operators.cql2 import cql2_to_column
+from stac_fastapi_duckdb_spark.operators.stacql import stacql_to_column
+from stac_fastapi_duckdb_spark.operators.sort import populate_sort, resolve_sort_field
+from stac_fastapi_duckdb_spark.operators.spatial import (
+    bbox_predicate,
+    intersects_predicate,
+)
+from stac_fastapi_duckdb_spark.operators.search import SearchBuilder, execute_search
+
+__all__ = [
+    "datetime_predicate",
+    "parse_datetime_interval",
+    "cql2_to_column",
+    "stacql_to_column",
+    "populate_sort",
+    "resolve_sort_field",
+    "bbox_predicate",
+    "intersects_predicate",
+    "SearchBuilder",
+    "execute_search",
+]

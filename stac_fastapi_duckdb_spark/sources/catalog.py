@@ -1,0 +1,147 @@
+"""Collection registry: collection_id → parquet URL → cached DataFrame.
+
+Reference behavior being re-expressed (citations into /root/reference):
+- ``PARQUET_URLS_JSON`` env var maps collection_id → parquet URL
+  (``stac_fastapi/duckdb/config.py:32,41,47-58``); unknown ids error
+  (``config.py:74-78,91``).
+- Collection JSON documents live at
+  ``{STAC_FILE_PATH}/{collection_id}/collection.json``
+  (``database_logic.py:75-102,123-133``).
+- Every scan injects a constant ``collection`` column:
+  ``SELECT *, ? AS collection FROM read_parquet(?)``
+  (``database_logic.py:835``) → ``withColumn("collection", lit(cid))``.
+- Schema probe ``SELECT * ... LIMIT 0`` (``database_logic.py:867-878``)
+  → ``df.schema`` (metadata-only, no job).
+
+Scale design: per-collection DataFrames are lazily created and cached in
+a dict — Spark caches parquet footers per session, so repeated searches
+re-plan without re-listing files. For a 100 TB deployment the better
+layout is ONE table partitioned by ``collection`` (partition pruning
+replaces the registry's source pruning); ``CollectionCatalog.from_table``
+supports that layout: a single partitioned DataFrame where per-collection
+access compiles to a partition-pruned filter instead of a separate scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.errors import NotFoundError
+
+COLLECTION_COL = "collection"
+
+
+class CollectionCatalog:
+    """Registry of STAC collections backed by parquet files or a
+    single collection-partitioned table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        parquet_urls: dict[str, str] | None = None,
+        stac_file_path: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self._urls: dict[str, str] = dict(parquet_urls or {})
+        self._stac_file_path = stac_file_path
+        self._df_cache: dict[str, DataFrame] = {}
+        self._partitioned: DataFrame | None = None
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_env(cls, spark: SparkSession) -> "CollectionCatalog":
+        """Mirror of reference config: PARQUET_URLS_JSON + STAC_FILE_PATH
+        (``config.py:31-58``)."""
+        raw = os.environ.get("PARQUET_URLS_JSON", "{}")
+        return cls(spark, json.loads(raw), os.environ.get("STAC_FILE_PATH"))
+
+    @classmethod
+    def from_table(cls, spark: SparkSession, df: DataFrame) -> "CollectionCatalog":
+        """Single-table layout: ``df`` already carries a ``collection``
+        column (ideally a partition column → pruning is free)."""
+        cat = cls(spark)
+        cat._partitioned = df
+        return cat
+
+    def register(self, collection_id: str, url: str) -> None:
+        self._urls[collection_id] = url
+        self._df_cache.pop(collection_id, None)
+
+    # ------------------------------------------------------------------
+    # item tables
+    # ------------------------------------------------------------------
+    def collection_ids(self) -> list[str]:
+        if self._partitioned is not None:
+            # distinct over a partition column is a metadata-sized job
+            return [
+                r[0]
+                for r in self._partitioned.select(COLLECTION_COL).distinct().collect()
+            ]
+        return sorted(self._urls)
+
+    def items_df(self, collection_id: str) -> DataFrame:
+        """DataFrame of one collection's items, with the injected
+        constant ``collection`` column (reference S2)."""
+        if self._partitioned is not None:
+            return self._partitioned.filter(F.col(COLLECTION_COL) == collection_id)
+        if collection_id in self._df_cache:
+            return self._df_cache[collection_id]
+        url = self._urls.get(collection_id)
+        if url is None:
+            raise NotFoundError(f"Collection {collection_id} not configured")
+        df = self.spark.read.parquet(url).withColumn(
+            COLLECTION_COL, F.lit(collection_id)
+        )
+        self._df_cache[collection_id] = df
+        return df
+
+    def sources(self, collection_ids: Iterable[str] | None) -> list[tuple[str, DataFrame]]:
+        """Resolve requested collections to (id, DataFrame) pairs;
+        ``None``/empty → all configured (``database_logic.py:810-824``)."""
+        ids = list(collection_ids) if collection_ids else self.collection_ids()
+        return [(cid, self.items_df(cid)) for cid in ids]
+
+    def columns(self, collection_ids: Iterable[str] | None) -> list[str]:
+        """Union of column names across the requested sources —
+        replaces the reference's LIMIT-0 schema probe
+        (``database_logic.py:867-878``) with a metadata-only lookup."""
+        seen: dict[str, None] = {}
+        for _, df in self.sources(collection_ids):
+            for c in df.columns:
+                seen.setdefault(c)
+        return list(seen)
+
+    # ------------------------------------------------------------------
+    # collection.json documents (reference S4: driver-side filesystem)
+    # ------------------------------------------------------------------
+    def all_collections(self) -> list[dict]:
+        """List collection documents from the STAC_FILE_PATH tree
+        (``database_logic.py:75-102``). Metadata, not a scan target —
+        stays driver-side Python by design."""
+        out: list[dict] = []
+        base = self._stac_file_path
+        if not base or not os.path.isdir(base):
+            return out
+        for name in sorted(os.listdir(base)):
+            path = os.path.join(base, name, "collection.json")
+            if os.path.isfile(path):
+                with open(path) as f:
+                    out.append(json.load(f))
+        return out
+
+    def find_collection(self, collection_id: str) -> dict:
+        """Point lookup of one collection document
+        (``database_logic.py:123-133``); missing → NotFoundError."""
+        base = self._stac_file_path
+        path = os.path.join(base or "", collection_id, "collection.json")
+        if not base or not os.path.isfile(path):
+            raise NotFoundError(f"Collection {collection_id} not found")
+        with open(path) as f:
+            return json.load(f)
