@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed to full materialization (count/collect via a
+no-op-cheap action that forces every operator, not just the first
+partition). The first timed loop is preceded by one warm-up run of a
+trivial job so JVM/codegen startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+from stac_fastapi_duckdb_spark.session import get_spark
+
+# Headline set: mix of scan-heavy agg, joins, sort/topk, STAC predicate,
+# and pipeline operators — the queries whose plans we tune hardest.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "events_hourly_rollup",
+    "datetime_range",
+    "cql2_comparisons",
+    "sort_multikey",
+    "topk",
+    "collection_union",
+    "dedup_exact",
+    "token_count",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stac-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up pass (untimed): JVM classloading, whole-stage-codegen
+    # compilation, parquet footer cache — steady-state is what a
+    # long-lived session serves. DuckDB baselines equally benefit from
+    # the OS page cache on repeat runs.
+    for name in BENCH_QUERIES:
+        eq.QUERIES[name](spark, sf_dir).count()
+
+    # Two timed passes, min per query — the local[32] VM is jittery and
+    # min-of-N is the standard noise-robust point estimate.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = eq.QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.count()  # forces full plan execution
+            elapsed = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

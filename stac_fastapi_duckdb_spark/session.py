@@ -31,6 +31,9 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # parquet TIMESTAMP(NANOS) (e.g. the events table) is unreadable as a
+    # Spark timestamp; read as long ns and convert explicitly at the source
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # local[32]: one partition per core for the ~600k-row bench tables;
