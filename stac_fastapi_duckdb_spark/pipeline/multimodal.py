@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step is STUBBED (no image/audio libraries in this
+container — build brief): ``decode_image``/``decode_audio`` raise
+NotImplementedError unless ``codec="fake"``, which produces a
+deterministic hash-derived feature vector so the Spark-side plumbing —
+schema, mapInPandas batch shape, partition sizing — is real and
+testable end-to-end.
+
+Scale notes: media rows are large (MBs); the operators repartition by
+byte budget before the UDF so one Arrow batch ≈ one executor-memory-safe
+chunk, and metadata-only plans never touch the payload column (column
+pruning keeps binary out of the scan unless the UDF needs it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", StructType([]), True),  # replaced below
+    ]
+)
+
+FEATURE_DIM = 32
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: sha256-seeded feature
+    vector. Replaces (not simulates) pixel decoding; swap for PIL/ffmpeg
+    in a full deployment."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    return np.random.RandomState(seed).rand(dim).astype(np.float32)
+
+
+def decode_image(payload: bytes, codec: str = "real") -> np.ndarray:
+    if codec == "fake":
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "Image decoding requires PIL/opencv — not available in this "
+        "environment. Use codec='fake' for plumbing tests."
+    )
+
+
+def decode_audio(payload: bytes, codec: str = "real") -> np.ndarray:
+    if codec == "fake":
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "Audio decoding requires soundfile/ffmpeg — not available in "
+        "this environment. Use codec='fake' for plumbing tests."
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+    codec: str = "real",
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media.
+
+    Batches arrive as Arrow record batches; each is decoded row-wise
+    (decoders are per-item by nature) and emitted as (id, kind, n_bytes,
+    features). ``target_partition_bytes`` caps per-task payload volume
+    via a size-aware repartition — at 100 TB the repartition key is what
+    stops a 4 GB video from OOMing a 1 GB executor slot.
+    """
+    est = df.select(
+        F.sum(F.length(F.col(payload_col)).cast("bigint")).alias("total")
+    ).collect()[0]["total"]
+    if est:
+        parts = max(1, int(est // target_partition_bytes) + 1)
+        df = df.repartition(parts)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf[payload_col], pdf[kind_col]):
+                if payload is None:
+                    feats.append(None)
+                    continue
+                decoder = decode_audio if kind == "audio" else decode_image
+                vec = decoder(bytes(payload), codec)
+                feats.append([float(x) for x in vec])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": pdf[kind_col],
+                    "n_bytes": pdf[payload_col].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=_FEATURES_SCHEMA)
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata-only projection: never deserializes the payload beyond
+    length — the plan prunes every other byte of the binary column's
+    pages when the format supports it."""
+    return df.select(
+        *[c for c in df.columns if c != payload_col],
+        F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
+        F.xxhash64(F.col(payload_col)).alias("content_hash"),
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+) -> DataFrame:
+    """Video frame-sampling PLAN: expands (video, n_frames) → one row
+    per sampled frame index, JVM-side (sequence+explode). The actual
+    frame extraction is the stubbed decoder; the row-explosion shape —
+    the part that matters for partitioning — is real."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,151 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All JVM-side Column expressions (no UDFs): these run over every
+document of a 100 TB corpus, so they must stay inside whole-stage
+codegen and be cheap enough to fuse with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+
+# Minimal stopword profiles for the corpus languages (en/de/fr/es + CJK
+# detection for zh). Tiny on purpose: the operator shape (per-language
+# token-overlap scoring + script detection) is what scales; richer
+# profiles are swappable constants.
+_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "de", "por"],
+}
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Heuristic language id: CJK char ratio → zh; else the language
+    whose stopword profile overlaps the token set most; ties/no-hits →
+    'und' (undetermined)."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(tokens_col(text))
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    scores = [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in _STOPWORDS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, score in reversed(scores):  # earlier langs win ties
+        result = F.when(score == best_score, F.lit(lang)).otherwise(result)
+    result = F.when(best_score <= 0, F.lit("und")).otherwise(result)
+    return F.when(cjk * 2 > F.length(text), F.lit("zh")).otherwise(result)
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality signals: lengths, token stats, punctuation /
+    digit / uppercase ratios, stopword ratio, repetition ratio."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    n_chars = F.length(t)
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    r6 = lambda c: F.round(c, 6)
+    nz = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        r6(nz(n_unique, n_tokens)).alias("unique_ratio"),
+        r6(nz(n_chars, n_tokens)).alias("mean_token_len"),
+        r6(nz(F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")), n_chars)).alias(
+            "punct_ratio"
+        ),
+        r6(nz(F.length(F.regexp_replace(t, r"[^0-9]", "")), n_chars)).alias(
+            "digit_ratio"
+        ),
+        r6(nz(F.length(F.regexp_replace(t, r"[^A-Z]", "")), n_chars)).alias(
+            "upper_ratio"
+        ),
+        r6(nz(F.size(F.array_intersect(F.array_distinct(toks), en_stop)), F.least(n_unique, F.lit(10)))).alias(
+            "stopword_hit_ratio"
+        ),
+    )
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Scalar [0,1] quality score: penalize too-short/too-long docs,
+    low token diversity, punctuation soup. Weights are heuristic; the
+    operator shape (pure Column expr, scan-fused) is the deliverable."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    diversity = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.3)
+    punct = F.when(
+        F.length(text) > 0,
+        F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
+        / F.length(text),
+    ).otherwise(F.lit(1.0))
+    punct_ok = F.when(punct < 0.2, 1.0).otherwise(0.5)
+    return F.round(
+        F.least(F.lit(1.0), diversity * 0.5 + length_ok * 0.3 + punct_ok * 0.2), 6
+    )
+
+
+def token_count_col(text: Column | str, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' split, or 'bpe_ish' — a regex that
+    splits words, digits runs, and punctuation separately (a cheap
+    stand-in for BPE pre-tokenization)."""
+    text = F.col(text) if isinstance(text, str) else text
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+    if mode == "bpe_ish":
+        # GPT-2-style pre-tokenizer shape: word / number / punct runs
+        pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+        return F.size(
+            F.filter(
+                F.split(
+                    F.regexp_replace(text, f"({pattern})", "\x00$1"), "\x00"
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ).cast("bigint")
+    raise ValueError(f"Unknown token mode {mode!r}")
+
+
+def fingerprint_col(text: Column | str, algo: str = "md5") -> Column:
+    """Content fingerprint over normalized text (lower+trim+squeeze
+    whitespace). md5/sha2 for cross-engine stability, xxhash64 for
+    cheap 64-bit keys."""
+    text = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    if algo == "md5":
+        return F.md5(norm)
+    if algo == "sha256":
+        return F.sha2(norm, 256)
+    if algo == "xxhash64":
+        return F.xxhash64(norm)
+    raise ValueError(f"Unknown fingerprint algo {algo!r}")
+
+
+def analyze_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass combined text-analysis projection (all columns fuse
+    into a single scan → no extra jobs)."""
+    return df.select(
+        F.col(id_col),
+        lang_id_col(F.col(text_col)).alias("lang_pred"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        token_count_col(F.col(text_col), "bpe_ish").alias("n_tokens_bpe"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+        fingerprint_col(F.col(text_col)).alias("fp"),
+    )

@@ -1,0 +1,82 @@
+"""ANN similarity-search tests: brute force, SRP-LSH, IVF, near-dup."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline import similarity as sim
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    # cluster A around +e0, cluster B around -e0
+    for i in range(30):
+        center = np.zeros(DIM)
+        center[0] = 1.0 if i < 15 else -1.0
+        v = center + rng.normal(scale=0.05, size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 = near-exact copy of vec 0
+    base = rows[0][1]
+    rows.append((100, [x + 1e-4 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _probe(vectors):
+    return [r.embedding for r in vectors.filter(F.col("vec_id") == 0).collect()][0]
+
+
+def test_brute_force_topk(vectors):
+    probe = _probe(vectors)
+    out = sim.brute_force_topk(vectors.filter(F.col("vec_id") != 0), probe, k=5).collect()
+    assert len(out) == 5
+    assert out[0].vec_id == 100  # the near-copy is rank 1
+    assert out[0].cos_sim > 0.999
+    sims = [r.cos_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    # all top-5 from cluster A
+    assert all(r.vec_id < 15 or r.vec_id == 100 for r in out)
+
+
+def test_srp_lsh_topk_recall(vectors):
+    probe = _probe(vectors)
+    exact = [r.vec_id for r in sim.brute_force_topk(
+        vectors.filter(F.col("vec_id") != 0), probe, k=5).collect()]
+    approx = [r.vec_id for r in sim.srp_lsh_topk(
+        vectors.filter(F.col("vec_id") != 0), probe, k=5, num_planes=8,
+        multiprobe_bits=2).collect()]
+    # tight clusters: LSH with multiprobe should recover most of top-5
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3
+    assert approx[0] == 100
+
+
+def test_ivf_topk(vectors):
+    probe = _probe(vectors)
+    cent = sim.train_ivf_centroids(vectors, DIM, num_cells=2, sample_size=100)
+    assert cent.shape == (2, DIM)
+    out = sim.ivf_topk(vectors.filter(F.col("vec_id") != 0), probe, cent, k=5, nprobe=1)
+    rows = out.collect()
+    assert rows[0].vec_id == 100
+    # nprobe=1 on 2 clean clusters still finds the whole A-cluster top-5
+    exact = [r.vec_id for r in sim.brute_force_topk(
+        vectors.filter(F.col("vec_id") != 0), probe, k=5).collect()]
+    assert set(r.vec_id for r in rows) == set(exact)
+
+
+def test_embedding_near_dup(vectors):
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in got
+    for r in pairs:
+        assert r.cos_sim >= 0.999
+
+
+def test_srp_signature_deterministic(vectors):
+    s1 = {r.vec_id: r.srp_sig for r in sim.with_srp_signature(vectors, DIM, 12, seed=42).collect()}
+    s2 = {r.vec_id: r.srp_sig for r in sim.with_srp_signature(vectors, DIM, 12, seed=42).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[100]  # near-identical vectors share the bucket

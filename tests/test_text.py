@@ -1,0 +1,73 @@
+"""Text analysis operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog walked to the park in the morning and it is nice"),
+        (2, "der hund und die katze sind nicht in der stadt mit den kindern"),
+        (3, "le chat et le chien sont dans la maison pour la nuit et est bon"),
+        (4, "el perro y el gato son los animales que viven en la casa por ahora"),
+        (5, "这是一个中文文档的例子它包含很多汉字没有空格"),
+        (6, "zzz qqq xxx www"),  # no stopword hits → und
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.lang for r in docs.select("doc_id", T.lang_id_col("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "zh"
+    assert out[6] == "und"
+
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42 degrees!")], "id long, text string")
+    ws = df.select(T.token_count_col("text").alias("n")).collect()[0].n
+    assert ws == 5
+    bpe = df.select(T.token_count_col("text", "bpe_ish").alias("n")).collect()[0].n
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert bpe == 9
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(T.fingerprint_col("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace normalized
+    assert fps[2] != fps[0]
+    xx = df.select(T.fingerprint_col("text", "xxhash64").alias("fp")).collect()
+    assert isinstance(xx[0].fp, int)
+
+
+def test_quality_features(docs):
+    out = {r.doc_id: r for r in T.quality_features(docs).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 16
+    assert 0 < r1.unique_ratio <= 1.0
+    assert r1.punct_ratio == 0.0
+    assert out[6].n_tokens == 4
+
+
+def test_quality_score_ranges(docs, spark):
+    scores = {r.doc_id: r.q for r in docs.select("doc_id", T.quality_score_col("text").alias("q")).collect()}
+    for s in scores.values():
+        assert 0.0 <= s <= 1.0
+    # short low-diversity doc scores below a normal sentence
+    assert scores[6] < scores[1]
+
+
+def test_analyze_documents_single_pass(docs):
+    out = T.analyze_documents(docs)
+    assert set(out.columns) == {"doc_id", "lang_pred", "n_tokens", "n_tokens_bpe", "quality", "fp"}
+    assert out.count() == 6
