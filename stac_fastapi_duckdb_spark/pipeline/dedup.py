@@ -97,11 +97,15 @@ def minhash_signature(
     hashing, so the signature needs neither explode nor Python.
     """
     sh = shingles_col(text, shingle_n)
+
+    def hash_fn(i: int):
+        # NB: must return a SINGLE-arg lambda — F.transform passes the
+        # element index as a second arg to two-arg callables, which would
+        # silently override a `i=i` default and collapse the hash family.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)]
     )
 
 

@@ -125,14 +125,22 @@ def extract_features(
     return df.mapInPandas(_extract, schema=_FEATURES_SCHEMA)
 
 
-def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def media_metadata(
+    df: DataFrame, payload_col: str = "payload", algo: str = "xxhash64"
+) -> DataFrame:
     """Metadata-only projection: never deserializes the payload beyond
     length — the plan prunes every other byte of the binary column's
-    pages when the format supports it."""
+    pages when the format supports it. ``algo``: xxhash64 (cheap 64-bit)
+    or md5 (cross-engine-stable hex)."""
+    hash_col = (
+        F.md5(F.col(payload_col))
+        if algo == "md5"
+        else F.xxhash64(F.col(payload_col))
+    )
     return df.select(
         *[c for c in df.columns if c != payload_col],
         F.length(F.col(payload_col)).cast("bigint").alias("n_bytes"),
-        F.xxhash64(F.col(payload_col)).alias("content_hash"),
+        hash_col.alias("content_hash"),
     )
 
 

@@ -111,12 +111,7 @@ def token_count_col(text: Column | str, mode: str = "whitespace") -> Column:
         # GPT-2-style pre-tokenizer shape: word / number / punct runs
         pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
         return F.size(
-            F.filter(
-                F.split(
-                    F.regexp_replace(text, f"({pattern})", "\x00$1"), "\x00"
-                ),
-                lambda s: F.length(s) > 0,
-            )
+            F.regexp_extract_all(text, F.lit(pattern), F.lit(0))
         ).cast("bigint")
     raise ValueError(f"Unknown token mode {mode!r}")
 

@@ -29,6 +29,10 @@ from stac_fastapi_duckdb_spark.functions import vectors as V
 from stac_fastapi_duckdb_spark.operators.cql2 import cql2_to_column
 from stac_fastapi_duckdb_spark.operators.datetime_filter import datetime_predicate
 from stac_fastapi_duckdb_spark.operators.stacql import stacql_to_column
+from stac_fastapi_duckdb_spark.pipeline import dedup as P_dedup
+from stac_fastapi_duckdb_spark.pipeline import multimodal as P_mm
+from stac_fastapi_duckdb_spark.pipeline import similarity as P_sim
+from stac_fastapi_duckdb_spark.pipeline import text as P_text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -425,6 +429,127 @@ def q_embedding_topk(spark, sf):
     )
 
 
+def q_minhash_near_dup(spark, sf):
+    """MinHash+LSH near-dup detection: shingle→seeded-xxhash64 minhash →
+    banded bucket join → exact Jaccard verify. Oracle is the exact
+    all-pairs Jaccard (LSH recall at j≥0.8 with 32 bands ≈ 1-6e-15)."""
+    docs = _t(spark, sf, "documents")
+    cand = P_dedup.minhash_lsh_candidates(docs, bands=32)
+    return P_dedup.ngram_jaccard_pairs(docs, cand, threshold=0.8)
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.8 (brute-force verifier)."""
+    return P_dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), None, threshold=0.8)
+
+
+def q_minhash_dedup_map(spark, sf):
+    """Full near-dup dedup: LSH candidates → verify → id→canonical map."""
+    return P_dedup.minhash_dedup(_t(spark, sf, "documents"), bands=32)
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash Hamming≤8 pairs via pigeonhole banding (no SQL oracle:
+    FNV-1a+bit-vote signature is not expressible in DuckDB SQL)."""
+    return P_dedup.simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_language_id(spark, sf):
+    """Heuristic language ID: CJK script ratio → zh, else best stopword-
+    profile overlap (en/de/fr/es), ties → first profile, no hits → und."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", P_text.lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_text_analysis(spark, sf):
+    """One-pass combined text analysis: language, token counts
+    (whitespace + BPE-ish pretokenizer), quality score, fingerprint."""
+    return P_text.analyze_documents(_t(spark, sf, "documents"))
+
+
+def q_quality_features(spark, sf):
+    """Per-doc quality signals: lengths, diversity, punct/digit/upper
+    ratios, stopword hit ratio."""
+    return P_text.quality_features(_t(spark, sf, "documents"))
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding near-dup pairs (cos ≥ 0.95) via SRP-LSH bucket self-join
+    + exact verify. Planted dups: table unioned with an id-shifted copy
+    of itself (identical vectors ⇒ identical SRP signature ⇒ recall 1)."""
+    emb = _t(spark, sf, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    return P_sim.embedding_near_dup_pairs(
+        emb.unionByName(shifted), threshold=0.95
+    )
+
+
+def q_ann_srp_topk(spark, sf):
+    """ANN top-k via random-hyperplane LSH buckets + multiprobe (approx —
+    candidate set is the probe's bucket neighborhood, so no SQL oracle)."""
+    emb = _t(spark, sf, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return P_sim.srp_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), probe, k=10,
+        num_planes=8, multiprobe_bits=2,
+    )
+
+
+def q_ann_ivf_topk(spark, sf):
+    """ANN top-k via IVF coarse quantizer (sampled k-means centroids,
+    nprobe nearest cells — approx, no SQL oracle)."""
+    emb = _t(spark, sf, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cent = P_sim.train_ivf_centroids(rest, dim=64, num_cells=16)
+    return P_sim.ivf_topk(rest, probe, cent, k=10, nprobe=4)
+
+
+def _media(spark, sf):
+    """Synthesize a media table from documents: payload = UTF-8 bytes of
+    the text as an opaque binary column (the real corpus would carry
+    image/audio bytes; the Spark-side schema/plumbing is identical)."""
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_multimodal_metadata(spark, sf):
+    """Metadata-only media projection (payload never decoded): byte
+    length + content hash; binary column pruned out of the result."""
+    return P_mm.media_metadata(_media(spark, sf), algo="md5")
+
+
+def q_multimodal_features(spark, sf):
+    """mapInPandas feature extraction over binary media payloads with the
+    deterministic fake decoder (real decoders stubbed per build brief).
+    No SQL oracle: sha256-seeded RNG features aren't SQL-expressible."""
+    return P_mm.extract_features(_media(spark, sf), codec="fake")
+
+
+def q_frame_sample(spark, sf):
+    """Video frame-sampling plan: (media, n_frames) → one row per
+    sampled frame idx via sequence+explode (JVM-side row expansion)."""
+    vids = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 300 + 1).alias("n_frames"),
+    )
+    return P_mm.frame_sample_plan(vids, every_n=30)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -458,7 +583,85 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_quality": q_text_quality,
     "embedding_topk": q_embedding_topk,
+    "minhash_near_dup": q_minhash_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_dedup_map": q_minhash_dedup_map,
+    "simhash_pairs": q_simhash_pairs,
+    "language_id": q_language_id,
+    "text_analysis": q_text_analysis,
+    "quality_features": q_quality_features,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_srp_topk": q_ann_srp_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
 }
+
+
+# word-3-gram shingle sets per doc, replicating pipeline.dedup.shingles_col:
+# lower+trim, split \s+, 3-grams joined by ' ', distinct; <3 tokens → whole text
+_SHINGLES_SQL = r"""
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                ELSE [array_to_string(t, ' ')] END AS s
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+"""
+
+# replicates pipeline.text.lang_id_col: CJK ratio → zh; else argmax
+# stopword-profile overlap (ties → first profile in en,de,fr,es order)
+_LANG_SCORES_SQL = r"""
+    SELECT doc_id, length(text) AS txt_len,
+           length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+           len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) AS s_en,
+           len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit','den'])) AS s_de,
+           len(list_intersect(toks, ['le','la','les','et','est','un','une','des','que','pour'])) AS s_fr,
+           len(list_intersect(toks, ['el','la','los','las','es','un','una','que','de','por'])) AS s_es
+    FROM (SELECT doc_id, text,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+          FROM documents)
+"""
+
+_LANG_PRED_SQL = """
+    CASE WHEN cjk * 2 > txt_len THEN 'zh'
+         WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es' END
+"""
+
+# replicates pipeline.text.quality_score_col
+_QUALITY_SQL = r"""
+    ROUND(LEAST(1.0,
+        (CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END) * 0.5
+        + (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+        + (CASE WHEN (CASE WHEN n_chars > 0
+                           THEN CAST(n_punct AS DOUBLE) / n_chars
+                           ELSE 1.0 END) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.2), 6)
+"""
+
+_TEXT_STATS_SQL = r"""
+    SELECT doc_id, text, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+           list_distinct(t) AS toks_d
+    FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents)
+"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -642,5 +845,68 @@ ORACLE_SQL: dict[str, str] = {
         WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id ASC
         LIMIT 10
+    """,
+    "minhash_near_dup": _JACCARD_PAIRS_SQL,
+    "ngram_jaccard": _JACCARD_PAIRS_SQL,
+    "minhash_dedup_map": f"""
+        SELECT d.doc_id AS doc_id, COALESCE(m.c, d.doc_id) AS canonical_id
+        FROM documents d
+        LEFT JOIN (SELECT id_b AS doc_id, MIN(id_a) AS c
+                   FROM ({_JACCARD_PAIRS_SQL}) GROUP BY id_b) m
+          ON d.doc_id = m.doc_id
+    """,
+    "language_id": f"""
+        SELECT doc_id, {_LANG_PRED_SQL} AS lang_pred FROM ({_LANG_SCORES_SQL})
+    """,
+    "text_analysis": f"""
+        SELECT st.doc_id AS doc_id,
+               {_LANG_PRED_SQL} AS lang_pred,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(st.text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_tokens_bpe,
+               {_QUALITY_SQL} AS quality,
+               md5(regexp_replace(lower(trim(st.text)), '\\s+', ' ', 'g')) AS fp
+        FROM ({_TEXT_STATS_SQL}) st JOIN ({_LANG_SCORES_SQL}) ls
+          ON st.doc_id = ls.doc_id
+    """,
+    "quality_features": f"""
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_tok > 0 THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END, 6) AS unique_ratio,
+               ROUND(CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE) / n_tok ELSE 0.0 END, 6) AS mean_token_len,
+               ROUND(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+               ROUND(CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS digit_ratio,
+               ROUND(CASE WHEN n_chars > 0 THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS upper_ratio,
+               ROUND(CASE WHEN LEAST(n_uniq, 10) > 0
+                          THEN CAST(len(list_intersect(toks_d,
+                               ['the','a','and','of','to','in','is','it','that','for'])) AS DOUBLE)
+                               / LEAST(n_uniq, 10)
+                          ELSE 0.0 END, 6) AS stopword_hit_ratio
+        FROM ({_TEXT_STATS_SQL})
+    """,
+    "embedding_near_dup": """
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id + 1000, embedding FROM embeddings) a
+            JOIN (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id + 1000, embedding FROM embeddings) b
+              ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= 0.95
+    """,
+    "multimodal_metadata": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+    "frame_sample": """
+        SELECT media_id,
+               unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
+        FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
     """,
 }
