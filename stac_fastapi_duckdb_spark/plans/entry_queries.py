@@ -33,6 +33,7 @@ from stac_fastapi_duckdb_spark.pipeline import dedup as P_dedup
 from stac_fastapi_duckdb_spark.pipeline import multimodal as P_mm
 from stac_fastapi_duckdb_spark.pipeline import similarity as P_sim
 from stac_fastapi_duckdb_spark.pipeline import text as P_text
+from stac_fastapi_duckdb_spark.streaming import events as P_stream
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -550,6 +551,22 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_streaming_hourly_rollup(spark, sf):
+    """Structured Streaming ingest of the events table (file source,
+    AvailableNow trigger) → watermarked tumbling-window rollup → memory
+    sink. Produces EXACTLY the batch rollup, so the batch SQL is the
+    oracle — the streaming path is held to the same correctness gate."""
+    stream = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    return P_stream.run_to_memory(P_stream.hourly_rollup(stream), spark)
+
+
+def q_sessionize(spark, sf):
+    """Gap-based session windows (30 min) per user via F.session_window —
+    the same operator serves batch and streaming; oracle is the classic
+    gaps-and-islands SQL (lag + cumulative sum)."""
+    return P_stream.session_windows(_events(spark, sf), "30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -596,6 +613,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "sessionize": q_sessionize,
 }
 
 
@@ -908,5 +927,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "streaming_hourly_rollup": f"""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM {_EVENTS_SQL}
+        GROUP BY 1, 2
+    """,
+    "sessionize": f"""
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM {_EVENTS_SQL}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
     """,
 }

@@ -1,0 +1,9 @@
+"""Structured Streaming operators (beyond-reference: SURVEY.md §2.9)."""
+
+from stac_fastapi_duckdb_spark.streaming.events import (  # noqa: F401
+    hourly_rollup,
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    streaming_dedup,
+)

@@ -1,0 +1,170 @@
+"""Structured Streaming ingest + windowed/stateful operators over an
+append-only event table.
+
+The reference has NO streaming surface (SURVEY.md §2.9) — this is the
+beyond-reference extension for the 100 TB pipeline: the same event
+rollups served batch-side are maintained incrementally so a continuous
+ingest (kafka/files landing in object storage) keeps aggregates fresh
+without full rescans.
+
+Scale/efficiency design:
+
+- **File-stream source** with an explicit schema (required by the file
+  source) and ``maxFilesPerTrigger`` so a backlog replays in bounded
+  micro-batches instead of one giant batch.
+- **Watermark + tumbling window**: state for an hour bucket is dropped
+  once the watermark passes (bounded state at any input size); late
+  events inside the allowed delay still merge into their bucket.
+- **Session windows** (``F.session_window``) work on both batch and
+  streaming DataFrames — the batch path doubles as the oracle-checked
+  correctness surface for the streaming operator.
+- Aggregates use map-side partial aggregation; the only shuffle key is
+  (window, group key) — the canonical streaming-agg shape.
+
+All event timestamps are parquet TIMESTAMP(NANOS); the session reads
+them as raw longs (``spark.sql.legacy.parquet.nanosAsLong``), so
+sources here normalize ns → µs TimestampType at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # TIMESTAMP(NANOS) as raw ns
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream over event parquet (a directory, glob, or a
+    single file path). ns → µs timestamp normalization applied here so
+    downstream operators see a plain TimestampType ``ts``."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        # the file-stream source only accepts directories: stage the file
+        # into a landing directory via symlink (zero-copy), exactly the
+        # layout a real ingest (files arriving in object storage) has
+        land = tempfile.mkdtemp(prefix="events_landing_")
+        os.symlink(os.path.abspath(path), os.path.join(land, os.path.basename(path)))
+        path = land
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour rollup per event_type; identical semantics to the
+    batch ``events_hourly_rollup`` query, so the batch SQL is its oracle.
+
+    On an unbounded stream the watermark bounds state: a bucket's state
+    is evicted once event time passes bucket_end + watermark. Sum goes
+    through DECIMAL so merged partial aggregates are exact and
+    order-independent (stream replay order is arbitrary).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows per key — batch AND streaming (same
+    code path; pass ``watermark`` on streams so closed sessions emit and
+    their state drops).
+
+    A session is the maximal run of events where each successive event
+    arrives before previous_ts + gap; session_end = last_ts + gap.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event-id dedup on a stream: dropDuplicates keyed by
+    event_id with watermark-bounded state (ids older than the watermark
+    are forgotten — the standard at-scale idempotent-ingest shape)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+_SINK_COUNTER = [0]
+
+
+def run_to_memory(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming plan to completion with Trigger.AvailableNow
+    into an in-memory sink; returns the result as a batch DataFrame.
+
+    complete mode re-emits the full aggregate each micro-batch → the
+    final table equals the batch answer (the oracle contract). append
+    mode emits only watermark-closed windows (tested separately).
+    """
+    if name is None:
+        _SINK_COUNTER[0] += 1
+        name = f"_stream_sink_{_SINK_COUNTER[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

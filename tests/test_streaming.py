@@ -1,0 +1,144 @@
+"""Structured Streaming operators: file-source ingest, watermarked
+windowed rollup, session windows, streaming dedup.
+
+The reference has no streaming (SURVEY.md §2.9); correctness contract
+here is batch/stream equivalence — the streaming plan over a finite
+replay must produce exactly the batch answer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.streaming import events as SE
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_utc timestamp, user_id long, event_type string, value double, props string"
+    )
+    # the events contract carries ts as raw nanos (TIMESTAMP(NANOS) parquet)
+    df = df.select(
+        "event_id",
+        (F.unix_micros("ts_utc") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out = str(tmp_path / "events_land")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _mk(ts_minutes, user=1, etype="click", value=1.0, eid=None):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    return (
+        eid if eid is not None else ts_minutes,
+        base + dt.timedelta(minutes=ts_minutes),
+        user,
+        etype,
+        value,
+        "{}",
+    )
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    rows = [
+        _mk(0), _mk(10), _mk(65), _mk(70, etype="view"),
+        _mk(200, user=2), _mk(205, user=2), _mk(300, user=2),
+    ]
+    return _write_events(spark, tmp_path_factory.mktemp("stream"), rows)
+
+
+def test_stream_rollup_equals_batch(spark, landing):
+    stream = SE.read_events_stream(spark, landing)
+    got = SE.run_to_memory(SE.hourly_rollup(stream), spark)
+    batch = spark.read.parquet(landing).withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    )
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_single_file_path(spark, landing):
+    import glob
+
+    f = glob.glob(f"{landing}/part-*.parquet")[0]
+    stream = SE.read_events_stream(spark, f)
+    got = SE.run_to_memory(SE.hourly_rollup(stream), spark)
+    assert got.agg(F.sum("n")).collect()[0][0] == 7
+
+
+def test_session_windows_batch(spark, landing):
+    batch = spark.read.parquet(landing).withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    )
+    sessions = {
+        (r.user_id, r.session_start.minute, r.n_events)
+        for r in SE.session_windows(batch, "30 minutes").collect()
+    }
+    # user 1: {0,10} then {65,70}; user 2: {200,205} then {300}
+    assert sessions == {(1, 0, 2), (1, 5, 2), (2, 20, 2), (2, 0, 1)}
+
+
+def test_session_window_gap_boundary(spark):
+    # events EXACTLY gap apart merge into one session (Spark's
+    # session_window end is inclusive for the merge test: a new event at
+    # prev_ts + gap still extends the session; only > gap splits)
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 1.0),
+            (2, base + dt.timedelta(minutes=30), 1.0),
+            (3, base + dt.timedelta(minutes=60, seconds=1), 1.0),
+        ],
+        "event_id long, ts timestamp, value double",
+    ).withColumn("user_id", F.lit(7))
+    got = SE.session_windows(df, "30 minutes").collect()
+    assert len(got) == 2
+    assert sorted(r.n_events for r in got) == [1, 2]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    rows = [_mk(0, eid=1), _mk(5, eid=1), _mk(10, eid=2)]
+    # duplicate event_id 1 at a different ts is kept (key is id+ts);
+    # exact (id, ts) replays collapse
+    rows.append(_mk(0, eid=1))
+    land = _write_events(spark, tmp_path, rows)
+    stream = SE.read_events_stream(spark, land)
+    got = SE.run_to_memory(
+        SE.streaming_dedup(stream).select("event_id", "ts"),
+        spark,
+        output_mode="append",
+    )
+    assert got.count() == 3
+
+
+def test_stream_rollup_sf0001_matches_batch(spark):
+    sf = "/root/testdata/sf0.001"
+    stream = SE.read_events_stream(spark, f"{sf}/events.parquet")
+    got = SE.run_to_memory(SE.hourly_rollup(stream), spark)
+    batch = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    )
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
