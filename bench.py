@@ -37,6 +37,14 @@ BENCH_QUERIES = [
     "dedup_exact",
     "token_count",
     "embedding_topk",
+    # training-data pipeline + streaming operators
+    "minhash_near_dup",
+    "simhash_pairs",
+    "text_analysis",
+    "sessionize",
+    "streaming_hourly_rollup",
+    "embedding_near_dup",
+    "multimodal_features",
 ]
 
 

@@ -42,6 +42,18 @@ from pyspark.sql.window import Window
 # shingling
 # ---------------------------------------------------------------------------
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across all cores before CPU-heavy per-row
+    compute. Single parquet files with one row group arrive as ONE
+    partition; the pre-shuffle of raw rows is negligible against
+    signature/UDF work. No-op when the input is already wide (the
+    normal case at scale)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def tokens_col(text: Column | str) -> Column:
     text = F.col(text) if isinstance(text, str) else text
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -97,15 +109,24 @@ def minhash_signature(
     hashing, so the signature needs neither explode nor Python.
     """
     sh = shingles_col(text, shingle_n)
-
-    def hash_fn(i: int):
-        # NB: must return a SINGLE-arg lambda — F.transform passes the
-        # element index as a second arg to two-arg callables, which would
-        # silently override a `i=i` default and collapse the hash family.
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_fn(i))) for i in range(num_hashes)]
+    # The shingle array must appear exactly ONCE in the expression tree:
+    # a naive array(array_min(transform(sh, h_i)) for i) embeds the full
+    # shingle construction (split+slice+concat per gram) 64 times and
+    # codegen re-evaluates it per hash — measured 100×+ slower. Shape
+    # here: per shingle, emit all k seeded hashes (xxhash64(s, i) — the
+    # lambda MUST take a single arg; F.transform feeds the element index
+    # to two-arg callables), then fold elementwise mins with
+    # aggregate+zip_with. Work is k hashes per shingle, shingles built
+    # once, all inside whole-stage codegen.
+    max_long = (1 << 63) - 1
+    per_shingle = F.transform(
+        sh,
+        lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+    )
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(max_long).cast("bigint"), num_hashes),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
 
 
@@ -124,6 +145,7 @@ def minhash_lsh_candidates(
     bucket. ``max_bucket_size`` drops degenerate buckets (skew guard).
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
@@ -180,7 +202,7 @@ def ngram_jaccard_pairs(
     ``candidates``: (id_a, id_b) DataFrame; None → all pairs (brute
     force — only for small inputs/tests). → (id_a, id_b, jaccard).
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), shingles_col(F.col(text_col), shingle_n).alias("_sh")
     )
     if candidates is None:
@@ -300,7 +322,7 @@ def simhash_near_dup_pairs(
     chunk, exact popcount verify inside buckets."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = with_simhash(df, text_col, "_sh").select(
+    sig = with_simhash(ensure_parallelism(df), text_col, "_sh").select(
         F.col(id_col).alias("_id"), F.col("_sh")
     )
     banded = sig.select(

@@ -76,7 +76,11 @@ def with_srp_signature(
     out_col: str = "srp_sig",
 ) -> DataFrame:
     """Attach the random-hyperplane signature bucket key."""
-    return df.withColumn(out_col, _signature_udf(_srp_planes(dim, num_planes, seed))(F.col(vec_col)))
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+
+    return ensure_parallelism(df).withColumn(
+        out_col, _signature_udf(_srp_planes(dim, num_planes, seed))(F.col(vec_col))
+    )
 
 
 def srp_lsh_topk(
