@@ -551,6 +551,68 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_keyset_pagination(spark, sf):
+    """Keyset (search-after) pagination — the scale-correct replacement
+    for the reference's integer OFFSET token (database_logic.py:924-928):
+    a (last sort key, last id) token compiles to a pushdownable range
+    predicate, so deep pages cost the same as page one instead of a
+    global sort-and-skip. Token here: after (1996-06-01, key 3000)."""
+    from datetime import datetime
+
+    after_date = datetime(1996, 6, 1)
+    after_key = 3000
+    o = _t(spark, sf, "orders")
+    keyset = (F.col("o_orderdate") > F.lit(after_date)) | (
+        (F.col("o_orderdate") == F.lit(after_date))
+        & (F.col("o_orderkey") > after_key)
+    )
+    return (
+        o.filter(keyset)
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .limit(50)
+    )
+
+
+def q_rank_dedup(spark, sf):
+    """Quality-ranked canonical selection: keep the best-quality doc per
+    language (window row_number) — the 'keep best of near-dup cluster'
+    pattern at the cluster-representative stage of a data pipeline."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        P_text.quality_score_col(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "rk", "doc_id", "quality")
+    )
+
+
+def q_user_stats(spark, sf):
+    """Per-user behavioral aggregates: event count, exact distinct event
+    types, exact value sum, activity span."""
+    return (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def q_streaming_hourly_rollup(spark, sf):
     """Structured Streaming ingest of the events table (file source,
     AvailableNow trigger) → watermarked tumbling-window rollup → memory
@@ -615,6 +677,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "sessionize": q_sessionize,
+    "keyset_pagination": q_keyset_pagination,
+    "rank_dedup": q_rank_dedup,
+    "user_stats": q_user_stats,
 }
 
 
@@ -927,6 +992,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "keyset_pagination": """
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        WHERE o_orderdate > TIMESTAMP '1996-06-01 00:00:00'
+           OR (o_orderdate = TIMESTAMP '1996-06-01 00:00:00' AND o_orderkey > 3000)
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "rank_dedup": f"""
+        SELECT lang, rk, doc_id, quality FROM (
+            SELECT lang, doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY quality DESC, doc_id ASC) AS rk
+            FROM (SELECT doc_id, lang, {_QUALITY_SQL} AS quality
+                  FROM ({_TEXT_STATS_SQL}) st
+                  JOIN (SELECT doc_id AS did, lang FROM documents) d
+                    ON st.doc_id = d.did)
+        ) WHERE rk <= 3
+    """,
+    "user_stats": f"""
+        SELECT user_id, count(*) AS n_events,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        FROM {_EVENTS_SQL}
+        GROUP BY user_id
     """,
     "streaming_hourly_rollup": f"""
         SELECT date_trunc('hour', ts) AS bucket, event_type,

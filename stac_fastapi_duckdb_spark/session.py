@@ -43,6 +43,10 @@ _LOCAL_DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # managed-table warehouse (bucketed tables) outside the repo tree
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+    ),
 }
 
 
