@@ -551,6 +551,54 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_skew_agg(spark, sf):
+    """Salted two-phase aggregation over a skewed key (5 event types for
+    100k+ rows): groupBy(key, salt) partials → groupBy(key) finals.
+    Algebraic aggregates recombine exactly, so the plain GROUP BY is the
+    oracle for ANY salt assignment."""
+    from stac_fastapi_duckdb_spark.functions.skew import two_phase_agg
+
+    out = two_phase_agg(
+        _events(spark, sf),
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "sum_value": ("sum", F.col("value").cast("decimal(18,6)")),
+            "max_value": ("max", "value"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+def q_stateful_sessions(spark, sf):
+    """Custom stateful streaming operator: per-user gap sessionization as
+    an applyInPandasWithState state machine (constant-size state per key,
+    event-time timeouts). Deterministic finite-replay output: every
+    session proven closed by a later event, plus final sessions whose
+    last_ts + gap ≤ the end-of-stream watermark (= max ts, delay 0)."""
+    from stac_fastapi_duckdb_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    stream = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    out = P_stream.run_to_memory(
+        stateful_sessionize(stream), spark, output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_keyset_pagination(spark, sf):
     """Keyset (search-after) pagination — the scale-correct replacement
     for the reference's integer OFFSET token (database_logic.py:924-928):
@@ -680,6 +728,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyset_pagination": q_keyset_pagination,
     "rank_dedup": q_rank_dedup,
     "user_stats": q_user_stats,
+    "stateful_sessions": q_stateful_sessions,
+    "skew_agg": q_skew_agg,
 }
 
 
@@ -992,6 +1042,37 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "skew_agg": f"""
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               MAX(value) AS max_value
+        FROM {_EVENTS_SQL}
+        GROUP BY event_type
+    """,
+    "stateful_sessions": f"""
+        WITH m AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM {_EVENTS_SQL}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m
+        ), g AS (
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events, SUM(value) AS sum_value
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events,
+               ROUND(sum_value, 6) AS sum_value
+        FROM g
+        WHERE last_ts + INTERVAL 30 MINUTE <=
+              (SELECT max(ts) FROM {_EVENTS_SQL})
     """,
     "keyset_pagination": """
         SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

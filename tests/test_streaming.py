@@ -126,6 +126,24 @@ def test_streaming_dedup(spark, tmp_path):
     assert got.count() == 3
 
 
+def test_stateful_sessionize(spark, landing):
+    from stac_fastapi_duckdb_spark.streaming.stateful import stateful_sessionize
+
+    stream = SE.read_events_stream(spark, landing)
+    got = SE.run_to_memory(
+        stateful_sessionize(stream), spark, output_mode="append"
+    )
+    sessions = {
+        (r.user_id, r.session_start.minute, r.n_events)
+        for r in got.collect()
+    }
+    # closed-by-later-event sessions for both users emit; each user's
+    # final session is withheld iff last_ts + gap > max(ts) (= minute
+    # 300). user1 final session last=70 → 70+30=100 ≤ 300 closes; user2
+    # final last=300 → 330 > 300 stays open.
+    assert sessions == {(1, 0, 2), (1, 5, 2), (2, 20, 2)}
+
+
 def test_stream_rollup_sf0001_matches_batch(spark):
     sf = "/root/testdata/sf0.001"
     stream = SE.read_events_stream(spark, f"{sf}/events.parquet")
