@@ -551,6 +551,27 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_asof_join(spark, sf):
+    """As-of join (operators/asof.py): for each click, the most recent
+    purchase by the same user at-or-before the click. One equi-shuffle
+    union+window plan; oracle is DuckDB's native ASOF LEFT JOIN."""
+    from stac_fastapi_duckdb_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]
+    )
+
+
 def q_skew_agg(spark, sf):
     """Salted two-phase aggregation over a skewed key (5 event types for
     100k+ rows): groupBy(key, salt) partials → groupBy(key) finals.
@@ -730,6 +751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_stats": q_user_stats,
     "stateful_sessions": q_stateful_sessions,
     "skew_agg": q_skew_agg,
+    "asof_join": q_asof_join,
 }
 
 
@@ -1042,6 +1064,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "asof_join": f"""
+        SELECT l.event_id, l.user_id, l.ts,
+               r.event_id AS p_event_id, r.value AS p_value
+        FROM (SELECT event_id, user_id, ts FROM {_EVENTS_SQL}
+              WHERE event_type = 'click') l
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, ts, value FROM {_EVENTS_SQL}
+              WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "skew_agg": f"""
         SELECT event_type, count(*) AS n,
