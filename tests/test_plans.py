@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the scale properties claimed in README
+(pushdown, pruning, broadcast, codegen) must be visible in explain
+output, not just intended."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    df = eq.QUERIES["cql2_comparisons"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    assert "c_acctbal" in pushed  # the CQL2 comparison reached parquet
+
+
+def test_column_pruning(spark):
+    df = eq.QUERIES["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # only the 5 referenced lineitem columns are read, not all 16
+    assert "l_comment" not in schema and "l_partkey" not in schema
+    assert "l_quantity" in schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(eq.QUERIES["region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nation/region/customer all broadcast
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(eq.QUERIES["topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_text_path_stays_jvm_side(spark):
+    # full text-analysis projection compiles to pure Column algebra —
+    # no Python evaluation nodes anywhere in the plan (AQE's
+    # pre-execution plan string omits codegen annotations, so assert
+    # the absence of the slow path rather than the label)
+    plan = _plan(eq.QUERIES["text_analysis"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FileScan parquet" in plan
+
+
+def test_minhash_signature_jvm_side(spark):
+    # the LSH candidate pipeline must stay out of Python entirely
+    from stac_fastapi_duckdb_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_count_scans_zero_columns(spark):
+    # count(*) reads no columns: ReadSchema is the empty struct, so the
+    # scan touches only parquet metadata-adjacent pages
+    df = spark.read.parquet(f"{SF}/orders.parquet").groupBy().count()
+    assert "ReadSchema: struct<>" in _plan(df)
