@@ -35,6 +35,33 @@ from stac_fastapi_duckdb_spark.errors import NotFoundError
 
 COLLECTION_COL = "collection"
 
+_HTTP_CACHE_DIR = os.environ.get(
+    "SPARK_GRAFT_HTTP_CACHE", "/tmp/spark_graft_http_cache"
+)
+
+
+def _localize(url: str) -> str:
+    """Spark's parquet reader speaks file:// and cluster filesystems
+    (s3a://, hdfs://) natively, but not plain http(s) — the reference
+    covers that via DuckDB httpfs (``config.py:112-121``). Shim:
+    download-once to a local cache keyed by URL hash. Single-file
+    collections only; at scale data lives in an object store where the
+    native committers/readers apply."""
+    if not url.startswith(("http://", "https://")):
+        return url
+    import hashlib
+    import urllib.request
+
+    os.makedirs(_HTTP_CACHE_DIR, exist_ok=True)
+    dest = os.path.join(
+        _HTTP_CACHE_DIR, hashlib.sha256(url.encode()).hexdigest() + ".parquet"
+    )
+    if not os.path.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310 — user-configured source URL
+        os.replace(tmp, dest)
+    return dest
+
 
 class CollectionCatalog:
     """Registry of STAC collections backed by parquet files or a
@@ -96,7 +123,7 @@ class CollectionCatalog:
         url = self._urls.get(collection_id)
         if url is None:
             raise NotFoundError(f"Collection {collection_id} not configured")
-        df = self.spark.read.parquet(url).withColumn(
+        df = self.spark.read.parquet(_localize(url)).withColumn(
             COLLECTION_COL, F.lit(collection_id)
         )
         self._df_cache[collection_id] = df

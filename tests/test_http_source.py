@@ -1,0 +1,43 @@
+"""HTTP(S) parquet source shim (S1 parity with the reference's httpfs
+path) — exercised against a loopback stdlib server, no network."""
+
+from __future__ import annotations
+
+import functools
+import http.server
+import threading
+
+import pytest
+
+from stac_fastapi_duckdb_spark.sources.catalog import CollectionCatalog
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory="/root/testdata/sf0.001"
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_collection_scan(spark, http_server):
+    cat = CollectionCatalog(spark, {"web": f"{http_server}/region.parquet"})
+    df = cat.items_df("web")
+    assert df.count() == 5
+    assert "collection" in df.columns
+
+
+def test_http_download_cached(spark, http_server):
+    from stac_fastapi_duckdb_spark.sources import catalog as C
+
+    url = f"{http_server}/nation.parquet"
+    p1 = C._localize(url)
+    p2 = C._localize(url)  # second call serves from cache
+    assert p1 == p2
+    import os
+
+    assert os.path.exists(p1)
