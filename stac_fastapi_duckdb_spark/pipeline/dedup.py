@@ -266,6 +266,62 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def connected_components(
+    edges: DataFrame,
+    all_ids: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (id, component) with
+    component = min id in the cluster. Iterative min-label propagation:
+    each round every node adopts the smallest label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup clusters are
+    shallow — chains longer than a few hops are rare by construction).
+
+    Scale shape: per round one join edges⋈labels + one groupBy-min —
+    both shuffles on the node id, reusable partitioning. Labels are
+    localCheckpointed each round to cut the growing lineage (the classic
+    iterative-algorithm failure mode). Stops early when a round changes
+    nothing (count of label changes == 0).
+    """
+    sym = edges.selectExpr(f"{src} as n", f"{dst} as m").unionByName(
+        edges.selectExpr(f"{dst} as n", f"{src} as m")
+    )
+    if all_ids is not None:
+        nodes = all_ids.select(F.col(id_col).alias("n")).distinct()
+    else:
+        nodes = sym.select("n").distinct()
+    labels = nodes.withColumn("comp", F.col("n"))
+    sym = sym.localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["m"] == labels["n"], "inner")
+            .select(sym["n"].alias("n"), F.col("comp"))
+            .groupBy("n")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("nb_comp", F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint()  # materialize: truncates lineage AND gives a stable count
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(id_col), F.col("comp").alias("component"))
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:

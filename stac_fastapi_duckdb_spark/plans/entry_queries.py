@@ -551,6 +551,17 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clusters: LSH candidates → exact-Jaccard
+    verify → iterative min-label connected components over ALL docs.
+    Oracle: the same propagation unrolled as SQL (6 rounds ≫ cluster
+    diameter at this scale; Spark side stops at fixpoint)."""
+    docs = _t(spark, sf, "documents")
+    cand = P_dedup.minhash_lsh_candidates(docs, bands=32)
+    pairs = P_dedup.ngram_jaccard_pairs(docs, cand, threshold=0.8)
+    return P_dedup.connected_components(pairs, all_ids=docs)
+
+
 def q_asof_join(spark, sf):
     """As-of join (operators/asof.py): for each click, the most recent
     purchase by the same user at-or-before the click. One equi-shuffle
@@ -752,6 +763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_sessions": q_stateful_sessions,
     "skew_agg": q_skew_agg,
     "asof_join": q_asof_join,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -820,7 +832,30 @@ _TEXT_STATS_SQL = r"""
 """
 
 
+def _cc_unrolled_sql(rounds: int = 6) -> str:
+    """Min-label propagation unrolled as chained CTEs — the SQL oracle
+    for the iterative connected-components operator (converged result is
+    identical once rounds ≥ cluster diameter)."""
+    ctes = [
+        f"e AS (SELECT id_a AS n, id_b AS m FROM ({_JACCARD_PAIRS_SQL})"
+        f"      UNION ALL SELECT id_b, id_a FROM ({_JACCARD_PAIRS_SQL}))",
+        "l0 AS (SELECT doc_id AS n, doc_id AS comp FROM documents)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"l{i + 1} AS (SELECT l.n, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp"
+            f"  FROM l{i} l LEFT JOIN e ON l.n = e.n LEFT JOIN l{i} r ON e.m = r.n"
+            f"  GROUP BY l.n, l.comp)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n AS doc_id, comp AS component FROM l{rounds}"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "dedup_clusters": _cc_unrolled_sql(),
     "point_lookup": """
         SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         WHERE o_orderkey = 100 LIMIT 1

@@ -89,3 +89,19 @@ def test_simhash_near_dup_pairs(docs):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert (4, 5) not in got
+
+
+def test_connected_components_transitive_chain(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+
+    # chain 1-2-3-4 plus isolated 9: transitivity must fold the whole
+    # chain to component 1 even though (1,4) is never a direct edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 7, 8, 9)], "doc_id long")
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(edges, all_ids=ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
