@@ -133,11 +133,18 @@ def execute_search(
     limit: int = 10,
     token: str | None = None,
     count_mode: str = "exact",
+    fields: list[str] | None = None,
 ) -> tuple[list[dict], int | None, str | None]:
     """→ (item rows as dicts, numMatched, next_token).
 
     ``count_mode``: "exact" (reference parity — database_logic.py:957-958)
     or "none" (skip the count scan; numMatched=None).
+
+    ``fields``: Fields-extension include list pushed into the PLAN as a
+    projection (the reference trims JSON after fetching every column —
+    SURVEY P1; here unselected columns never leave the parquet reader).
+    Columns required for sorting/serialization (id, collection,
+    geometry) are always retained.
     """
     if limit < 1:
         raise InvalidQueryError(f"limit must be >= 1, got {limit}")
@@ -167,6 +174,11 @@ def execute_search(
 
     offset, keyset = pg.parse_token(token)
     page_df = filtered
+    if fields is not None:
+        keep = {"id", "collection", "geometry"}
+        keep.update(f for f, _ in sort_specs)
+        keep.update(f for f in fields if f in columns)
+        page_df = page_df.select(*[safe_col(c) for c in columns if c in keep])
     if keyset is not None and sort_specs:
         page_df = page_df.filter(_keyset_predicate(sort_specs, keyset))
         offset = 0

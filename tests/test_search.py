@@ -186,3 +186,24 @@ def test_collection_documents(catalog):
     assert one["id"] == "col-a"
     with pytest.raises(NotFoundError):
         catalog.find_collection("missing")
+
+
+def test_fields_projection_pushdown(catalog):
+    items, _, _ = execute_search(
+        catalog, collection_ids=["col-a"], limit=3, fields=["platform"]
+    )
+    assert len(items) == 3
+    for it in items:
+        assert "platform" in it and "id" in it and "geometry" in it
+        assert "eo:cloud_cover" not in it  # unselected column never fetched
+
+
+def test_fields_projection_prunes_scan(catalog):
+    from stac_fastapi_duckdb_spark.operators.search import SearchBuilder
+    from stac_fastapi_duckdb_spark.operators.sort import populate_sort
+
+    df = SearchBuilder(catalog).apply_collections(["col-a"]).dataframe()
+    pruned = df.select("id", "platform")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "platform" in schema and "cloud_cover" not in schema
