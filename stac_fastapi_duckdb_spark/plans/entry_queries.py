@@ -551,6 +551,35 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_range_join(spark, sf):
+    """Point-in-interval range join via granule bucketing (one
+    equi-shuffle instead of a nested-loop BETWEEN join): each click
+    joined to same-user 4-day windows derived from every-3rd events.
+    Oracle: plain SQL BETWEEN join."""
+    from stac_fastapi_duckdb_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ev = _events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("w_id"),
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("w_end"),
+        )
+    )
+    out = point_in_interval_join(
+        clicks, windows, "ts", "w_start", "w_end", on="user_id",
+        granule_seconds=86400,
+    )
+    return out.select("event_id", "user_id", "ts", "w_id", "w_start", "w_end")
+
+
 def q_dedup_clusters(spark, sf):
     """Transitive near-dup clusters: LSH candidates → exact-Jaccard
     verify → iterative min-label connected components over ALL docs.
@@ -764,6 +793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_agg": q_skew_agg,
     "asof_join": q_asof_join,
     "dedup_clusters": q_dedup_clusters,
+    "range_join": q_range_join,
 }
 
 
@@ -1099,6 +1129,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "range_join": f"""
+        SELECT l.event_id, l.user_id, l.ts, r.w_id, r.w_start, r.w_end
+        FROM (SELECT event_id, user_id, ts FROM {_EVENTS_SQL}
+              WHERE event_type = 'click') l
+        JOIN (SELECT event_id AS w_id, user_id,
+                     ts - INTERVAL 2 DAY AS w_start,
+                     ts + INTERVAL 2 DAY AS w_end
+              FROM {_EVENTS_SQL} WHERE event_id % 3 = 0) r
+          ON l.user_id = r.user_id
+         AND l.ts BETWEEN r.w_start AND r.w_end
     """,
     "asof_join": f"""
         SELECT l.event_id, l.user_id, l.ts,
