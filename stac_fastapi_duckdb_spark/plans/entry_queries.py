@@ -36,7 +36,33 @@ from stac_fastapi_duckdb_spark.pipeline import text as P_text
 from stac_fastapi_duckdb_spark.streaming import events as P_stream
 
 
+_CONF_GUARDED: set[int] = set()
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may run these queries on ITS OWN SparkSession without
+    this repo's session defaults. Two of them are correctness-critical
+    and runtime-settable, so set them defensively (once per session):
+    nanosAsLong (events.parquet is TIMESTAMP(NANOS) — a plain session
+    errors with PARQUET_TYPE_ILLEGAL) and UTC so timestamp hashing
+    matches the DuckDB oracle."""
+    key = id(spark)
+    if key in _CONF_GUARDED:
+        return
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # static in this deployment; session.py already set it
+    _CONF_GUARDED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
