@@ -577,6 +577,20 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_pivot_events(spark, sf):
+    """Pivot: per-user event-type counts as columns (explicit value list
+    so the plan needs no discovery pass — at scale an implicit pivot
+    adds a distinct scan). Oracle: conditional aggregation."""
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def q_range_join(spark, sf):
     """Point-in-interval range join via granule bucketing (one
     equi-shuffle instead of a nested-loop BETWEEN join): each click
@@ -820,6 +834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "dedup_clusters": q_dedup_clusters,
     "range_join": q_range_join,
+    "pivot_events": q_pivot_events,
 }
 
 
@@ -1155,6 +1170,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "pivot_events": f"""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+        FROM {_EVENTS_SQL}
+        GROUP BY user_id
     """,
     "range_join": f"""
         SELECT l.event_id, l.user_id, l.ts, r.w_id, r.w_start, r.w_end
