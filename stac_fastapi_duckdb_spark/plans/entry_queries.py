@@ -577,6 +577,51 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def q_daily_from_hourly(spark, sf):
+    """Hierarchical rollup reuse (the hypertable/continuous-aggregate
+    pattern): the daily aggregate is computed FROM the hourly aggregate,
+    not the raw events — algebraic partials (count-sum, sum-sum)
+    re-aggregate exactly, so at scale the day/week/month tiers read the
+    hour tier instead of rescanning raw data. Oracle: direct daily
+    GROUP BY over raw events."""
+    hourly = (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sv"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_unpivot_events(spark, sf):
+    """Unpivot (melt): per-user type-count columns back to long form via
+    the stack expression; oracle re-derives the long form directly."""
+    types = ["click", "view", "purchase", "error", "signup"]
+    wide = (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    stack_expr = "stack({n}, {args}) as (event_type, n)".format(
+        n=len(types), args=", ".join(f"'{t}', `{t}`" for t in types)
+    )
+    return wide.select("user_id", F.expr(stack_expr)).filter(F.col("n") > 0)
+
+
 def q_pivot_events(spark, sf):
     """Pivot: per-user event-type counts as columns (explicit value list
     so the plan needs no discovery pass — at scale an implicit pivot
@@ -835,6 +880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "range_join": q_range_join,
     "pivot_events": q_pivot_events,
+    "daily_from_hourly": q_daily_from_hourly,
+    "unpivot_events": q_unpivot_events,
 }
 
 
@@ -1170,6 +1217,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    "daily_from_hourly": f"""
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM {_EVENTS_SQL}
+        GROUP BY 1, 2
+    """,
+    "unpivot_events": f"""
+        SELECT user_id, event_type, count(*) AS n
+        FROM {_EVENTS_SQL}
+        GROUP BY user_id, event_type
     """,
     "pivot_events": f"""
         SELECT user_id,
