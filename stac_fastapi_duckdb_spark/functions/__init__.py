@@ -1,0 +1,13 @@
+"""Column-level function helpers: geometry, vector algebra, skew tools."""
+
+from stac_fastapi_duckdb_spark.functions.skew import (  # noqa: F401
+    salted_join,
+    skewed_key_stats,
+    two_phase_agg,
+)
+from stac_fastapi_duckdb_spark.functions.vectors import (  # noqa: F401
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_norm,
+)

@@ -10,6 +10,9 @@ from stac_fastapi_duckdb_spark.operators.spatial import (
     intersects_predicate,
 )
 from stac_fastapi_duckdb_spark.operators.search import SearchBuilder, execute_search
+from stac_fastapi_duckdb_spark.operators.asof import asof_join
+from stac_fastapi_duckdb_spark.operators.rangejoin import point_in_interval_join
+from stac_fastapi_duckdb_spark.operators.queryables import queryables
 
 __all__ = [
     "datetime_predicate",
@@ -22,4 +25,7 @@ __all__ = [
     "intersects_predicate",
     "SearchBuilder",
     "execute_search",
+    "asof_join",
+    "point_in_interval_join",
+    "queryables",
 ]
