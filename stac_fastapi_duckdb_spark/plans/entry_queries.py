@@ -823,6 +823,111 @@ def q_sessionize(spark, sf):
     return P_stream.session_windows(_events(spark, sf), "30 minutes")
 
 
+def q_semi_join(spark, sf):
+    """EXISTS → left-semi join (TPC-H Q4 shape). A semi join never
+    duplicates probe-side rows, so at 100 TB it avoids materializing the
+    N:M match explosion an inner-join+distinct would shuffle; Catalyst
+    plans the same LeftSemi it would derive from SQL EXISTS."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_anti_join(spark, sf):
+    """NOT EXISTS → left-anti join (TPC-H Q22 shape): well-funded
+    customers with no 1995 orders. One equi-shuffle, no row duplication.
+    (The right side is date-filtered because every customer in the
+    synthetic data has at least one order overall.)"""
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 6000)
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+def q_scalar_subquery(spark, sf):
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    lineitems below half their part's average quantity. Expressed as the
+    decorrelated plan Catalyst itself would produce — per-part aggregate
+    broadcast back onto the fact table — so the fact table is scanned
+    twice but shuffled zero times on the probe side. The half-average
+    predicate is kept in exact integer/decimal arithmetic
+    (2*qty*cnt < sum_qty) so the boundary is float-noise-free in both
+    engines."""
+    l = _t(spark, sf, "lineitem")
+    per_part = l.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("part_sum_qty"),
+        F.count(F.lit(1)).alias("part_cnt"),
+    )
+    return (
+        l.join(F.broadcast(per_part), l.l_partkey == per_part.ap_partkey)
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * F.col("part_cnt") * 2
+            < F.col("part_sum_qty")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_rollup_agg(spark, sf):
+    """GROUP BY ROLLUP with grouping_id: hierarchical subtotals in ONE
+    pass (Spark expands grouping sets map-side; no per-level rescan)."""
+    l = _t(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def q_cube_agg(spark, sf):
+    """GROUP BY CUBE over (event_type, day): all 4 grouping combinations
+    in one shuffle."""
+    ev = _events(spark, sf)
+    return ev.cube(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_distinct_count(spark, sf):
+    """Exact COUNT(DISTINCT) per group — Spark plans a two-stage expand
+    + partial aggregate, no driver-side collection."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -882,6 +987,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "daily_from_hourly": q_daily_from_hourly,
     "unpivot_events": q_unpivot_events,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "scalar_subquery": q_scalar_subquery,
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "distinct_count": q_distinct_count,
 }
 
 
@@ -1343,5 +1454,61 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sid
+    """,
+    "semi_join": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > 6000
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1995-01-01'
+                            AND o_orderdate < TIMESTAMP '1996-01-01')
+        GROUP BY c_mktsegment
+    """,
+    "scalar_subquery": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price,
+               COUNT(*) AS n
+        FROM lineitem l JOIN (
+            SELECT l_partkey AS ap_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_sum_qty,
+                   COUNT(*) AS part_cnt
+            FROM lineitem GROUP BY l_partkey
+        ) a ON l.l_partkey = a.ap_partkey
+        WHERE CAST(l_quantity AS DECIMAL(18,2)) * part_cnt * 2 < part_sum_qty
+    """,
+    "rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               GROUPING(event_type, day) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM {_EVENTS_SQL}
+        GROUP BY CUBE (event_type, day)
+    """,
+    "distinct_count": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
 }

@@ -63,6 +63,31 @@ def test_minhash_signature_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_semi_anti_joins_plan_as_semi_anti(spark):
+    # EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti — probe rows are
+    # never duplicated (no N:M inner-join blowup at scale)
+    semi = _plan(eq.QUERIES["semi_join"](spark, SF))
+    anti = _plan(eq.QUERIES["anti_join"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_rollup_single_pass_expand(spark):
+    # ROLLUP expands grouping sets map-side (one Expand node, ONE scan
+    # of lineitem — not one rescan per subtotal level)
+    plan = _plan(eq.QUERIES["rollup_agg"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    # the decorrelated per-part aggregate is broadcast back onto the
+    # fact table — no shuffle of the probe side
+    plan = _plan(eq.QUERIES["scalar_subquery"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_count_scans_zero_columns(spark):
     # count(*) reads no columns: ReadSchema is the empty struct, so the
     # scan touches only parquet metadata-adjacent pages

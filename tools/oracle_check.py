@@ -31,6 +31,8 @@ def norm(df: pd.DataFrame) -> list:
     return sorted(rows)
 
 qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional subset: oracle_check.py name1 name2 ...
+    qs = {k: v for k, v in qs.items() if k in set(sys.argv[1:])}
 fails = []
 for name, fn in qs.items():
     try:
