@@ -11,6 +11,11 @@ from stac_fastapi_duckdb_spark.operators.spatial import (
 )
 from stac_fastapi_duckdb_spark.operators.search import SearchBuilder, execute_search
 from stac_fastapi_duckdb_spark.operators.asof import asof_join
+from stac_fastapi_duckdb_spark.operators.cdc import (
+    apply_cdc,
+    latest_changes,
+    scd2_from_changelog,
+)
 from stac_fastapi_duckdb_spark.operators.rangejoin import point_in_interval_join
 from stac_fastapi_duckdb_spark.operators.queryables import queryables
 
@@ -28,4 +33,7 @@ __all__ = [
     "asof_join",
     "point_in_interval_join",
     "queryables",
+    "apply_cdc",
+    "latest_changes",
+    "scd2_from_changelog",
 ]

@@ -1,0 +1,135 @@
+"""Change-data-capture operators: SCD2 interval building and
+latest-wins CDC apply.
+
+The reference has no write/merge path at all (every transaction method
+is a ``pass`` stub — reference ``stac_fastapi/duckdb/database_logic.py:
+1026-1187``); a 100 TB training-data warehouse needs one. These are the
+two halves of a batch CDC pipeline:
+
+- ``scd2_from_changelog``: an append-only change log (key, ts, attrs)
+  → type-2 slowly-changing dimension rows ``[valid_from, valid_to)``
+  with consecutive-duplicate suppression. Pure window functions: ONE
+  shuffle on the key, no self-joins, no driver iteration — the classic
+  MERGE-per-day approach rescans the dimension daily; this rebuilds (or
+  with a date filter, incrementally extends) it in a single pass.
+- ``latest_changes`` / ``apply_cdc``: compact a CDC feed to its final
+  state per key (row_number window — NOT groupBy-max + self-join, which
+  would shuffle twice and break ties wrongly on duplicate timestamps),
+  then merge into a snapshot with one full-outer join: upserts replace,
+  deletes drop, untouched rows pass through. At scale the compacted
+  change set is usually ≪ snapshot, so Spark broadcasts it under AQE.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_spec(ts_col: str, tiebreak_cols: list[str]) -> list[Column]:
+    return [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+
+
+def scd2_from_changelog(
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build SCD2 rows from an append-only change log.
+
+    Rows where no attribute changed versus the previous row of the same
+    key are suppressed; each surviving row becomes an interval
+    ``[valid_from, valid_to)`` where ``valid_to`` is the next change's
+    timestamp (NULL for the current row, flagged ``is_current``).
+
+    Two window functions over the same (key, order) spec → Catalyst
+    evaluates both in one Window node after one shuffle.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(*_order_spec(ts_col, tiebreak_cols))
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            # null-safe "differs from previous" (first row: lag is NULL)
+            ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+            for c in attr_cols
+        ],
+    )
+    kept = changelog.select(
+        *key_cols, ts_col, *tiebreak_cols, *attr_cols
+    ).withColumn("_chg", changed).filter(F.col("_chg")).drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*_order_spec(ts_col, tiebreak_cols))
+    return (
+        kept.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+    )
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compact a CDC feed to the winning (latest) change per key.
+    row_number over a descending (ts, tiebreaks) window — deterministic
+    under duplicate timestamps, one shuffle."""
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak_cols]
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str,
+    ts_col: str,
+    set_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Merge a CDC feed into a snapshot (batch MERGE emulation).
+
+    Latest change per key wins; ``delete_op`` rows drop the key,
+    anything else upserts ``set_cols`` (insert if the key is new, the
+    remaining snapshot columns NULL). Untouched snapshot rows pass
+    through. One window shuffle + one full-outer join.
+    """
+    win = latest_changes(changes, key_cols, ts_col, tiebreak_cols).select(
+        *[F.col(c).alias(f"_c_{c}") for c in key_cols],
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_n_{c}") for c in set_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [snapshot[k] == win[f"_c_{k}"] for k in key_cols],
+    )
+    merged = snapshot.join(win, cond, "full_outer").filter(
+        F.col("_op").isNull() | (F.col("_op") != delete_op)
+    )
+    out_key = [
+        F.coalesce(snapshot[k], F.col(f"_c_{k}")).alias(k) for k in key_cols
+    ]
+    passthrough = [
+        c for c in snapshot.columns if c not in key_cols and c not in set_cols
+    ]
+    out_set = [
+        F.when(F.col("_op").isNotNull(), F.col(f"_n_{c}"))
+        .otherwise(snapshot[c])
+        .alias(c)
+        for c in set_cols
+    ]
+    return merged.select(*out_key, *[snapshot[c] for c in passthrough], *out_set)

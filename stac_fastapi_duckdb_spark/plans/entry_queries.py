@@ -917,6 +917,46 @@ def q_cube_agg(spark, sf):
     )
 
 
+def q_scd2_intervals(spark, sf):
+    """SCD2 dimension build from the events change log: per-user
+    event_type state intervals with consecutive-duplicate suppression
+    (operators/cdc.py). One shuffle on user_id; oracle is the classic
+    lag-filter + lead SQL."""
+    from stac_fastapi_duckdb_spark.operators.cdc import scd2_from_changelog
+
+    return scd2_from_changelog(
+        _events(spark, sf),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+def q_cdc_apply(spark, sf):
+    """Batch MERGE emulation: compact an orders-derived CDC feed
+    (latest order per customer wins; finalized orders delete, others
+    set the balance) into the customer snapshot (operators/cdc.py)."""
+    from stac_fastapi_duckdb_spark.operators.cdc import apply_cdc
+
+    changes = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    return apply_cdc(
+        _t(spark, sf, "customer"),
+        changes,
+        key_cols=["c_custkey"],
+        op_col="op",
+        ts_col="o_orderdate",
+        set_cols=["c_acctbal"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
 def q_distinct_count(spark, sf):
     """Exact COUNT(DISTINCT) per group — Spark plans a two-stage expand
     + partial aggregate, no driver-side collection."""
@@ -993,6 +1033,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
     "distinct_count": q_distinct_count,
+    "scd2_intervals": q_scd2_intervals,
+    "cdc_apply": q_cdc_apply,
 }
 
 
@@ -1502,6 +1544,43 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "scd2_intervals": f"""
+        WITH c AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM {_EVENTS_SQL}
+        ), k AS (
+            SELECT user_id, ts, event_id, event_type FROM c
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL AS is_current
+        FROM k
+    """,
+    "cdc_apply": """
+        WITH w AS (
+            SELECT o_custkey, o_orderstatus, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC,
+                                               o_orderkey DESC) AS rn
+            FROM orders
+        ), ch AS (
+            SELECT o_custkey AS k,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS new_bal
+            FROM w WHERE rn = 1
+        )
+        SELECT COALESCE(c_custkey, k) AS c_custkey, c_name, c_nationkey,
+               c_mktsegment,
+               CASE WHEN op IS NOT NULL THEN new_bal
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer FULL OUTER JOIN ch ON c_custkey = k
+        WHERE op IS NULL OR op <> 'D'
     """,
     "distinct_count": """
         SELECT l_returnflag,

@@ -1,0 +1,90 @@
+"""operators/cdc.py: SCD2 interval building + latest-wins CDC apply."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.operators.cdc import (
+    apply_cdc,
+    latest_changes,
+    scd2_from_changelog,
+)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def test_scd2_suppresses_consecutive_duplicates_and_builds_intervals(spark):
+    log = spark.createDataFrame(
+        [
+            (1, _ts(1), 1, "bronze"),
+            (1, _ts(2), 2, "bronze"),  # unchanged → suppressed
+            (1, _ts(3), 3, "gold"),
+            (1, _ts(4), 4, "bronze"),  # back to a previous value → NEW row
+            (2, _ts(5), 5, "silver"),
+        ],
+        "key int, ts timestamp, seq int, tier string",
+    )
+    rows = {
+        (r.key, r.tier, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_from_changelog(log, ["key"], "ts", ["tier"], ["seq"]).collect()
+    }
+    assert rows[(1, "bronze", _ts(1))] == (_ts(3), False)
+    assert rows[(1, "gold", _ts(3))] == (_ts(4), False)
+    assert rows[(1, "bronze", _ts(4))] == (None, True)
+    assert rows[(2, "silver", _ts(5))] == (None, True)
+    assert len(rows) == 4
+
+
+def test_latest_changes_breaks_timestamp_ties_deterministically(spark):
+    ch = spark.createDataFrame(
+        [(1, _ts(1), 1, "a"), (1, _ts(1), 2, "b")],
+        "key int, ts timestamp, seq int, v string",
+    )
+    out = latest_changes(ch, ["key"], "ts", ["seq"]).collect()
+    assert len(out) == 1 and out[0].v == "b"  # higher tiebreak wins
+
+
+def test_apply_cdc_upsert_delete_insert_passthrough(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "key int, name string, bal double",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "U", 11.0, _ts(1), 1),
+            (1, "U", 12.0, _ts(2), 2),  # later wins
+            (2, "D", 0.0, _ts(1), 3),
+            (9, "U", 99.0, _ts(1), 4),  # insert of a new key
+        ],
+        "key int, op string, bal double, ts timestamp, seq int",
+    )
+    out = {
+        r.key: (r.name, r.bal)
+        for r in apply_cdc(
+            snap, ch, ["key"], "op", "ts", ["bal"], ["seq"]
+        ).collect()
+    }
+    assert out[1] == ("alice", 12.0)  # upsert, passthrough name kept
+    assert 2 not in out  # deleted
+    assert out[3] == ("carol", 30.0)  # untouched
+    assert out[9] == (None, 99.0)  # inserted; non-set cols NULL
+    assert len(out) == 3
+
+
+def test_scd2_single_window_shuffle(spark):
+    log = spark.createDataFrame(
+        [(1, _ts(1), 1, "x")], "key int, ts timestamp, seq int, v string"
+    )
+    plan = (
+        scd2_from_changelog(log, ["key"], "ts", ["v"], ["seq"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # change-detection lag and interval lead share one partitioning:
+    # exactly one Exchange despite two Window nodes
+    assert plan.count("Exchange") == 1
