@@ -1,5 +1,11 @@
 """Column-level function helpers: geometry, vector algebra, skew tools."""
 
+from stac_fastapi_duckdb_spark.functions.bloom import (  # noqa: F401
+    bloom_filter_injected,
+    enable_runtime_bloom,
+    freeze_plan,
+    semi_reduce,
+)
 from stac_fastapi_duckdb_spark.functions.skew import (  # noqa: F401
     salted_join,
     skewed_key_stats,

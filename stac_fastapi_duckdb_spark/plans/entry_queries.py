@@ -917,6 +917,47 @@ def q_cube_agg(spark, sf):
     )
 
 
+def q_bloom_pruned_join(spark, sf):
+    """Shuffle join with Catalyst's runtime bloom-filter pruning
+    (functions/bloom.py): the filtered orders side builds a bloom
+    filter that drops non-matching lineitem rows BEFORE their shuffle.
+    False-positive-only, so the result is byte-identical to the plain
+    join — which is exactly what the oracle checks. Injection needs the
+    build side to look non-broadcastable (Catalyst skips bloom when it
+    would broadcast instead) and the probe scan to look expensive, so
+    both thresholds are overridden WHILE the plan is compiled
+    (freeze_plan) and restored before returning — the session the
+    driver hands us is left untouched."""
+    from stac_fastapi_duckdb_spark.functions.bloom import (
+        enable_runtime_bloom,
+        freeze_plan,
+        restore_confs,
+    )
+
+    prev = enable_runtime_bloom(
+        spark, creation_side_max="100MB", application_side_min="0"
+    )
+    try:
+        prev["spark.sql.autoBroadcastJoinThreshold"] = spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = _t(spark, sf, "lineitem")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+        return freeze_plan(
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+    finally:
+        restore_confs(spark, prev)
+
+
 def q_scd2_intervals(spark, sf):
     """SCD2 dimension build from the events change log: per-user
     event_type state intervals with consecutive-duplicate suppression
@@ -1035,6 +1076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_count": q_distinct_count,
     "scd2_intervals": q_scd2_intervals,
     "cdc_apply": q_cdc_apply,
+    "bloom_pruned_join": q_bloom_pruned_join,
 }
 
 
@@ -1544,6 +1586,14 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "bloom_pruned_join": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
     """,
     "scd2_intervals": f"""
         WITH c AS (
