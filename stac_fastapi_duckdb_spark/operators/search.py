@@ -133,16 +133,19 @@ def execute_search(
     limit: int = 10,
     token: str | None = None,
     count_mode: str = "exact",
-    fields: list[str] | None = None,
+    fields: list[str] | dict | None = None,
 ) -> tuple[list[dict], int | None, str | None]:
     """→ (item rows as dicts, numMatched, next_token).
 
     ``count_mode``: "exact" (reference parity — database_logic.py:957-958)
     or "none" (skip the count scan; numMatched=None).
 
-    ``fields``: Fields-extension include list pushed into the PLAN as a
-    projection (the reference trims JSON after fetching every column —
-    SURVEY P1; here unselected columns never leave the parquet reader).
+    ``fields``: Fields-extension projection pushed into the PLAN (the
+    reference trims JSON after fetching every column — SURVEY P1; here
+    unselected columns never leave the parquet reader). Either an
+    include list, or the extension's full ``{"include": [...],
+    "exclude": [...]}`` form: include-only keeps those columns,
+    exclude-only keeps everything else, both → include minus exclude.
     Columns required for sorting/serialization (id, collection,
     geometry) are always retained.
     """
@@ -175,9 +178,18 @@ def execute_search(
     offset, keyset = pg.parse_token(token)
     page_df = filtered
     if fields is not None:
-        keep = {"id", "collection", "geometry"}
-        keep.update(f for f, _ in sort_specs)
-        keep.update(f for f in fields if f in columns)
+        if isinstance(fields, dict):
+            include = fields.get("include")
+            exclude = set(fields.get("exclude") or ())
+        else:
+            include, exclude = fields, set()
+        protected = {"id", "collection", "geometry"} | {f for f, _ in sort_specs}
+        keep = set(protected)
+        if include is not None:
+            keep.update(f for f in include if f in columns)
+        else:  # exclude-only form: start from the full column set
+            keep.update(columns)
+        keep -= exclude - protected
         page_df = page_df.select(*[safe_col(c) for c in columns if c in keep])
     if keyset is not None and sort_specs:
         page_df = page_df.filter(_keyset_predicate(sort_specs, keyset))

@@ -198,6 +198,32 @@ def test_fields_projection_pushdown(catalog):
         assert "eo:cloud_cover" not in it  # unselected column never fetched
 
 
+def test_fields_exclude_list(catalog):
+    # exclude-only form: everything except the excluded column
+    items, _, _ = execute_search(
+        catalog,
+        collection_ids=["col-a"],
+        limit=3,
+        fields={"exclude": ["cloud_cover"]},
+    )
+    for it in items:
+        assert "platform" in it and "id" in it
+        assert "cloud_cover" not in it
+
+
+def test_fields_include_minus_exclude_protects_required(catalog):
+    items, _, _ = execute_search(
+        catalog,
+        collection_ids=["col-a"],
+        limit=3,
+        fields={"include": ["platform", "cloud_cover"], "exclude": ["platform", "id"]},
+    )
+    for it in items:
+        assert "cloud_cover" in it
+        assert "platform" not in it  # include minus exclude
+        assert "id" in it and "geometry" in it  # serialization columns kept
+
+
 def test_fields_projection_prunes_scan(catalog):
     from stac_fastapi_duckdb_spark.operators.search import SearchBuilder
     from stac_fastapi_duckdb_spark.operators.sort import populate_sort
