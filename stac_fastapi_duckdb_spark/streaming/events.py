@@ -140,6 +140,36 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def run_to_parquet(
+    df: DataFrame,
+    spark: SparkSession,
+    out_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a streaming plan (Trigger.AvailableNow) into a durable
+    parquet sink with a checkpoint, then return the sink as a batch
+    DataFrame.
+
+    The checkpoint directory carries the source offsets (which input
+    files were consumed) and sink commit log across restarts: a later
+    invocation with the SAME checkpoint processes only files that
+    arrived since the last run and never re-emits committed batches —
+    the exactly-once resume contract a 100 TB continuous ingest relies
+    on (crash/redeploy must not duplicate or drop events).
+    """
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
 _SINK_COUNTER = [0]
 
 

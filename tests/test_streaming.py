@@ -160,3 +160,53 @@ def test_stream_rollup_sf0001_matches_batch(spark):
         .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Resume from a checkpoint: a restarted query must process ONLY
+    newly-arrived files and never duplicate already-committed rows."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [_mk(i, eid=i) for i in range(10)]
+    _df = spark.createDataFrame(
+        batch1,
+        "event_id long, ts_utc timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", (F.unix_micros("ts_utc") * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    _df.coalesce(1).write.mode("overwrite").parquet(land)
+
+    run1 = SE.run_to_parquet(
+        SE.read_events_stream(spark, land), spark, out, ckpt
+    )
+    assert run1.count() == 10
+
+    # second file lands; SAME checkpoint → only the new file is read
+    batch2 = [_mk(100 + i, eid=100 + i) for i in range(7)]
+    _df2 = spark.createDataFrame(
+        batch2,
+        "event_id long, ts_utc timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", (F.unix_micros("ts_utc") * 1000).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    _df2.coalesce(1).write.mode("append").parquet(land)
+
+    run2 = SE.run_to_parquet(
+        SE.read_events_stream(spark, land), spark, out, ckpt
+    )
+    ids = [r.event_id for r in run2.select("event_id").collect()]
+    assert len(ids) == 17 and len(set(ids)) == 17  # no dupes, none lost
+    assert set(ids) == set(range(10)) | set(range(100, 107))
+
+
+def test_checkpoint_restart_is_noop_without_new_files(spark, tmp_path):
+    land = _write_events(spark, tmp_path, [_mk(i, eid=i) for i in range(5)])
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    first = SE.run_to_parquet(SE.read_events_stream(spark, land), spark, out, ckpt)
+    n1 = first.count()
+    again = SE.run_to_parquet(SE.read_events_stream(spark, land), spark, out, ckpt)
+    assert n1 == again.count() == 5  # replay commits nothing new
