@@ -144,6 +144,116 @@ def media_metadata(
     )
 
 
+def audio_frame_plan(
+    df: DataFrame,
+    frame_length: int = 1024,
+    hop_length: int = 512,
+    id_col: str = "media_id",
+    sample_rate_col: str = "sample_rate",
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Audio analysis-frame windowing PLAN: (audio, n_samples) → one row
+    per overlapping frame (librosa-style ``frame_length``/``hop_length``
+    semantics: frames fully inside the signal only). JVM-side
+    sequence+explode — the row expansion that dominates cost at scale is
+    pure Catalyst; the per-frame DSP lands on ``audio_frame_features``.
+
+    Emits (id, frame_idx, start_sample, end_sample, start_ms)."""
+    n_frames = F.expr(
+        f"CASE WHEN `{n_samples_col}` >= {frame_length}"
+        f" THEN (`{n_samples_col}` - {frame_length}) DIV {hop_length} + 1"
+        f" ELSE 0 END"
+    )
+    out = df.withColumn("_n_frames", n_frames).filter(F.col("_n_frames") > 0)
+    start = F.col("frame_idx") * hop_length
+    return (
+        out.select(
+            F.col(id_col),
+            F.col(sample_rate_col),
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_n_frames") - 1).cast("int"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            id_col,
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            start.cast("long").alias("start_sample"),
+            (start + frame_length).cast("long").alias("end_sample"),
+            F.round(
+                start.cast("double") * 1000.0 / F.col(sample_rate_col), 6
+            ).alias("start_ms"),
+        )
+    )
+
+
+_AUDIO_FRAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("rms", FloatType(), True),
+        StructField("zero_crossings", LongType(), True),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_length: int = 1024,
+    hop_length: int = 512,
+    codec: str = "real",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame audio features (RMS energy, zero-crossing count) via
+    mapInPandas: each media row decodes ONCE, then windows into frames
+    inside the same Arrow batch (no per-frame shuffle; the wide
+    payload never leaves the task that decoded it). Real decoding is
+    stubbed (build brief): codec='fake' derives a deterministic
+    waveform from the payload hash so batch shape and windowing math
+    are fully testable."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rms, zc = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if codec == "fake":
+                    # hash-seeded waveform, length tied to payload size
+                    n = max(frame_length, min(len(raw) * 16, 1 << 15))
+                    seed = int.from_bytes(
+                        hashlib.sha256(raw).digest()[:8], "big"
+                    ) % (2**32)
+                    wave = (
+                        np.random.RandomState(seed).rand(n).astype(np.float32)
+                        * 2.0
+                        - 1.0
+                    )
+                else:
+                    raise NotImplementedError(
+                        "Audio decoding requires soundfile/ffmpeg — use "
+                        "codec='fake' for plumbing tests."
+                    )
+                n_frames = (len(wave) - frame_length) // hop_length + 1
+                for i in range(n_frames):
+                    fr = wave[i * hop_length : i * hop_length + frame_length]
+                    ids.append(mid)
+                    idxs.append(i)
+                    rms.append(float(np.sqrt(np.mean(fr * fr))))
+                    zc.append(int(np.sum(np.signbit(fr[:-1]) != np.signbit(fr[1:]))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float32"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=_AUDIO_FRAME_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int = 30,

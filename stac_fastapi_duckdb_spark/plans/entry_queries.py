@@ -577,6 +577,39 @@ def q_frame_sample(spark, sf):
     return P_mm.frame_sample_plan(vids, every_n=30)
 
 
+def _audio(spark, sf):
+    """Synthetic audio metadata derived from documents (deterministic
+    integer math, mirrored exactly in the oracle SQL)."""
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8000) * (F.lit(1) + F.col("doc_id") % 2)).alias("sample_rate"),
+        ((F.col("n_chars") * 37) % 20000).alias("n_samples"),
+    )
+
+
+def q_audio_frames(spark, sf):
+    """Audio analysis-frame windowing plan (pipeline/multimodal.py):
+    overlapping frame rows expanded JVM-side via sequence+explode."""
+    return P_mm.audio_frame_plan(
+        _audio(spark, sf), frame_length=1024, hop_length=512
+    )
+
+
+def q_audio_frame_features(spark, sf):
+    """Per-frame RMS/zero-crossing features over fake-decoded waveforms
+    (mapInPandas; decode-once-window-locally). No SQL oracle: the
+    hash-seeded waveform isn't SQL-expressible — rows-only check."""
+    return P_mm.audio_frame_features(
+        # deterministic subsample (limit() without order is not)
+        _media(spark, sf).filter(
+            (F.col("kind") == "audio") & (F.col("media_id") % 5 == 1)
+        ),
+        frame_length=1024,
+        hop_length=512,
+        codec="fake",
+    )
+
+
 def q_daily_from_hourly(spark, sf):
     """Hierarchical rollup reuse (the hypertable/continuous-aggregate
     pattern): the daily aggregate is computed FROM the hourly aggregate,
@@ -1077,6 +1110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_intervals": q_scd2_intervals,
     "cdc_apply": q_cdc_apply,
     "bloom_pruned_join": q_bloom_pruned_join,
+    "audio_frames": q_audio_frames,
+    "audio_frame_features": q_audio_frame_features,
 }
 
 
@@ -1586,6 +1621,27 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "audio_frames": """
+        WITH a AS (
+            SELECT doc_id AS media_id,
+                   8000 * (1 + doc_id % 2) AS sample_rate,
+                   (n_chars * 37) % 20000 AS n_samples
+            FROM documents
+        ), f AS (
+            SELECT media_id, sample_rate,
+                   CASE WHEN n_samples >= 1024
+                        THEN (n_samples - 1024) // 512 + 1
+                        ELSE 0 END AS n_frames
+            FROM a
+        )
+        SELECT media_id,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+               unnest(generate_series(0, n_frames - 1)) * 512 AS start_sample,
+               unnest(generate_series(0, n_frames - 1)) * 512 + 1024 AS end_sample,
+               ROUND(unnest(generate_series(0, n_frames - 1)) * 512 * 1000.0
+                     / sample_rate, 6) AS start_ms
+        FROM f WHERE n_frames > 0
     """,
     "bloom_pruned_join": """
         SELECT o_orderpriority, COUNT(*) AS n,

@@ -63,3 +63,39 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     assert by_id[1] == [0, 30, 60, 90]
     assert by_id[2] == [0]
+
+
+def test_audio_frame_plan_window_math(spark):
+    # 3000 samples, frame 1024, hop 512 → frames at 0/512/1024/1536 (1536+1024=2560 ≤ 3000; 2048+1024=3072 > 3000)
+    audio = spark.createDataFrame(
+        [(1, 1000, 3000), (2, 1000, 1024), (3, 1000, 1023)],
+        "media_id long, sample_rate long, n_samples long",
+    )
+    rows = M.audio_frame_plan(audio, frame_length=1024, hop_length=512).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert [r.start_sample for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [
+        0, 512, 1024, 1536,
+    ]
+    assert by_id[1][0].end_sample == 1024
+    assert len(by_id[2]) == 1  # exactly one full frame
+    assert 3 not in by_id  # too short for any frame
+    assert sorted(by_id[1], key=lambda r: r.frame_idx)[1].start_ms == 512.0  # 512/1000Hz*1000
+
+
+def test_audio_frame_features_fake(media):
+    out = M.audio_frame_features(
+        media.filter(F.col("media_id") == 3), codec="fake"
+    ).collect()
+    assert len(out) > 1  # 600-byte payload → multi-frame waveform
+    for r in out:
+        assert 0.0 < r.rms < 1.0  # RMS of [-1,1) uniform noise
+        assert 0 < r.zero_crossings < 1024
+    # deterministic across runs
+    again = M.audio_frame_features(
+        media.filter(F.col("media_id") == 3), codec="fake"
+    ).collect()
+    assert [(r.frame_idx, r.rms) for r in out] == [
+        (r.frame_idx, r.rms) for r in again
+    ]
