@@ -1031,6 +1031,81 @@ def q_cdc_apply(spark, sf):
     )
 
 
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS ((flag),(status)) — two independent
+    aggregation keyings in one Expand pass (DataFrame.groupingSets,
+    Spark 4.0+)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupingSets(
+        [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_percentile_agg(spark, sf):
+    """Exact interpolated percentiles per group (SortAggregate path —
+    unlike approx_percentile there's no sketch error to reconcile with
+    the oracle; both engines interpolate linearly)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("p75_price"),
+    )
+
+
+def q_rolling_window(spark, sf):
+    """Per-user rolling 2-hour sum (RANGE frame over event-time
+    seconds): the frame is time-based, so ties and gaps are handled
+    identically in both engines; one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+    )
+
+
+def q_first_last_window(spark, sf):
+    """first_value/last_value over an unbounded ordered frame with an
+    event_id tiebreak (deterministic under timestamp ties), collapsed
+    to one row per user."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
 def q_distinct_count(spark, sf):
     """Exact COUNT(DISTINCT) per group — Spark plans a two-stage expand
     + partial aggregate, no driver-side collection."""
@@ -1112,6 +1187,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "audio_frames": q_audio_frames,
     "audio_frame_features": q_audio_frame_features,
+    "grouping_sets": q_grouping_sets,
+    "percentile_agg": q_percentile_agg,
+    "rolling_window": q_rolling_window,
+    "first_last_window": q_first_last_window,
 }
 
 
@@ -1621,6 +1700,41 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "percentile_agg": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "rolling_window": f"""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(ts) AS BIGINT)
+                   RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS roll_sum
+        FROM {_EVENTS_SQL}
+    """,
+    "first_last_window": f"""
+        SELECT DISTINCT user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER w AS last_type
+        FROM {_EVENTS_SQL}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
     """,
     "audio_frames": """
         WITH a AS (
