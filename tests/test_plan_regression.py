@@ -1,0 +1,114 @@
+"""Golden plan-shape regression over the whole driver contract.
+
+Every `queries()` entry gets a physical-plan SIGNATURE — counts of the
+scale-relevant operator kinds (scans, shuffle/broadcast exchanges, join
+strategies, Python eval nodes, ...). The signatures are pinned in
+``golden_plans.json``: a code change that silently turns a broadcast
+join into a sort-merge join, adds a shuffle, or drops work into Python
+fails THIS test even while results stay correct — plan shape IS the
+100 TB contract.
+
+Regenerate intentionally with:
+    SPARK_GRAFT_REGEN_GOLDEN=1 python -m pytest tests/test_plan_regression.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+import pytest
+
+from stac_fastapi_duckdb_spark.plans.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+GOLDEN = Path(__file__).parent / "golden_plans.json"
+
+# executing these runs a full streaming query / mutates session state in
+# ways that make the captured plan a LocalTableScan — not plan-checkable
+SKIP = {"streaming_hourly_rollup", "stateful_sessions"}
+
+_MARKERS = {
+    "scans": r"FileScan parquet",
+    "shuffles": r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+    "broadcasts": r"BroadcastExchange",
+    "bhj": r"BroadcastHashJoin",
+    "smj": r"SortMergeJoin",
+    "shj": r"ShuffledHashJoin",
+    "nlj": r"BroadcastNestedLoopJoin|CartesianProduct",
+    "python": r"BatchEvalPython|ArrowEvalPython",
+    "pandas_map": r"MapInPandas|FlatMapGroupsInPandas|FlatMapGroupsWithStateInPandas",
+    "expand": r"\bExpand\b",
+    "window": r"\bWindow\b|WindowGroupLimit",
+    "topk": r"TakeOrderedAndProject",
+    "generate": r"\bGenerate\b",
+}
+
+
+def _signature(plan: str) -> dict[str, int]:
+    sig = {}
+    for name, pat in _MARKERS.items():
+        n = len(re.findall(pat, plan))
+        if n:
+            sig[name] = n
+    return sig
+
+
+def _capture(spark) -> dict[str, dict[str, int]]:
+    out = {}
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = _signature(plan)
+    return out
+
+
+def test_plan_signatures_match_golden(spark):
+    got = _capture(spark)
+    if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1" or not GOLDEN.exists():
+        GOLDEN.write_text(json.dumps(got, indent=1, sort_keys=True) + "\n")
+        pytest.skip("golden plan signatures (re)generated")
+    want = json.loads(GOLDEN.read_text())
+    assert set(got) == set(want), (
+        f"query set drifted: +{set(got) - set(want)} -{set(want) - set(got)}"
+        " — regenerate goldens after adding/removing queries"
+    )
+    diffs = {
+        name: (want[name], got[name])
+        for name in want
+        if want[name] != got[name]
+    }
+    assert not diffs, f"plan shape changed for: {json.dumps(diffs, indent=1)}"
+
+
+def test_no_accidental_python_or_nested_loops(spark):
+    # global invariants, independent of goldens: Python eval nodes and
+    # nested-loop joins only where the operator is declared Python/
+    # pairwise by design
+    python_ok = {
+        "multimodal_features",
+        "audio_frame_features",
+        "spatial_envelope",  # exact shapely refine after envelope prefilter
+        # vector math / sketch bit-votes via Arrow-batched pandas UDFs
+        # (declared Python per design; still no row-at-a-time UDFs)
+        "ann_srp_topk",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "simhash_pairs",
+    }
+    # single-row broadcast side crossed against every embedding (brute
+    # force ANN baseline) / doc_id < doc_id inequality self-join (exact
+    # all-pairs verification oracle)
+    nlj_ok = {"embedding_topk", "ngram_jaccard"}
+    got = _capture(spark)
+    for name, sig in got.items():
+        if name not in python_ok:
+            assert "python" not in sig and "pandas_map" not in sig, (
+                f"{name} dropped into Python: {sig}"
+            )
+        if name not in nlj_ok:
+            assert "nlj" not in sig, f"{name} plans a nested-loop join: {sig}"
