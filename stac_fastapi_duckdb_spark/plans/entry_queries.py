@@ -1031,6 +1031,20 @@ def q_cdc_apply(spark, sf):
     )
 
 
+def q_json_extract(spark, sf):
+    """Schema-on-read JSON extraction (get_json_object, JVM-side) over
+    the events.props payload column, aggregated per type — the
+    semi-structured-ingest operator class (Kafka payloads, logs)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def q_grouping_sets(spark, sf):
     """Explicit GROUPING SETS ((flag),(status)) — two independent
     aggregation keyings in one Expand pass (DataFrame.groupingSets,
@@ -1191,6 +1205,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_agg": q_percentile_agg,
     "rolling_window": q_rolling_window,
     "first_last_window": q_first_last_window,
+    "json_extract": q_json_extract,
 }
 
 
@@ -1700,6 +1715,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "json_extract": """
+        SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
+               COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
     """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus,

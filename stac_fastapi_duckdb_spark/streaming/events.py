@@ -74,6 +74,49 @@ def read_events_stream(
     )
 
 
+# the Kafka connector's wire schema (key/value opaque bytes + broker
+# metadata) — any queue-shaped source can be adapted to this envelope
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("value", StringType(), False),  # JSON event payload
+        StructField("topic", StringType(), True),
+        StructField("partition", LongType(), True),
+        StructField("offset", LongType(), True),
+    ]
+)
+
+_EVENT_JSON_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # ns since epoch
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def parse_event_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-shaped ingestion: parse a queue envelope's JSON ``value``
+    payload into the typed events schema (batch OR streaming — same
+    plan). ``from_json`` is JVM-side and null-safe: malformed payloads
+    become all-NULL rows, filtered here rather than killing the stream
+    (poison-pill tolerance — at 100 TB/day a single bad producer must
+    not stall ingest). Swap the file-staged envelope for the real
+    ``spark.readStream.format("kafka")`` source on a cluster — the
+    downstream plan is identical."""
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), _EVENT_JSON_SCHEMA).alias("e")
+    )
+    return (
+        parsed.select("e.*")
+        .filter(F.col("event_id").isNotNull())
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    )
+
+
 def hourly_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour rollup per event_type; identical semantics to the
     batch ``events_hourly_rollup`` query, so the batch SQL is its oracle.
