@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "streaming_hourly_rollup",
     "embedding_near_dup",
     "multimodal_features",
+    # relational breadth: join strategies, grouping-set expand, windows
+    "semi_join",
+    "bloom_pruned_join",
+    "rollup_agg",
+    "rolling_window",
+    "scd2_intervals",
+    "json_extract",
+    "audio_frames",
 ]
 
 
