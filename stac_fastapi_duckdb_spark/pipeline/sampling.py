@@ -1,0 +1,137 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+Random sampling (``df.sample``, ``sampleBy``) is seed-dependent AND
+partitioning-dependent — rerun the job with different file splits and
+you get a different corpus. At 100 TB the reproducibility contract is
+content-hash based: a row's membership in a sample/split is a pure
+function of its key, so any engine, any partitioning, any rerun —and
+the DuckDB oracle— agree row-for-row. (The same trick the reference
+uses nowhere; standard practice in large-corpus curation.)
+
+All operators are built-in Column algebra (md5 → hex slice → int), no
+Python, no shuffle except where the semantics require one:
+
+- ``hash_bucket`` / ``hash_sample``: md5(salt+key) → bucket in
+  [0, buckets); sampling keeps bucket < fraction*buckets. Zero shuffle:
+  a pure per-row filter that pushes into the scan's residual.
+- ``dataset_split``: the same bucket → train/val/test label by
+  cumulative weight boundaries. Disjoint and exhaustive by
+  construction; stable under corpus growth (a doc never changes split
+  when other docs arrive — the property random splits lack).
+- ``pack_sequences``: greedy contiguous sequence packing — per
+  partition key, running token total DIV budget = pack id. One window
+  shuffle on the partition key; deterministic given the order column.
+- ``label_balance``: per-label counts + corpus fraction (windowed
+  total) — the class-balance report that gates mixture reweighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket(
+    key: Column, salt: str = "", buckets: int = HASH_BUCKETS
+) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of
+    salt+key as an integer, mod buckets. Engine-portable (md5 and
+    base-16 conversion are bit-identical everywhere)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the
+    key (reproducible across reruns/partitionings/engines)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), salt, buckets) < int(fraction * buckets)
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    buckets: int = HASH_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label with probability ∝ weights —
+    deterministically, from the key hash. Weights need not sum to 1;
+    they are normalized. Labels are assigned in dict order."""
+    total = sum(weights.values())
+    bucket = hash_bucket(F.col(key_col), salt, buckets)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * buckets)
+        cond = bucket < bound
+        expr = (
+            F.when(cond, name)
+            if expr is None
+            else expr.when(cond, name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy contiguous packing: within each partition key (e.g.
+    language/source), documents in ``order_col`` order fill packs of
+    ~``budget`` tokens; pack id = exclusive running token total DIV
+    budget. A document longer than the budget gets its own pack(s)
+    (training-side truncation handles the tail). One Window shuffle."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    # floor division on integers (a double-division + cast would differ
+    # between engines on .5 boundaries: truncate vs round)
+    return df.withColumn(pack_col, F.floor(cum_excl / budget).cast("bigint"))
+
+
+def label_balance(
+    df: DataFrame, label_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Per-label count (or weight sum) and corpus fraction — one
+    aggregation plus a scalar window over its (tiny) result."""
+    measure = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    )
+    agg = df.groupBy(label_col).agg(measure.cast("bigint").alias("n"))
+    return agg.select(
+        label_col,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6).alias(
+            "fraction"
+        ),
+    )

@@ -1031,6 +1031,59 @@ def q_cdc_apply(spark, sf):
     )
 
 
+def q_hash_sample(spark, sf):
+    """Deterministic ~10% corpus sample: membership is a pure function
+    of md5(doc_id) — reproducible across reruns, partitionings, and
+    engines (pipeline/sampling.py; df.sample would be seed- and
+    split-dependent)."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf, "documents"), "doc_id", 0.1, salt="corpus-v1"
+    ).select("doc_id", "lang")
+
+
+def q_dataset_split(spark, sf):
+    """Hash-stable train/val/test split (80/10/10) + per-split stats —
+    a doc never changes split when the corpus grows."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import dataset_split
+
+    d = dataset_split(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="corpus-v1",
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def q_sequence_packing(spark, sf):
+    """Greedy contiguous sequence packing per language (~2048-token
+    packs; token estimate n_chars/4): running-total DIV budget, then
+    per-pack stats (pipeline/sampling.py)."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import pack_sequences
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.expr("n_chars DIV 4 + 1").cast("bigint")
+    )
+    packed = pack_sequences(docs, "lang", "doc_id", "n_tokens", budget=2048)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+def q_label_balance(spark, sf):
+    """Class-balance report: per-language doc counts and corpus
+    fraction (windowed total over the tiny aggregate)."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import label_balance
+
+    return label_balance(_t(spark, sf, "documents"), "lang")
+
+
 def q_json_extract(spark, sf):
     """Schema-on-read JSON extraction (get_json_object, JVM-side) over
     the events.props payload column, aggregated per type — the
@@ -1206,6 +1259,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_window": q_rolling_window,
     "first_last_window": q_first_last_window,
     "json_extract": q_json_extract,
+    "hash_sample": q_hash_sample,
+    "dataset_split": q_dataset_split,
+    "sequence_packing": q_sequence_packing,
+    "label_balance": q_label_balance,
 }
 
 
@@ -1715,6 +1772,49 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 < 1000
+    """,
+    "dataset_split": """
+        WITH b AS (
+            SELECT n_chars,
+                   CAST(('0x' || substring(
+                       md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10000 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM b GROUP BY 1
+    """,
+    "sequence_packing": """
+        WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(n_chars // 4 + 1 AS BIGINT) AS n_tokens
+            FROM documents
+        ), p AS (
+            SELECT lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048 AS BIGINT) AS pack_id
+            FROM t
+        )
+        SELECT lang, pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM p GROUP BY lang, pack_id
+    """,
+    "label_balance": """
+        SELECT lang, n, ROUND(n / SUM(n) OVER (), 6) AS fraction
+        FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang)
     """,
     "json_extract": """
         SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k,
