@@ -1031,6 +1031,31 @@ def q_cdc_apply(spark, sf):
     )
 
 
+def q_stats_agg(spark, sf):
+    """Statistical moments per group: sample stddev/variance, Pearson
+    correlation and covariance — single-pass merge-formula aggregates
+    (no two-scan mean-then-moments plan)."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+    )
+
+
+def q_histogram(spark, sf):
+    """Fixed-width histogram binning (floor division on the measure) —
+    the scan-side profile op behind data-quality dashboards."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_hash_sample(spark, sf):
     """Deterministic ~10% corpus sample: membership is a pure function
     of md5(doc_id) — reproducible across reruns, partitionings, and
@@ -1263,6 +1288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
+    "stats_agg": q_stats_agg,
+    "histogram": q_histogram,
 }
 
 
@@ -1772,6 +1799,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+               ROUND(var_samp(l_quantity), 6) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "histogram": """
+        SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1
     """,
     "hash_sample": """
         SELECT doc_id, lang FROM documents
