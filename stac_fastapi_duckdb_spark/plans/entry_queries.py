@@ -1031,6 +1031,27 @@ def q_cdc_apply(spark, sf):
     )
 
 
+def q_set_intersect(spark, sf):
+    """INTERSECT (distinct semantics): users who both clicked and
+    purchased — Spark plans a LeftSemi over pre-aggregated distincts."""
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def q_set_except(spark, sf):
+    """EXCEPT (distinct semantics): users with views but no high-value
+    errors — LeftAnti over distincts. (The error side is value-filtered
+    because the synthetic data gives every user every event type.)"""
+    ev = _t(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    errors = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 95)
+    ).select("user_id")
+    return views.subtract(errors)
+
+
 def q_stats_agg(spark, sf):
     """Statistical moments per group: sample stddev/variance, Pearson
     correlation and covariance — single-pass merge-formula aggregates
@@ -1290,6 +1311,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_balance": q_label_balance,
     "stats_agg": q_stats_agg,
     "histogram": q_histogram,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
 }
 
 
@@ -1799,6 +1822,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "set_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "set_except": """
+        SELECT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
     """,
     "stats_agg": """
         SELECT l_returnflag,
