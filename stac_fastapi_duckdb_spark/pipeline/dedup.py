@@ -370,22 +370,33 @@ def with_simhash(
     @F.pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            # stable 64-bit hash per token (FNV-1a, vectorized over chars
-            # would be overkill; loop is per-token, batch is per-doc)
-            hs = np.fromiter(
-                (_fnv1a64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
-            )
-            v = np.where(bits.sum(axis=0) * 2 >= len(toks), 1, 0).astype(np.uint64)
-            out[i] = (v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+        tok_lists = [t.lower().split() if t else [] for t in texts]
+        lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        # hash each DISTINCT token once per batch (natural text is
+        # Zipfian — this cuts the only remaining Python loop by ~10x),
+        # then fan back out and segment-sum the bit matrix per doc
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for ts in tok_lists:
+            flat[pos : pos + len(ts)] = ts
+            pos += len(ts)
+        codes, uniques = pd.factorize(flat)
+        uh = np.fromiter(
+            (_fnv1a64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        bits = ((uh[codes][:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int32
+        )
+        nonempty = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+        sums = np.add.reduceat(bits, starts, axis=0)  # docs × 64
+        v = (sums * 2 >= lens[nonempty, None]).astype(np.uint64)
+        out[nonempty] = (
+            (v << np.arange(64, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        )
         return pd.Series(out)
 
     return df.withColumn(out_col, _simhash(F.col(text_col)))
