@@ -1,0 +1,90 @@
+"""sources/index.py: manifest-level file skipping over a key-sorted
+layout must prune to a tiny file subset and never change results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.sources.index import (
+    build_file_index,
+    indexed_read,
+    load_index,
+    prune_files,
+    save_index,
+)
+
+SF = "/root/testdata/sf0.001"
+N_FILES = 8
+
+
+@pytest.fixture(scope="module")
+def sorted_layout(spark, tmp_path_factory):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = str(tmp_path_factory.mktemp("idx") / "orders_by_key")
+    # key-sorted files: repartitionByRange gives disjoint key ranges
+    orders.repartitionByRange(N_FILES, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(out)
+    return out
+
+
+def test_point_lookup_prunes_to_one_file(spark, sorted_layout):
+    idx = build_file_index(sorted_layout, ["o_orderkey"])
+    assert len(idx) == N_FILES
+    files = prune_files(idx, "o_orderkey", 100)
+    assert len(files) == 1  # disjoint ranges → exactly one candidate
+    row = (
+        indexed_read(spark, idx, "o_orderkey", 100)
+        .filter(F.col("o_orderkey") == 100)
+        .collect()
+    )
+    full = (
+        spark.read.parquet(sorted_layout)
+        .filter(F.col("o_orderkey") == 100)
+        .collect()
+    )
+    assert row == full and len(row) == 1
+
+
+def test_range_read_matches_full_scan(spark, sorted_layout):
+    idx = build_file_index(sorted_layout, ["o_orderkey"])
+    lo, hi = 500, 1500
+    files = prune_files(idx, "o_orderkey", lo, hi)
+    assert 0 < len(files) < N_FILES
+    got = (
+        indexed_read(spark, idx, "o_orderkey", lo, hi)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    want = (
+        spark.read.parquet(sorted_layout)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_out_of_range_lookup_returns_empty_with_schema(spark, sorted_layout):
+    idx = build_file_index(sorted_layout, ["o_orderkey"])
+    assert prune_files(idx, "o_orderkey", -5) == []
+    df = indexed_read(spark, idx, "o_orderkey", -5)
+    assert df.count() == 0
+    assert "o_orderkey" in df.columns
+
+
+def test_missing_stats_column_keeps_all_files(sorted_layout):
+    idx = build_file_index(sorted_layout, ["o_orderkey"])
+    # a column absent from the index must never prune (fail-safe)
+    assert len(prune_files(idx, "no_such_col", 1)) == N_FILES
+
+
+def test_index_roundtrip_json(tmp_path, sorted_layout):
+    idx = build_file_index(sorted_layout, ["o_orderkey"])
+    p = str(tmp_path / "index.json")
+    save_index(idx, p)
+    loaded = load_index(p)
+    assert set(loaded) == set(idx)
+    assert prune_files(loaded, "o_orderkey", 100) == prune_files(
+        idx, "o_orderkey", 100
+    )
