@@ -119,6 +119,28 @@ def pack_sequences(
     return df.withColumn(pack_col, F.floor(cum_excl / budget).cast("bigint"))
 
 
+def corpus_mixture(
+    sources: list[tuple[str, DataFrame, float]],
+    key_col: str,
+    salt: str = "",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Weighted corpus mixing: each (name, df, rate) source contributes
+    its hash-sampled fraction ``rate``, tagged with ``source_col``, and
+    the results union by name. Deterministic end-to-end — the mixture a
+    training run reads is reproducible row-for-row. Rates > 1.0 are
+    clamped (upsampling-by-repeat is a separate, order-defining step).
+    Pure narrow ops: per-source filter + union, no shuffle."""
+    parts = []
+    for name, df, rate in sources:
+        part = hash_sample(df, key_col, min(rate, 1.0), salt=f"{salt}:{name}")
+        parts.append(part.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def label_balance(
     df: DataFrame, label_col: str, weight_col: str | None = None
 ) -> DataFrame:

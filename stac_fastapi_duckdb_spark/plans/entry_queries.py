@@ -1122,6 +1122,25 @@ def q_sequence_packing(spark, sf):
     )
 
 
+def q_corpus_mixture(spark, sf):
+    """Weighted deterministic corpus mixing: per-language sources
+    sampled at different rates, unioned with a source tag, counted
+    (pipeline/sampling.py corpus_mixture)."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import corpus_mixture
+
+    docs = _t(spark, sf, "documents")
+    sources = [
+        ("en-full", docs.filter(F.col("lang") == "en"), 1.0),
+        ("de-half", docs.filter(F.col("lang") == "de"), 0.5),
+        ("fr-tenth", docs.filter(F.col("lang") == "fr"), 0.1),
+    ]
+    mix = corpus_mixture(sources, "doc_id", salt="mix-v1")
+    return mix.groupBy("source_name").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
 def q_label_balance(spark, sf):
     """Class-balance report: per-language doc counts and corpus
     fraction (windowed total over the tiny aggregate)."""
@@ -1313,6 +1332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram": q_histogram,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "corpus_mixture": q_corpus_mixture,
 }
 
 
@@ -1822,6 +1842,30 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "corpus_mixture": """
+        WITH mix AS (
+            SELECT 'en-full' AS source_name, n_chars FROM documents
+            WHERE lang = 'en'
+              AND CAST(('0x' || substring(
+                    md5('mix-v1:en-full' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 10000
+            UNION ALL
+            SELECT 'de-half', n_chars FROM documents
+            WHERE lang = 'de'
+              AND CAST(('0x' || substring(
+                    md5('mix-v1:de-half' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 5000
+            UNION ALL
+            SELECT 'fr-tenth', n_chars FROM documents
+            WHERE lang = 'fr'
+              AND CAST(('0x' || substring(
+                    md5('mix-v1:fr-tenth' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 1000
+        )
+        SELECT source_name, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM mix GROUP BY source_name
     """,
     "set_intersect": """
         SELECT user_id FROM events WHERE event_type = 'click'

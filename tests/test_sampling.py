@@ -70,3 +70,20 @@ def test_label_balance_fractions_sum_to_one(spark):
     rows = label_balance(docs, "lang").collect()
     assert abs(sum(r.fraction for r in rows) - 1.0) < 1e-4
     assert sum(r.n for r in rows) == docs.count()
+
+
+def test_corpus_mixture_rates_and_determinism(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import corpus_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sources = [
+        ("full", docs, 1.0),
+        ("half", docs, 0.5),
+    ]
+    mix = corpus_mixture(sources, "doc_id", salt="m1")
+    counts = {r.source_name: r.cnt for r in mix.groupBy("source_name").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = docs.count()
+    assert counts["full"] == n  # rate 1.0 keeps everything
+    assert 0.3 * n < counts["half"] < 0.7 * n  # ~half, hash-determined
+    again = corpus_mixture(sources, "doc_id", salt="m1")
+    assert again.count() == mix.count()  # fully deterministic
