@@ -14,6 +14,7 @@ from stac_fastapi_duckdb_spark.operators.asof import asof_join
 from stac_fastapi_duckdb_spark.operators.cdc import (
     apply_cdc,
     latest_changes,
+    scd2_extend,
     scd2_from_changelog,
 )
 from stac_fastapi_duckdb_spark.operators.rangejoin import point_in_interval_join
@@ -35,5 +36,6 @@ __all__ = [
     "queryables",
     "apply_cdc",
     "latest_changes",
+    "scd2_extend",
     "scd2_from_changelog",
 ]

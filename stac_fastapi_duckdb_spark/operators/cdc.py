@@ -71,6 +71,56 @@ def scd2_from_changelog(
     )
 
 
+def scd2_extend(
+    dim: DataFrame,
+    new_changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally extend an SCD2 dimension with a new changelog
+    batch — the at-scale alternative to rebuilding from the full
+    history (a day's changes touch a tiny fraction of keys; the rest of
+    the dimension passes through untouched).
+
+    Mechanics: keys present in the batch are re-derived by replaying
+    (their current open row as a synthetic change) ⊎ (their new
+    changes) through ``scd2_from_changelog``; closed rows and untouched
+    keys pass through. Equivalent to a full rebuild whenever the batch
+    is strictly newer than each touched key's ``valid_from`` (enforced
+    by construction in an append-only ingest).
+
+    Plan shape: one semi/anti split of the dimension on the (small)
+    batch keyset — broadcastable — plus one window shuffle over ONLY
+    the touched keys' rows.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    batch_keys = new_changes.select(*key_cols).distinct()
+    cond = reduce(
+        lambda a, b: a & b, [dim[k] == batch_keys[k] for k in key_cols]
+    )
+    untouched = dim.join(F.broadcast(batch_keys), cond, "left_anti")
+    touched = dim.join(F.broadcast(batch_keys), cond, "left_semi")
+    # a touched key's still-closed history is final; only its open row
+    # participates in the replay (its valid_from is the state's ts)
+    closed = touched.filter(~F.col("is_current"))
+    open_rows = touched.filter(F.col("is_current")).select(
+        *key_cols,
+        F.col("valid_from").alias(ts_col),
+        *[F.lit(None).cast("long").alias(c) for c in tiebreak_cols],
+        *attr_cols,
+    )
+    replay = open_rows.unionByName(
+        new_changes.select(*key_cols, ts_col, *tiebreak_cols, *attr_cols),
+        allowMissingColumns=False,
+    )
+    rebuilt = scd2_from_changelog(
+        replay, key_cols, ts_col, attr_cols, tiebreak_cols
+    )
+    return untouched.unionByName(closed).unionByName(rebuilt)
+
+
 def latest_changes(
     changes: DataFrame,
     key_cols: list[str],

@@ -88,3 +88,36 @@ def test_scd2_single_window_shuffle(spark):
     # change-detection lag and interval lead share one partitioning:
     # exactly one Exchange despite two Window nodes
     assert plan.count("Exchange") == 1
+
+
+def test_scd2_extend_equals_full_rebuild(spark):
+    full_log = [
+        (1, _ts(1), 1, "bronze"),
+        (1, _ts(3), 2, "gold"),
+        (2, _ts(2), 3, "silver"),
+        (3, _ts(2), 4, "bronze"),
+        # ---- batch boundary ----
+        (1, _ts(5), 5, "bronze"),
+        (2, _ts(6), 6, "silver"),  # unchanged value → suppressed
+        (4, _ts(6), 7, "gold"),    # brand-new key
+    ]
+    schema = "key int, ts timestamp, seq int, tier string"
+    log1 = spark.createDataFrame(full_log[:4], schema)
+    log2 = spark.createDataFrame(full_log[4:], schema)
+    both = spark.createDataFrame(full_log, schema)
+
+    from stac_fastapi_duckdb_spark.operators.cdc import scd2_extend
+
+    dim1 = scd2_from_changelog(log1, ["key"], "ts", ["tier"], ["seq"])
+    extended = scd2_extend(dim1, log2, ["key"], "ts", ["tier"], ["seq"])
+    rebuilt = scd2_from_changelog(both, ["key"], "ts", ["tier"], ["seq"])
+
+    key = lambda r: (r.key, r.tier, r.valid_from, r.valid_to, r.is_current)
+    assert sorted(map(key, extended.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+    # untouched key 3 passed through; suppressed same-value change for
+    # key 2 left its interval open
+    rows = {(r.key, r.is_current): r for r in extended.collect()}
+    assert rows[(3, True)].tier == "bronze"
+    assert rows[(2, True)].valid_from == _ts(2)
