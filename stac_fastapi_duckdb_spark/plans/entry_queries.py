@@ -669,6 +669,21 @@ def q_pivot_events(spark, sf):
     )
 
 
+def q_pivot_dynamic(spark, sf):
+    """Dynamic pivot: Spark discovers the pivot values with an extra
+    distinct pass (fine for interactive use; the explicit-list variant
+    ``pivot_events`` is the at-scale path). Sums through DECIMAL so
+    pivot cells hash-match the conditional-aggregation oracle."""
+    return (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .pivot("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        )
+    )
+
+
 def q_range_join(spark, sf):
     """Point-in-interval range join via granule bucketing (one
     equi-shuffle instead of a nested-loop BETWEEN join): each click
@@ -1333,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "corpus_mixture": q_corpus_mixture,
+    "pivot_dynamic": q_pivot_dynamic,
 }
 
 
@@ -1842,6 +1858,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "pivot_dynamic": f"""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+        FROM {_EVENTS_SQL}
+        GROUP BY user_id
     """,
     "corpus_mixture": """
         WITH mix AS (
