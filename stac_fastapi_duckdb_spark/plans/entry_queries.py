@@ -669,6 +669,41 @@ def q_pivot_events(spark, sf):
     )
 
 
+def q_string_funcs(spark, sf):
+    """Scalar string-function surface (regexp extraction, edit
+    distance, padding, splitting, reversal) — all JVM built-ins inside
+    whole-stage codegen; deterministic doc subset."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.levenshtein("lang", "source").alias("lev"),
+        F.reverse("lang").alias("rev_lang"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("src_num"),
+        F.translate("lang", "en", "xy").alias("translated"),
+    )
+
+
+def q_datetime_funcs(spark, sf):
+    """Scalar date/time-function surface (dow/doy/week extraction,
+    quarter truncation, month-end, day arithmetic). DuckDB's dayofweek
+    is 0-based Sunday vs Spark's 1-based — normalized in the oracle."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("week"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3mo"),
+    )
+
+
 def q_pivot_dynamic(spark, sf):
     """Dynamic pivot: Spark discovers the pivot values with an extra
     distinct pass (fine for interactive use; the explicit-list variant
@@ -1349,6 +1384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_except": q_set_except,
     "corpus_mixture": q_corpus_mixture,
     "pivot_dynamic": q_pivot_dynamic,
+    "string_funcs": q_string_funcs,
+    "datetime_funcs": q_datetime_funcs,
 }
 
 
@@ -1858,6 +1895,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "string_funcs": """
+        SELECT doc_id,
+               regexp_extract(text, '([0-9]+)', 1) AS first_num,
+               levenshtein(lang, source) AS lev,
+               reverse(lang) AS rev_lang,
+               lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+               split_part(source, 'c', 2) AS src_num,
+               translate(lang, 'en', 'xy') AS translated
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    "datetime_funcs": """
+        SELECT o_orderkey,
+               dayofweek(o_orderdate) + 1 AS dow,
+               dayofyear(o_orderdate) AS doy,
+               weekofyear(o_orderdate) AS week,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP)
+                   AS quarter_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                   AS month_end,
+               datediff('day', DATE '1995-01-01',
+                        CAST(o_orderdate AS DATE)) AS days_since,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+                   AS plus_3mo
+        FROM orders WHERE o_orderkey % 100 = 0
     """,
     "pivot_dynamic": f"""
         SELECT user_id,
