@@ -669,6 +669,22 @@ def q_pivot_events(spark, sf):
     )
 
 
+def q_props_map_explode(spark, sf):
+    """Typed JSON → MapType → explode (one row per key/value) →
+    aggregate per key: the generic schema-on-read path for ragged
+    payloads where get_json_object's fixed paths don't fit."""
+    ev = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_type", F.explode(m).alias("key", "val"))
+        .groupBy("event_type", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+
+
 def q_string_funcs(spark, sf):
     """Scalar string-function surface (regexp extraction, edit
     distance, padding, splitting, reversal) — all JVM built-ins inside
@@ -1386,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_dynamic": q_pivot_dynamic,
     "string_funcs": q_string_funcs,
     "datetime_funcs": q_datetime_funcs,
+    "props_map_explode": q_props_map_explode,
 }
 
 
@@ -1895,6 +1912,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "props_map_explode": """
+        WITH kv AS (
+            SELECT event_type, props,
+                   unnest(json_keys(CAST(props AS JSON))) AS key
+            FROM events
+        )
+        SELECT event_type, key, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(CAST(props AS JSON),
+                                                 '$.' || key)
+                             AS BIGINT)) AS BIGINT) AS sum_val
+        FROM kv GROUP BY event_type, key
     """,
     "string_funcs": """
         SELECT doc_id,
