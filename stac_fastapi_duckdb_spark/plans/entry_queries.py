@@ -669,6 +669,32 @@ def q_pivot_events(spark, sf):
     )
 
 
+def q_window_analytics(spark, sf):
+    """Ranking-window surface: percent_rank / cume_dist / ntile /
+    lag-delta over one (partition, order) spec — one shuffle, one
+    Window node; output thinned afterwards (the window still sees full
+    partitions)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_prev"),
+        )
+        .filter(F.col("o_orderkey") % 20 == 0)
+    )
+
+
 def q_props_map_explode(spark, sf):
     """Typed JSON → MapType → explode (one row per key/value) →
     aggregate per key: the generic schema-on-read path for ragged
@@ -1403,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "datetime_funcs": q_datetime_funcs,
     "props_map_explode": q_props_map_explode,
+    "window_analytics": q_window_analytics,
 }
 
 
@@ -1912,6 +1939,20 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM {_EVENTS_SQL}
         GROUP BY CUBE (event_type, day)
+    """,
+    "window_analytics": """
+        SELECT o_orderkey, o_orderpriority, pr, cd, quartile, delta_prev
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(percent_rank() OVER w, 6) AS pr,
+                   ROUND(cume_dist() OVER w, 6) AS cd,
+                   ntile(4) OVER w AS quartile,
+                   ROUND(o_totalprice - lag(o_totalprice) OVER w, 2)
+                       AS delta_prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+        ) WHERE o_orderkey % 20 = 0
     """,
     "props_map_explode": """
         WITH kv AS (
