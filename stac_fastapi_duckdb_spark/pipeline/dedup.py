@@ -235,8 +235,16 @@ def ngram_jaccard_pairs(
     ``candidates``: (id_a, id_b) DataFrame; None → all pairs (brute
     force — only for small inputs/tests). → (id_a, id_b, jaccard).
     """
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), shingles_col(F.col(text_col), shingle_n).alias("_sh")
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        # both verify joins consume sh keyed on _id; one explicit
+        # repartition before aliasing makes the two join inputs one
+        # shared exchange (AQE reuse) so shingling runs once, not twice
+        .repartition("_id")
     )
     if candidates is None:
         a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
@@ -449,10 +457,17 @@ def simhash_near_dup_pairs(
     # beats in-array pair expansion (measured 5× at sf0.1; the sparse
     # minhash buckets take the _bucket_pairs route instead). Skew guard
     # caps degenerate chunks (e.g. an all-zero chunk from boilerplate).
-    sized = banded.withColumn(
-        "_bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("chunk", "ckey")),
-    ).filter(F.col("_bucket_n") <= max_bucket_size)
+    sized = (
+        banded.withColumn(
+            "_bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("chunk", "ckey")),
+        )
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        # one shuffle child shared by both self-join sides: AQE reuses
+        # the exchange instead of recomputing the signature UDF +
+        # window twice (same trick as embedding_near_dup_pairs)
+        .repartition("chunk", "ckey")
+    )
     a = sized.select(
         "chunk", "ckey", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")
     )
