@@ -68,10 +68,11 @@ def main() -> None:
     for name in BENCH_QUERIES:
         eq.QUERIES[name](spark, sf_dir).count()
 
-    # Two timed passes, min per query — the local[32] VM is jittery and
-    # min-of-N is the standard noise-robust point estimate.
+    # Three timed passes, min per query — the local[32] VM sees 1.5-3x
+    # load jitter between runs; min-of-N is the standard noise-robust
+    # point estimate.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             fn = eq.QUERIES[name]
             t0 = time.perf_counter()
