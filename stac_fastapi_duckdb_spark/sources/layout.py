@@ -35,7 +35,9 @@ DEFAULT_BITS = 12
 
 def _bucket_uniform(col: str, lo: float, hi: float, bits: int) -> Column:
     n = (1 << bits) - 2  # width_bucket returns 0..n+1; clamp into bits
-    if hi <= lo:
+    # lo/hi are None on empty input (min/max of zero rows); degenerate
+    # ranges rank constant-zero either way
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0).cast("long")
     return F.expr(
         f"width_bucket(cast(`{col}` as double), {lo!r}, {hi!r}, {n})"

@@ -1,0 +1,93 @@
+"""Empty-input robustness: every operator family must return an empty
+(or sensible) result on zero rows — not throw. At 100 TB a partition
+filter routinely produces empty inputs mid-pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").filter(F.lit(False))
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        .filter(F.lit(False))
+    )
+
+
+def test_dedup_ops_on_empty(empty_docs):
+    from stac_fastapi_duckdb_spark.pipeline import dedup as D
+
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_lsh_candidates(empty_docs).count() == 0
+    assert D.simhash_near_dup_pairs(empty_docs).count() == 0
+    assert D.ngram_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    from stac_fastapi_duckdb_spark.pipeline import similarity as S
+
+    empty_emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.lit(False))
+    assert S.embedding_near_dup_pairs(empty_emb).count() == 0
+
+
+def test_sampling_on_empty(empty_docs):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        dataset_split,
+        hash_sample,
+        label_balance,
+        pack_sequences,
+    )
+
+    assert hash_sample(empty_docs, "doc_id", 0.5).count() == 0
+    assert dataset_split(empty_docs, "doc_id", {"a": 1.0}).count() == 0
+    assert label_balance(empty_docs, "lang").count() == 0
+    assert (
+        pack_sequences(empty_docs, "lang", "doc_id", "n_chars", 100).count() == 0
+    )
+
+
+def test_cdc_on_empty(spark, empty_events):
+    from stac_fastapi_duckdb_spark.operators.cdc import (
+        apply_cdc,
+        scd2_from_changelog,
+    )
+
+    assert (
+        scd2_from_changelog(
+            empty_events, ["user_id"], "ts", ["event_type"], ["event_id"]
+        ).count()
+        == 0
+    )
+    snap = spark.createDataFrame([(1, 1.0)], "key int, bal double")
+    empty_ch = spark.createDataFrame(
+        [], "key int, op string, bal double, ts timestamp"
+    )
+    # empty change feed: snapshot passes through unchanged
+    out = apply_cdc(snap, empty_ch, ["key"], "op", "ts", ["bal"]).collect()
+    assert [(r.key, r.bal) for r in out] == [(1, 1.0)]
+
+
+def test_windows_and_sessions_on_empty(empty_events):
+    from stac_fastapi_duckdb_spark.streaming import events as SE
+
+    assert SE.session_windows(empty_events).count() == 0
+    assert SE.hourly_rollup(empty_events).count() == 0
+
+
+def test_zorder_on_empty(empty_events, tmp_path):
+    from stac_fastapi_duckdb_spark.sources.layout import with_zorder
+
+    z = with_zorder(
+        empty_events.select("event_id", "user_id", "value"), ["user_id", "value"]
+    )
+    assert z.count() == 0 and "__zvalue" in z.columns
