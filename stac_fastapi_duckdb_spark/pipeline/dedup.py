@@ -31,6 +31,8 @@ brief.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -368,10 +370,12 @@ def with_simhash(
 ) -> DataFrame:
     """64-bit SimHash per document via a vectorized pandas UDF.
 
-    Per Arrow batch: token-hash with a stable 64-bit FNV-ish mix in
-    numpy, accumulate signed bit counts, sign → bits. Python is
-    justified here: 64 per-bit accumulators are hostile to Column
-    algebra, and the UDF is O(tokens) vectorized per batch.
+    Per Arrow batch: token-hash with the low 64 bits of md5 (engine-
+    agnostic — the DuckDB oracle re-derives the identical signature
+    with ``md5(tok)`` hex arithmetic), accumulate signed bit counts,
+    majority vote → bits. Python is justified here: 64 per-bit
+    accumulators are hostile to Column algebra, and the UDF is
+    O(tokens) vectorized per batch.
     """
     from pyspark.sql.types import LongType
 
@@ -393,7 +397,7 @@ def with_simhash(
             pos += len(ts)
         codes, uniques = pd.factorize(flat)
         uh = np.fromiter(
-            (_fnv1a64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
+            (_md5_64(u) for u in uniques), dtype=np.uint64, count=len(uniques)
         )
         bits = ((uh[codes][:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int32
@@ -410,12 +414,10 @@ def with_simhash(
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 
 
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _md5_64(s: str) -> int:
+    """Low 64 bits of md5 — same value as SQL
+    ``CAST('0x' || substr(md5(tok), 17, 16) AS UBIGINT)``."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[16:], 16)
 
 
 def simhash_near_dup_pairs(

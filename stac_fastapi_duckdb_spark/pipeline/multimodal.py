@@ -17,6 +17,7 @@ pruning keeps binary out of the scan unless the UDF needs it).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -52,16 +54,27 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
+def _md5_stream(payload: bytes, n: int) -> np.ndarray:
+    """First ``n`` bytes of the deterministic md5 counter stream
+    ``md5(payload|0) ++ md5(payload|1) ++ ...`` (16 bytes per block).
+
+    Chosen over an RNG because every byte is re-derivable in plain SQL
+    (``md5(text || '|' || k)`` + hex-pair extraction), which is what lets
+    the DuckDB oracle value-check the decode stubs exactly."""
+    blocks = [
+        hashlib.md5(payload + b"|" + str(k).encode()).digest()
+        for k in range((n + 15) // 16)
+    ]
+    return np.frombuffer(b"".join(blocks), dtype=np.uint8)[:n]
+
+
 def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: sha256-seeded feature
-    vector. Replaces (not simulates) pixel decoding; swap for PIL/ffmpeg
-    in a full deployment."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
-    # PCG64 Generator: ~100x cheaper per-row init than RandomState's
-    # 624-word MT19937 state — at 1B media rows that is CPU-hours
-    return np.random.Generator(np.random.PCG64(seed)).random(
-        dim, dtype=np.float32
-    )
+    """Deterministic stand-in for a real decoder: md5-stream feature
+    vector, byte b → b/256 (exact in float32: power-of-two denominator,
+    so the values survive float32→double→decimal round-trips bit-exactly
+    on every engine). Replaces (not simulates) pixel decoding; swap for
+    PIL/ffmpeg in a full deployment."""
+    return _md5_stream(payload, dim).astype(np.float32) / np.float32(256.0)
 
 
 def decode_image(payload: bytes, codec: str = "real") -> np.ndarray:
@@ -194,7 +207,7 @@ _AUDIO_FRAME_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("frame_idx", LongType(), False),
-        StructField("rms", FloatType(), True),
+        StructField("rms", DoubleType(), True),
         StructField("zero_crossings", LongType(), True),
     ]
 )
@@ -213,8 +226,11 @@ def audio_frame_features(
     inside the same Arrow batch (no per-frame shuffle; the wide
     payload never leaves the task that decoded it). Real decoding is
     stubbed (build brief): codec='fake' derives a deterministic
-    waveform from the payload hash so batch shape and windowing math
-    are fully testable."""
+    md5-stream waveform (sample = (byte-128)/128) so batch shape and
+    windowing math are fully testable AND exactly re-derivable by the
+    DuckDB oracle: per-frame energy is an integer sum of (byte-128)²,
+    and rms = sqrt(energy / (128²·frame_length)) is a correctly-rounded
+    sqrt of an exactly-representable double on both engines."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,35 +240,31 @@ def audio_frame_features(
                     continue
                 raw = bytes(payload)
                 if codec == "fake":
-                    # hash-seeded waveform, length tied to payload size
+                    # md5-stream waveform, length tied to payload size
                     n = max(frame_length, min(len(raw) * 16, 1 << 15))
-                    seed = int.from_bytes(
-                        hashlib.sha256(raw).digest()[:8], "big"
-                    ) % (2**32)
-                    wave = (
-                        np.random.Generator(np.random.PCG64(seed)).random(
-                            n, dtype=np.float32
-                        )
-                        * 2.0
-                        - 1.0
-                    )
+                    bvals = _md5_stream(raw, n).astype(np.int64)
                 else:
                     raise NotImplementedError(
                         "Audio decoding requires soundfile/ffmpeg — use "
                         "codec='fake' for plumbing tests."
                     )
-                n_frames = (len(wave) - frame_length) // hop_length + 1
+                sq = (bvals - 128) ** 2
+                neg = bvals < 128  # sample sign: (b-128)/128 < 0
+                flips = (neg[:-1] != neg[1:]).astype(np.int64)
+                denom = 16384.0 * frame_length  # 128² · frame_length
+                n_frames = (n - frame_length) // hop_length + 1
                 for i in range(n_frames):
-                    fr = wave[i * hop_length : i * hop_length + frame_length]
+                    s = i * hop_length
+                    energy = int(sq[s : s + frame_length].sum())
                     ids.append(mid)
                     idxs.append(i)
-                    rms.append(float(np.sqrt(np.mean(fr * fr))))
-                    zc.append(int(np.sum(np.signbit(fr[:-1]) != np.signbit(fr[1:]))))
+                    rms.append(math.sqrt(energy / denom))
+                    zc.append(int(flips[s : s + frame_length - 1].sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
-                    "rms": pd.Series(rms, dtype="float32"),
+                    "rms": pd.Series(rms, dtype="float64"),
                     "zero_crossings": pd.Series(zc, dtype="int64"),
                 }
             )

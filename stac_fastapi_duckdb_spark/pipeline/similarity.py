@@ -125,15 +125,21 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Coarse quantizer: k-means on a bounded driver-side sample.
 
     The sample is capped (``sample_size``) so this is O(sample) on the
     driver regardless of table size — the standard IVF training shape.
+    The sample is the ``sample_size`` rows with smallest seeded
+    ``xxhash64(id)`` — a scan-order-invariant pseudorandom draw (plain
+    ``.limit`` would take the head of the scan, which on clustered or
+    sorted data yields unrepresentative centroids). Spark plans the
+    orderBy+limit as TakeOrdered (per-partition heap, no full sort).
     """
     rows = (
-        df.select(vec_col)
-        .sample(fraction=1.0, seed=seed)
+        df.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
         .limit(sample_size)
         .toPandas()[vec_col]
     )
@@ -196,22 +202,35 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Cosine ≥ τ pairs: SRP-bucket self-join (near-identical vectors
     share sign bits with high probability) + exact verify in-bucket.
     → (id_a, id_b, cos_sim)."""
+    from pyspark.sql.window import Window
+
     first = df.limit(1).select(F.size(vec_col).alias("d")).collect()
     if not first:
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
         )
     dim = first[0]["d"]
+    # skew guard (same as the minhash/simhash bucket joins): a single
+    # dense bucket — boilerplate-identical or highly correlated
+    # embeddings — would otherwise go quadratic on one reducer at scale.
+    # Degenerate buckets are dropped BEFORE the pair expansion.
     # repartition on the bucket key BEFORE aliasing the two join sides:
     # both sides then share one identical shuffle child, which AQE
     # reuses at runtime instead of running the signature UDF + exchange
     # twice (~25% faster at sf0.1; at scale it halves the UDF work)
-    bucketed = with_srp_signature(df, dim, num_planes, seed, vec_col).repartition(
-        "srp_sig"
+    bucketed = (
+        with_srp_signature(df, dim, num_planes, seed, vec_col)
+        .withColumn(
+            "_bucket_n", F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
+        )
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+        .repartition("srp_sig")
     )
     a = bucketed.select(
         F.col("srp_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")

@@ -476,9 +476,14 @@ def q_minhash_dedup_map(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    """SimHash Hamming≤8 pairs via pigeonhole banding (no SQL oracle:
-    FNV-1a+bit-vote signature is not expressible in DuckDB SQL)."""
-    return P_dedup.simhash_near_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    """SimHash Hamming≤8 pairs via pigeonhole banding. Token hash is the
+    low-64-bits-of-md5, so the DuckDB oracle rebuilds the identical
+    signatures (md5 hex → bit votes) and brute-forces all pairs — the
+    banding recall claim is value-checked, not taken on faith."""
+    out = P_dedup.simhash_near_dup_pairs(
+        _t(spark, sf, "documents"), max_hamming=8
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_language_id(spark, sf):
@@ -529,16 +534,24 @@ def q_ann_srp_topk(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """ANN top-k via IVF coarse quantizer (sampled k-means centroids,
-    nprobe nearest cells — approx, no SQL oracle)."""
+    """ANN top-k via IVF coarse quantizer: FROZEN centroids (the index
+    artifact — training is an offline build step, see plans/ivf_index),
+    nprobe nearest cells, exact top-k inside them. Deterministic, so
+    the DuckDB oracle replays cell assignment + pruning from the same
+    centroid literals."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
+
     emb = _t(spark, sf, "embeddings")
     probe = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     ]
     rest = emb.filter(F.col("vec_id") != 0)
-    cent = P_sim.train_ivf_centroids(rest, dim=64, num_cells=16)
-    return P_sim.ivf_topk(rest, probe, cent, k=10, nprobe=4)
+    return P_sim.ivf_topk(
+        rest, probe, np.asarray(IVF_CENTROIDS, dtype=np.float64), k=10, nprobe=4
+    )
 
 
 def _media(spark, sf):
@@ -563,8 +576,24 @@ def q_multimodal_metadata(spark, sf):
 def q_multimodal_features(spark, sf):
     """mapInPandas feature extraction over binary media payloads with the
     deterministic fake decoder (real decoders stubbed per build brief).
-    No SQL oracle: sha256-seeded RNG features aren't SQL-expressible."""
-    return P_mm.extract_features(_media(spark, sf), codec="fake")
+    The decoder derives features from an md5 counter stream (byte/256 —
+    exact in float32 and double), so the DuckDB oracle re-derives them
+    with md5 hex arithmetic; emitted as a fixed-scale CSV string so the
+    driver canonicalizer can sort/hash the column (raw array<float>
+    is unhashable driver-side)."""
+    feats = P_mm.extract_features(_media(spark, sf), codec="fake")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_number(x.cast("double"), 8),
+            ),
+        ).alias("features_csv"),
+    )
 
 
 def q_frame_sample(spark, sf):
@@ -1520,6 +1549,75 @@ def _cc_unrolled_sql(rounds: int = 6) -> str:
     )
 
 
+def _srp_planes_values_sql(dim: int = 64, num_planes: int = 8, seed: int = 42) -> str:
+    """VALUES rows ``(p, pv DOUBLE[])`` regenerated from the same seeded
+    hyperplanes as pipeline.similarity._srp_planes — the planes are
+    query parameters (like a literal probe vector), so the oracle
+    replays the identical projections."""
+    planes = P_sim._srp_planes(dim, num_planes, seed)
+    rows = ", ".join(
+        "(" + str(p) + ", ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[])"
+        for p, row in enumerate(planes)
+    )
+    return f"(VALUES {rows})"
+
+
+def _ivf_centroids_values_sql() -> str:
+    """VALUES rows ``(c, cv DOUBLE[])`` from the frozen IVF index
+    artifact (plans/ivf_index.py) — both engines score against the
+    same centroid literals."""
+    from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
+
+    rows = ", ".join(
+        "(" + str(c) + ", ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]::DOUBLE[])"
+        for c, row in enumerate(IVF_CENTROIDS)
+    )
+    return f"(VALUES {rows})"
+
+
+# simhash signature per doc, replicating pipeline.dedup.with_simhash:
+# tokens = lower().split(); token hash = low 64 bits of md5; bit i of the
+# signature = majority vote (ones*2 >= n_tok); signed-int64 reassembly.
+_SIMHASH_SIGS_SQL = r"""
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN i < 63 AND ones * 2 >= n_tok
+                         THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+           + CASE WHEN MAX(CASE WHEN i = 63 AND ones * 2 >= n_tok
+                                THEN 1 ELSE 0 END) = 1
+                  THEN -9223372036854775807 - 1 ELSE 0 END AS sig
+    FROM (
+        SELECT doc_id, n_tok, i,
+               SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE 0 END) AS ones
+        FROM (
+            SELECT doc_id, n_tok, h, unnest(range(0, 64)) AS i
+            FROM (
+                SELECT doc_id, len(ts) AS n_tok,
+                       CAST('0x' || substr(md5(unnest(ts)), 17, 16) AS UBIGINT) AS h
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x <> '') AS ts
+                    FROM documents
+                ) WHERE len(ts) > 0
+            )
+        )
+        GROUP BY doc_id, n_tok, i
+    )
+    GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 0 AS sig
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents)
+    WHERE len(ts) = 0
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": _cc_unrolled_sql(),
     "point_lookup": """
@@ -1765,6 +1863,109 @@ ORACLE_SQL: dict[str, str] = {
         SELECT media_id,
                unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS frame_idx
         FROM (SELECT doc_id AS media_id, n_chars % 300 + 1 AS n_frames FROM documents)
+    """,
+    # replicates pipeline.multimodal._fake_decode: feature i = byte i of
+    # the md5 counter stream md5(payload|0)++md5(payload|1), divided by
+    # 256 (exact in fp), formatted at fixed 8-decimal scale
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               array_to_string(list_transform(range(0, 32), i ->
+                   printf('%.8f',
+                          CAST('0x' || substr(md5(text || '|' || CAST(i // 16 AS VARCHAR)),
+                                              (i % 16) * 2 + 1, 2) AS INT)
+                          / 256.0)), ',') AS features_csv
+        FROM documents
+    """,
+    "simhash_pairs": f"""
+        WITH sigs AS ({_SIMHASH_SIGS_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """,
+    # replicates pipeline.multimodal.audio_frame_features with the fake
+    # md5-stream decoder: sample j = (byte_j - 128)/128 where byte_j is
+    # byte j%16 of md5(payload|j//16); per-frame energy is an exact
+    # integer sum, rms = sqrt(energy/(128^2*1024)) (correctly-rounded
+    # sqrt of an exact double on both engines); zero-crossings compare
+    # consecutive sample signs (b < 128) within the frame
+    "audio_frame_features": """
+        WITH p AS (
+            SELECT doc_id AS media_id, text,
+                   greatest(1024, least(CAST(octet_length(encode(text)) AS BIGINT) * 16,
+                                        32768)) AS n
+            FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id % 5 = 1
+        ), bh AS (
+            SELECT media_id, n, k, md5(text || '|' || CAST(k AS VARCHAR)) AS h
+            FROM (SELECT media_id, text, n, unnest(range(0, (n + 15) // 16)) AS k FROM p)
+        ), samples AS (
+            SELECT media_id, n, k * 16 + off AS j,
+                   CAST('0x' || substr(h, off * 2 + 1, 2) AS INT) AS b
+            FROM (SELECT media_id, n, k, h, unnest(range(0, 16)) AS off FROM bh)
+            WHERE k * 16 + off < n
+        ), sgn AS (
+            SELECT media_id, n, j, b, (b < 128) AS s,
+                   lead(b < 128) OVER (PARTITION BY media_id ORDER BY j) AS s_next
+            FROM samples
+        ), contrib AS (
+            SELECT media_id, n, j, b, s, s_next, unnest([j // 512 - 1, j // 512]) AS f
+            FROM sgn
+        )
+        SELECT media_id, f AS frame_idx,
+               sqrt(SUM((b - 128) * (b - 128)) / (16384.0 * 1024)) AS rms,
+               CAST(SUM(CASE WHEN j - f * 512 < 1023 AND j < n - 1 AND s <> s_next
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM contrib
+        WHERE f >= 0 AND f <= (n - 1024) // 512 AND j - f * 512 < 1024
+        GROUP BY media_id, f
+    """,
+    "ann_srp_topk": f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sigs AS (
+            SELECT b.vec_id,
+                   CAST(SUM(CASE WHEN list_inner_product(b.v, pl.pv) > 0
+                                 THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END)
+                        AS BIGINT) AS sig
+            FROM base b CROSS JOIN {_srp_planes_values_sql()} AS pl(p, pv)
+            GROUP BY b.vec_id
+        ), probe AS (
+            SELECT s.sig AS psig, b.v AS pv
+            FROM sigs s JOIN base b USING (vec_id) WHERE b.vec_id = 0
+        )
+        SELECT s.vec_id, ROUND(list_cosine_similarity(b.v, p.pv), 6) AS cos_sim
+        FROM sigs s JOIN base b USING (vec_id), probe p
+        WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, p.psig)) <= 2
+        ORDER BY cos_sim DESC, s.vec_id ASC
+        LIMIT 10
+    """,
+    "ann_ivf_topk": f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), dists AS (
+            SELECT b.vec_id, b.v, c.c AS cell,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> (b.v[i] - c.cv[i]) ** 2)) AS dsq
+            FROM base b CROSS JOIN {_ivf_centroids_values_sql()} AS c(c, cv)
+        ), assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists WHERE vec_id <> 0) WHERE rn = 1
+        ), probe_cells AS (
+            SELECT cell FROM (
+                SELECT cell, row_number() OVER (ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists WHERE vec_id = 0) WHERE rn <= 4
+        ), probe AS (SELECT v AS pv FROM base WHERE vec_id = 0)
+        SELECT a.vec_id, ROUND(list_cosine_similarity(a.v, p.pv), 6) AS cos_sim
+        FROM assigned a, probe p
+        WHERE a.cell IN (SELECT cell FROM probe_cells)
+        ORDER BY cos_sim DESC, a.vec_id ASC
+        LIMIT 10
     """,
     "daily_from_hourly": f"""
         SELECT date_trunc('day', ts) AS day, event_type,

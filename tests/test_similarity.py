@@ -80,3 +80,68 @@ def test_srp_signature_deterministic(vectors):
     s2 = {r.vec_id: r.srp_sig for r in sim.with_srp_signature(vectors, DIM, 12, seed=42).collect()}
     assert s1 == s2
     assert s1[0] == s1[100]  # near-identical vectors share the bucket
+
+
+def test_near_dup_dense_bucket_cap(spark):
+    """A degenerate bucket (many identical vectors -> one SRP signature)
+    must be dropped by max_bucket_size BEFORE pair expansion - the
+    at-scale guard against a single quadratic reducer."""
+    rows = [(i, [1.0] + [0.0] * (DIM - 1)) for i in range(50)]  # one bucket
+    rows += [(100, [0.0] * (DIM - 1) + [1.0]), (101, [1e-6] + [0.0] * (DIM - 2) + [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = sim.embedding_near_dup_pairs(df, threshold=0.999, max_bucket_size=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # the 50-member dense bucket contributes nothing...
+    assert not any(a < 50 and b < 50 for a, b in got)
+    # ...but the small bucket's pair survives
+    assert (100, 101) in got
+    # and without the cap the dense pairs are all there (50*49/2)
+    uncapped = sim.embedding_near_dup_pairs(df, threshold=0.999).collect()
+    assert len({(r.id_a, r.id_b) for r in uncapped
+                if r.id_a < 50 and r.id_b < 50}) == 50 * 49 // 2
+
+
+def test_ivf_centroids_order_invariant(spark):
+    """Centroid training samples by seeded xxhash64(id), not scan order:
+    reversing/shuffling the input yields identical centroids (the old
+    head-of-scan .limit sample was order-biased)."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(200)]
+    fwd = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rev = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<double>")
+    c1 = sim.train_ivf_centroids(fwd, DIM, num_cells=4, sample_size=50)
+    c2 = sim.train_ivf_centroids(rev, DIM, num_cells=4, sample_size=50)
+    np.testing.assert_array_equal(c1, c2)
+    # and the sample is genuinely a subset selection, not the head:
+    # a biased head-sample of the sorted-by-id input would only ever see
+    # ids 0..49; the hash sample must pick some id >= 100
+    sampled = (
+        fwd.select("vec_id", F.xxhash64(F.col("vec_id"), F.lit(42)).alias("_h"))
+        .orderBy("_h").limit(50).collect()
+    )
+    assert any(r.vec_id >= 100 for r in sampled)
+
+
+def test_ann_planted_neighbor_recall(spark):
+    """Both ANN paths must retrieve planted near-duplicates of the probe
+    (recall assertion the rows-only driver check cannot express)."""
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=DIM)
+    rows = [(0, [float(x) for x in base])]
+    # 5 planted near-neighbors of the probe
+    for i in range(1, 6):
+        rows.append((i, [float(x) for x in base + rng.normal(scale=1e-3, size=DIM)]))
+    # 200 random distractors
+    for i in range(10, 210):
+        rows.append((i, [float(x) for x in rng.normal(size=DIM)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = [float(x) for x in base]
+    rest = df.filter(F.col("vec_id") != 0)
+
+    srp = {r.vec_id for r in sim.srp_lsh_topk(
+        rest, probe, k=5, num_planes=8, multiprobe_bits=2).collect()}
+    assert len(srp & {1, 2, 3, 4, 5}) >= 4  # recall >= 0.8
+
+    cent = sim.train_ivf_centroids(rest, DIM, num_cells=4, sample_size=100)
+    ivf = {r.vec_id for r in sim.ivf_topk(rest, probe, cent, k=5, nprobe=2).collect()}
+    assert len(ivf & {1, 2, 3, 4, 5}) >= 4
