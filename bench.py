@@ -4,10 +4,13 @@
 ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed to full materialization (count/collect via a
-no-op-cheap action that forces every operator, not just the first
-partition). The first timed loop is preceded by one warm-up run of a
-trivial job so JVM/codegen startup isn't attributed to q1.
+Each query is timed to full materialization via a noop DataSourceV2
+write: unlike ``df.count()`` — under which Catalyst legally prunes
+deterministic projections and sorts down to an empty-schema scan, so
+projection-shaped queries would time nothing — the noop sink consumes
+every output row and column, executing the complete plan without
+driver-side transfer. The first timed loop is preceded by one warm-up
+pass so JVM/codegen startup isn't attributed to q1.
 """
 
 from __future__ import annotations
@@ -56,6 +59,12 @@ BENCH_QUERIES = [
 ]
 
 
+def force(df) -> None:
+    """Execute the FULL plan: noop v2 sink consumes all rows/columns
+    (a count() would let the optimizer collapse projections/sorts)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stac-spark-bench")
@@ -66,7 +75,7 @@ def main() -> None:
     # long-lived session serves. DuckDB baselines equally benefit from
     # the OS page cache on repeat runs.
     for name in BENCH_QUERIES:
-        eq.QUERIES[name](spark, sf_dir).count()
+        force(eq.QUERIES[name](spark, sf_dir))
 
     # Three timed passes, min per query — the local[32] VM sees 1.5-3x
     # load jitter between runs; min-of-N is the standard noise-robust
@@ -76,8 +85,7 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn = eq.QUERIES[name]
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()  # forces full plan execution
+            force(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 

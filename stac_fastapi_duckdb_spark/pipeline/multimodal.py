@@ -115,7 +115,13 @@ def extract_features(
         F.sum(F.length(F.col(payload_col)).cast("bigint")).alias("total")
     ).collect()[0]["total"]
     if est:
-        parts = max(1, int(est // target_partition_bytes) + 1)
+        # floor at the cluster's parallelism: the byte budget is a MAX
+        # per task (memory safety); a small corpus in one row group must
+        # still fan out across cores for the per-item decode work
+        parts = max(
+            int(est // target_partition_bytes) + 1,
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
         df = df.repartition(parts)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

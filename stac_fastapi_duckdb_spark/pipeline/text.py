@@ -48,7 +48,11 @@ def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc quality signals: lengths, token stats, punctuation /
-    digit / uppercase ratios, stopword ratio, repetition ratio."""
+    digit / uppercase ratios, stopword ratio, repetition ratio.
+    Regex-heavy: see analyze_documents on the parallelism guard."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     t = F.col(text_col)
     toks = tokens_col(t)
     n_tokens = F.size(toks)
@@ -135,7 +139,12 @@ def analyze_documents(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """One-pass combined text-analysis projection (all columns fuse
-    into a single scan → no extra jobs)."""
+    into a single scan → no extra jobs). Regex-heavy per-row compute:
+    spread a narrow input (single-row-group file → ONE scan task)
+    across cores first — no-op when the source is already wide."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         lang_id_col(F.col(text_col)).alias("lang_pred"),

