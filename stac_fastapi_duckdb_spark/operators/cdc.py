@@ -51,10 +51,17 @@ def scd2_from_changelog(
     """
     tiebreak_cols = tiebreak_cols or []
     w = Window.partitionBy(*key_cols).orderBy(*_order_spec(ts_col, tiebreak_cols))
+    # A key's FIRST row is always a change — detected via lag(ts) being
+    # NULL, not via attribute comparison: when every attr value of the
+    # first row is itself NULL, ``lag(attr) eqNullSafe attr`` is
+    # NULL<=>NULL = true and the attr test alone would silently drop the
+    # key's initial interval.
+    first_row = F.lag(F.col(ts_col)).over(w).isNull()
     changed = reduce(
         lambda a, b: a | b,
-        [
-            # null-safe "differs from previous" (first row: lag is NULL)
+        [first_row]
+        + [
+            # null-safe "differs from previous"
             ~F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
             for c in attr_cols
         ],
@@ -105,10 +112,14 @@ def scd2_extend(
     # a touched key's still-closed history is final; only its open row
     # participates in the replay (its valid_from is the state's ts)
     closed = touched.filter(~F.col("is_current"))
+    # synthetic tiebreak placeholders take each column's ACTUAL dtype
+    # from the batch schema — a hardcoded cast would break the
+    # unionByName (or coerce) for string/timestamp tiebreak columns
+    tb_types = {c: new_changes.schema[c].dataType for c in tiebreak_cols}
     open_rows = touched.filter(F.col("is_current")).select(
         *key_cols,
         F.col("valid_from").alias(ts_col),
-        *[F.lit(None).cast("long").alias(c) for c in tiebreak_cols],
+        *[F.lit(None).cast(tb_types[c]).alias(c) for c in tiebreak_cols],
         *attr_cols,
     )
     replay = open_rows.unionByName(

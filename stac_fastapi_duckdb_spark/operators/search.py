@@ -170,8 +170,9 @@ def execute_search(
         for f, d in populate_sort(sortby)
     ]
     sort_specs = [(f, d) for f, d in sort_specs if f is not None]
+    # NULLS LAST both directions — DuckDB's default (see sort_columns)
     order_cols = [
-        (safe_col(f).asc_nulls_last() if d > 0 else safe_col(f).desc_nulls_first())
+        (safe_col(f).asc_nulls_last() if d > 0 else safe_col(f).desc_nulls_last())
         for f, d in sort_specs
     ]
 
@@ -220,17 +221,34 @@ def execute_search(
 
 def _keyset_predicate(sort_specs: list[tuple[str, int]], last: list[Any]) -> Column:
     """Row-comparison (a, b) > (la, lb) with per-key direction — the
-    search-after predicate for keyset pagination (SURVEY §4.3)."""
+    search-after predicate for keyset pagination (SURVEY §4.3).
+
+    Null-aware under the NULLS LAST ordering both directions use:
+    - the equality prefix is ``eqNullSafe`` (a NULL sort-key value on the
+      boundary row must still anchor deeper tiebreak terms — a plain
+      ``==`` evaluates to NULL and silently drops every remaining page),
+    - "strictly after a non-NULL v" additionally includes the NULL
+      region (nulls sort after every non-null value in both directions),
+    - "strictly after NULL" within one key is impossible — only deeper
+      tiebreak keys can advance, via the eqNullSafe prefix.
+    The id tiebreaker populate_sort always appends is non-null, so
+    pagination always terminates.
+    """
     if len(last) != len(sort_specs):
         raise InvalidQueryError("keyset token does not match sort specification")
     pred: Column | None = None
     for i, (field, direction) in enumerate(sort_specs):
         eq_prefix: Column | None = None
-        for f, _d, v in ((f2, d2, last[j]) for j, (f2, d2) in enumerate(sort_specs[:i])):
-            c = safe_col(f) == F.lit(v)
+        for f, v in ((f2, last[j]) for j, (f2, _d2) in enumerate(sort_specs[:i])):
+            c = safe_col(f).eqNullSafe(F.lit(v))
             eq_prefix = c if eq_prefix is None else eq_prefix & c
         c = safe_col(field)
-        strict = c > F.lit(last[i]) if direction > 0 else c < F.lit(last[i])
+        v = last[i]
+        if v is None:
+            strict = F.lit(False)
+        else:
+            base = c > F.lit(v) if direction > 0 else c < F.lit(v)
+            strict = base | c.isNull()
         term = strict if eq_prefix is None else eq_prefix & strict
         pred = term if pred is None else pred | term
     assert pred is not None

@@ -71,6 +71,10 @@ def sort_columns(sortby: Any, columns: list[str]) -> list[Column]:
         if resolved is None:
             continue
         c = safe_col(resolved)
-        # NULLS LAST on asc matches DuckDB's default ORDER BY semantics
-        cols.append(c.asc_nulls_last() if direction > 0 else c.desc_nulls_first())
+        # NULLS LAST on BOTH directions: DuckDB (the reference engine)
+        # defaults to NULLS LAST for asc AND desc, while Spark's bare
+        # desc() is nulls-first — without the explicit variant,
+        # sortby=-datetime would surface interval-only (NULL datetime)
+        # items on page 1, diverging from reference result order.
+        cols.append(c.asc_nulls_last() if direction > 0 else c.desc_nulls_last())
     return cols

@@ -121,3 +121,42 @@ def test_scd2_extend_equals_full_rebuild(spark):
     rows = {(r.key, r.is_current): r for r in extended.collect()}
     assert rows[(3, True)].tier == "bronze"
     assert rows[(2, True)].valid_from == _ts(2)
+
+
+def test_scd2_keeps_first_row_when_all_attrs_null(spark):
+    # first-row change detection must not rely on attribute comparison:
+    # lag(attr) eqNullSafe attr is NULL<=>NULL = true when the key's
+    # first row has all-NULL attrs, which would drop its initial interval
+    log = spark.createDataFrame(
+        [(1, _ts(1), None), (1, _ts(2), "gold"), (2, _ts(3), None)],
+        "key int, ts timestamp, tier string",
+    )
+    rows = {
+        (r.key, r.tier, r.valid_from): (r.valid_to, r.is_current)
+        for r in scd2_from_changelog(log, ["key"], "ts", ["tier"]).collect()
+    }
+    assert rows[(1, None, _ts(1))] == (_ts(2), False)
+    assert rows[(1, "gold", _ts(2))] == (None, True)
+    assert rows[(2, None, _ts(3))] == (None, True)
+    assert len(rows) == 3
+
+
+def test_scd2_extend_non_long_tiebreak_column(spark):
+    # the synthetic placeholder for tiebreak columns must take each
+    # column's actual dtype (string here) — a hardcoded long cast breaks
+    # or mis-coerces the replay union
+    from stac_fastapi_duckdb_spark.operators.cdc import scd2_extend
+
+    schema = "key int, ts timestamp, src string, tier string"
+    hist = spark.createDataFrame(
+        [(1, _ts(1), "a", "bronze"), (1, _ts(3), "b", "gold")], schema
+    )
+    dim = scd2_from_changelog(hist, ["key"], "ts", ["tier"], ["src"])
+    batch = spark.createDataFrame([(1, _ts(5), "c", "silver")], schema)
+    out = scd2_extend(dim, batch, ["key"], "ts", ["tier"], ["src"])
+    rows = {
+        (r.tier, r.valid_from): (r.valid_to, r.is_current) for r in out.collect()
+    }
+    assert rows[("bronze", _ts(1))] == (_ts(3), False)
+    assert rows[("gold", _ts(3))] == (_ts(5), False)
+    assert rows[("silver", _ts(5))] == (None, True)

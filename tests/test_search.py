@@ -233,3 +233,55 @@ def test_fields_projection_prunes_scan(catalog):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "platform" in schema and "cloud_cover" not in schema
+
+
+def test_desc_sort_nulls_last(catalog):
+    # DuckDB (the reference engine) defaults to NULLS LAST for DESC too;
+    # Spark's bare desc() is nulls-first — pinned here so sortby=-field
+    # never surfaces null-valued rows on page 1
+    items, _, _ = execute_search(
+        catalog,
+        collection_ids=["col-a"],
+        sortby=[{"field": "cloud_cover", "direction": "desc"}],
+        limit=100,
+        count_mode="none",
+    )
+    ccs = [i.get("cloud_cover") for i in items]
+    non_null = [c for c in ccs if c is not None]
+    assert any(c is None for c in ccs)  # fixture must exercise nulls
+    assert ccs[: len(non_null)] == non_null  # nulls strictly at the tail
+    assert non_null == sorted(non_null, reverse=True)
+
+
+def test_keyset_offset_parity_across_null_region(catalog):
+    """Page-by-keyset and page-by-offset must yield the identical id
+    sequence under a nullable sort key — including the pages that start
+    inside the NULL tail, where the boundary row's sort value is NULL
+    and only the null-aware predicate (eqNullSafe prefix + isNull
+    branch) can advance."""
+    from stac_fastapi_duckdb_spark.operators.pagination import keyset_token
+
+    sortby = [{"field": "cloud_cover", "direction": "desc"}]
+    common = dict(
+        catalog=catalog, collection_ids=["col-a"], sortby=sortby,
+        count_mode="none",
+    )
+    want = [i["id"] for i in execute_search(limit=100, **common)[0]]
+    assert len(want) == 20
+
+    got_off, tok = [], None
+    for _ in range(20):
+        page, _, tok = execute_search(limit=3, token=tok, **common)
+        got_off += [i["id"] for i in page]
+        if tok is None:
+            break
+    assert got_off == want
+
+    got_ks, tok = [], None
+    for _ in range(20):
+        page, _, _ = execute_search(limit=3, token=tok, **common)
+        got_ks += [i["id"] for i in page]
+        if len(page) < 3:
+            break
+        tok = keyset_token([page[-1].get("cloud_cover"), page[-1]["id"]])
+    assert got_ks == want
