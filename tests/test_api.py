@@ -1,0 +1,287 @@
+"""Route-level e2e tests for the HTTP API layer — ports of the
+reference's API behaviors (/root/reference/tests/api/test_api.py:4-224
+and test_sorting_api.py) onto the conftest fixture collections.
+
+The reference drives its FastAPI app through httpx's in-process ASGI
+transport; this container has Flask (not FastAPI/httpx), so the same
+behaviors run through Flask's in-process test client — identical
+routes, payloads, and status-code semantics.
+
+Fixture mapping: the reference's io-lulc-9-class collection → col-a
+(20 items; items 0-9 inside bbox (-66,-16,-60,-8), datetimes 2019-2023,
+none after 2030, nothing near the ocean bbox (0,0,1,1)).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+HIT_BBOX = "-66,-16,-60,-8"
+OCEAN_BBOX = "0,0,1,1"
+DT_RANGE = "2019-01-01T00:00:00Z/2023-01-01T00:00:00Z"
+FUTURE_RANGE = "2030-01-01T00:00:00Z/2031-01-01T00:00:00Z"
+
+
+@pytest.fixture()
+def client(catalog):
+    from stac_fastapi_duckdb_spark.api import create_app
+
+    app = create_app(catalog)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+# ---------------------------------------------------------------------------
+# reference tests/api/test_api.py
+# ---------------------------------------------------------------------------
+
+def test_get_collections(client):
+    resp = client.get("/collections")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert "collections" in data and len(data["collections"]) > 0
+    assert "col-a" in [c["id"] for c in data["collections"]]
+
+
+def test_get_collection_items(client):
+    resp = client.get("/collections/col-a/items?limit=5")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["type"] == "FeatureCollection"
+    assert len(data["features"]) == 5
+    assert data["numMatched"] == 20
+    assert data["numReturned"] == 5
+    item = data["features"][0]
+    assert item["type"] == "Feature"
+    assert "id" in item
+    assert item["collection"] == "col-a"
+    assert "geometry" in item and "properties" in item
+
+
+def test_bbox_filtering(client):
+    resp = client.get(f"/collections/col-a/items?bbox={HIT_BBOX}&limit=3")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["type"] == "FeatureCollection"
+    assert data["numMatched"] == 10  # items 0-9 sit inside the hit bbox
+    assert data["numReturned"] == 3
+
+
+def test_datetime_filtering(client):
+    resp = client.get(f"/collections/col-a/items?datetime={DT_RANGE}&limit=3")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["type"] == "FeatureCollection"
+    assert len(data["features"]) == 3
+    assert data["numMatched"] > 0
+
+
+def test_combined_filtering(client):
+    resp = client.get(
+        f"/collections/col-a/items?bbox={HIT_BBOX}&datetime={DT_RANGE}&limit=2"
+    )
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["type"] == "FeatureCollection"
+    assert len(data["features"]) == 2
+
+
+def test_search_endpoint(client):
+    resp = client.post(
+        "/search",
+        json={"collections": ["col-a"], "limit": 3, "datetime": DT_RANGE},
+    )
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["type"] == "FeatureCollection"
+    assert len(data["features"]) <= 3
+
+
+def test_real_item_shape(client):
+    # reference test_real_item_fixture: a served item is a full STAC Feature
+    item = client.get("/collections/col-a/items?limit=1").get_json()["features"][0]
+    assert item["type"] == "Feature"
+    assert "id" in item and "collection" in item
+    assert "geometry" in item and "properties" in item
+    assert item["geometry"]["type"] == "Polygon"
+
+
+def test_bbox_no_results(client):
+    resp = client.get(f"/collections/col-a/items?bbox={OCEAN_BBOX}&limit=10")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["features"] == []
+    assert data["numMatched"] == 0
+    assert data["numReturned"] == 0
+
+
+def test_datetime_no_results(client):
+    resp = client.get(f"/collections/col-a/items?datetime={FUTURE_RANGE}&limit=10")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["features"] == []
+    assert data["numMatched"] == 0
+    assert data["numReturned"] == 0
+
+
+def test_combined_filters_no_results(client):
+    resp = client.get(
+        f"/collections/col-a/items?bbox={OCEAN_BBOX}&datetime={FUTURE_RANGE}&limit=10"
+    )
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["features"] == []
+    assert data["numMatched"] == 0
+    assert data["numReturned"] == 0
+
+
+def test_search_no_results(client):
+    resp = client.post(
+        "/search",
+        json={
+            "collections": ["col-a"],
+            "limit": 10,
+            "bbox": [0, 0, 1, 1],
+            "datetime": FUTURE_RANGE,
+        },
+    )
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["features"] == []
+    assert data["numMatched"] == 0
+    assert data["numReturned"] == 0
+
+
+def test_invalid_bbox_format(client):
+    resp = client.get("/collections/col-a/items?bbox=-66,-16,-60")
+    assert resp.status_code in (400, 422)
+
+
+def test_invalid_datetime_format(client):
+    resp = client.get("/collections/col-a/items?datetime=not-a-date")
+    assert resp.status_code in (400, 422)
+
+
+# ---------------------------------------------------------------------------
+# reference tests/api/test_sorting_api.py
+# ---------------------------------------------------------------------------
+
+def test_get_sort_by_id_asc_desc(client):
+    resp = client.get("/search?limit=5&sortby=+id")
+    assert resp.status_code == 200
+    ids = [it["id"] for it in resp.get_json()["features"]]
+    assert len(ids) > 1 and ids == sorted(ids)
+
+    resp = client.get("/search?limit=5&sortby=-id")
+    assert resp.status_code == 200
+    ids = [it["id"] for it in resp.get_json()["features"]]
+    assert len(ids) > 1 and ids == sorted(ids, reverse=True)
+
+
+def test_post_sort_by_id_asc_desc(client):
+    resp = client.post(
+        "/search",
+        json={
+            "limit": 5,
+            "collections": ["col-a"],
+            "sortby": [{"field": "id", "direction": "asc"}],
+        },
+    )
+    assert resp.status_code == 200
+    ids = [it["id"] for it in resp.get_json()["features"]]
+    assert len(ids) > 1 and ids == sorted(ids)
+
+    resp = client.post(
+        "/search",
+        json={
+            "limit": 5,
+            "collections": ["col-a"],
+            "sortby": [{"field": "id", "direction": "desc"}],
+        },
+    )
+    assert resp.status_code == 200
+    ids = [it["id"] for it in resp.get_json()["features"]]
+    assert len(ids) > 1 and ids == sorted(ids, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# beyond the reference suite: routes its tests never reach
+# ---------------------------------------------------------------------------
+
+def test_landing_and_conformance(client):
+    landing = client.get("/").get_json()
+    assert landing["type"] == "Catalog"
+    rels = {l["rel"] for l in landing["links"]}
+    assert {"self", "conformance", "data", "search"} <= rels
+    conf = client.get("/conformance").get_json()["conformsTo"]
+    assert any(c.endswith("/item-search") for c in conf)
+    assert any("advanced-comparison-operators" in c for c in conf)
+
+
+def test_get_one_collection_and_404(client):
+    assert client.get("/collections/col-a").get_json()["id"] == "col-a"
+    assert client.get("/collections/nope").status_code == 404
+
+
+def test_get_one_item_and_404s(client):
+    item = client.get("/collections/col-a/items/item-a-003").get_json()
+    assert item["id"] == "item-a-003" and item["type"] == "Feature"
+    assert client.get("/collections/col-a/items/missing").status_code == 404
+    assert client.get("/collections/nope/items/item-a-003").status_code == 404
+    assert client.get("/collections/nope/items").status_code == 404
+
+
+def test_pagination_next_token_roundtrip(client):
+    p1 = client.get("/collections/col-a/items?limit=15").get_json()
+    next_link = [l for l in p1["links"] if l["rel"] == "next"]
+    assert len(next_link) == 1
+    tok = next_link[0]["token"]
+    p2 = client.get(f"/collections/col-a/items?limit=15&token={tok}").get_json()
+    assert p2["numReturned"] == 5  # 20 rows: 15 + 5
+    assert not [l for l in p2["links"] if l["rel"] == "next"]
+    ids = [f["id"] for f in p1["features"] + p2["features"]]
+    assert len(set(ids)) == 20
+
+
+def test_search_cql2_filter_post(client):
+    flt = {
+        "op": "and",
+        "args": [
+            {"op": "=", "args": [{"property": "platform"}, "sentinel-2"]},
+            {"op": ">=", "args": [{"property": "gsd"}, 14]},
+        ],
+    }
+    data = client.post(
+        "/search", json={"collections": ["col-b"], "filter": flt, "limit": 100}
+    ).get_json()
+    assert data["numMatched"] == 4  # gsd 14..17
+    props = data["features"][0]["properties"]
+    assert props["platform"] == "sentinel-2"
+
+
+def test_search_fields_projection(client):
+    data = client.get(
+        "/search?collections=col-a&fields=platform&limit=2"
+    ).get_json()
+    props = data["features"][0]["properties"]
+    assert "platform" in props
+    assert "cloud_cover" not in props  # pruned at the parquet reader
+
+
+def test_queryables_routes(client):
+    q = client.get("/queryables").get_json()
+    assert q["type"] == "object" and "datetime" in q["properties"]
+    qa = client.get("/collections/col-a/queryables").get_json()
+    # schema-enriched: parquet-only columns become advertised queryables
+    assert "cloud_cover" in qa["properties"]
+    assert qa["properties"]["cloud_cover"]["type"] == "number"
+
+
+def test_post_search_invalid_body(client):
+    assert client.post("/search", json=[1, 2, 3]).status_code in (400, 422)
+    assert (
+        client.post("/search", json={"limit": "ten"}).status_code in (400, 422)
+    )
+    assert (
+        client.post("/search", json={"bbox": "0,0,1,1"}).status_code in (400, 422)
+    )
