@@ -282,23 +282,36 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    transitive: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    keep-min-id representative mapping (id → canonical_id)."""
+    canonical-id mapping (id → canonical_id).
+
+    ``transitive=True`` (default) resolves the verified pair graph with
+    iterative connected components, so a chain a—b—c maps BOTH b and c
+    to a — the semantics a dedup keep-one filter actually needs.
+    ``transitive=False`` is the cheaper one-hop map (each doc to the min
+    id among its direct partners): correct only when near-dup clusters
+    are cliques, kept for pipelines that intentionally trade chain
+    closure for one fewer iterative stage.
+    """
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
     dup_pairs = ngram_jaccard_pairs(
         df, cand, text_col, id_col, shingle_n, threshold
     )
-    # union-find-lite: one hop (a<b ⇒ b maps to min of its partners).
-    # For transitive chains a full connected-components pass (iterate
-    # until fixpoint / graphframes) would be needed; one hop matches
-    # common practice for near-dup filtering.
+    all_ids = df.select(F.col(id_col))
+    if transitive:
+        comp = connected_components(
+            dup_pairs, all_ids=all_ids, id_col=id_col
+        )
+        return comp.select(
+            F.col(id_col), F.col("component").alias("canonical_id")
+        )
     mapping = dup_pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("canonical_id")
     )
-    all_ids = df.select(F.col(id_col))
     return all_ids.join(mapping, id_col, "left").select(
         F.col(id_col),
         F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),

@@ -1797,12 +1797,10 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "minhash_near_dup": _JACCARD_PAIRS_SQL,
     "ngram_jaccard": _JACCARD_PAIRS_SQL,
+    # transitive default: canonical_id IS the connected component's min
+    # id — same unrolled-propagation oracle as dedup_clusters, re-aliased
     "minhash_dedup_map": f"""
-        SELECT d.doc_id AS doc_id, COALESCE(m.c, d.doc_id) AS canonical_id
-        FROM documents d
-        LEFT JOIN (SELECT id_b AS doc_id, MIN(id_a) AS c
-                   FROM ({_JACCARD_PAIRS_SQL}) GROUP BY id_b) m
-          ON d.doc_id = m.doc_id
+        SELECT doc_id, component AS canonical_id FROM ({_cc_unrolled_sql()})
     """,
     "language_id": f"""
         SELECT doc_id, {_LANG_PRED_SQL} AS lang_pred FROM ({_LANG_SCORES_SQL})

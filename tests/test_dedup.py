@@ -105,3 +105,35 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(edges, all_ids=ids).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_minhash_dedup_transitive_planted_chain(spark):
+    # planted 3-chain: adjacent docs share >=0.8 shingle jaccard, the
+    # endpoints only ~0.73 — so no direct (a,c) pair is ever verified.
+    # The transitive default must still map c to a (one-hop maps c->b).
+    words = [f"w{i:02d}" for i in range(50)]
+    rows = [
+        (1, " ".join(words[0:40])),
+        (2, " ".join(words[3:43])),
+        (3, " ".join(words[6:46])),
+        (4, "totally unrelated content about something else entirely okay"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, None, threshold=0.8).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}  # the chain premise must hold
+
+    mapping = {
+        r.doc_id: r.canonical_id
+        for r in dedup.minhash_dedup(docs, threshold=0.8).collect()
+    }
+    assert mapping == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    one_hop = {
+        r.doc_id: r.canonical_id
+        for r in dedup.minhash_dedup(docs, threshold=0.8, transitive=False).collect()
+    }
+    assert one_hop[3] == 2  # documents the non-transitive trade-off
