@@ -68,12 +68,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet — Spark reads it as long ns
-    (nanosAsLong, session.py); convert to µs TimestampType here. The
-    matching oracle view is ``_EVENTS_SQL`` (DuckDB CAST ns→µs also
-    truncates)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    """events.ts has shipped as TIMESTAMP(NANOS) parquet (read as raw ns
+    longs under nanosAsLong) AND as plain timestamp[us] (read as
+    TIMESTAMP_NTZ) — normalize adaptively by schema to µs TimestampType.
+    The matching oracle view is ``_EVENTS_SQL`` (DuckDB CAST is an
+    identity on timestamp[us] and an ns→µs truncation on nanos)."""
+    return P_stream.normalize_event_ts(_t(spark, sf_dir, "events"))
 
 
 _EVENTS_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"

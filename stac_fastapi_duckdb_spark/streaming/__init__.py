@@ -2,6 +2,7 @@
 
 from stac_fastapi_duckdb_spark.streaming.events import (  # noqa: F401
     hourly_rollup,
+    normalize_event_ts,
     read_events_stream,
     run_to_memory,
     session_windows,

@@ -21,9 +21,11 @@ Scale/efficiency design:
 - Aggregates use map-side partial aggregation; the only shuffle key is
   (window, group key) — the canonical streaming-agg shape.
 
-All event timestamps are parquet TIMESTAMP(NANOS); the session reads
-them as raw longs (``spark.sql.legacy.parquet.nanosAsLong``), so
-sources here normalize ns → µs TimestampType at the edge.
+The events table has shipped in two physical encodings: parquet
+TIMESTAMP(NANOS) (the session reads it as raw ns longs via
+``spark.sql.legacy.parquet.nanosAsLong``) and plain timestamp[us]
+(Spark reads it as TIMESTAMP_NTZ). ``normalize_event_ts`` adapts by
+schema so every source here emits a plain µs TimestampType ``ts``.
 """
 
 from __future__ import annotations
@@ -50,6 +52,22 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-adaptive event-time normalization → session-tz
+    TimestampType at µs precision.
+
+    - ``ts`` long: raw epoch nanos (TIMESTAMP(NANOS) parquet under
+      nanosAsLong) → ``timestamp_micros(ts DIV 1000)``.
+    - ``ts`` TIMESTAMP_NTZ (plain timestamp[us] parquet): cast to
+      TimestampType — identity on the wall-clock under the UTC session
+      this engine pins, and watermarks/windows want TimestampType.
+    - already TimestampType: no-op cast.
+    """
+    if isinstance(df.schema[col].dataType, LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    return df.withColumn(col, F.col(col).cast("timestamp"))
+
+
 _LANDING_DIRS: dict[str, str] = {}
 
 
@@ -57,8 +75,12 @@ def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 10
 ) -> DataFrame:
     """File-source stream over event parquet (a directory, glob, or a
-    single file path). ns → µs timestamp normalization applied here so
-    downstream operators see a plain TimestampType ``ts``."""
+    single file path). The file source needs an explicit schema, so the
+    footer is probed with a driver-only batch read (cheap — no data
+    scan) rather than assumed: the events table has shipped with ``ts``
+    as both raw-ns longs and timestamp[us], and a wrong assumed type
+    either errors or silently mis-scales event time. ts normalization
+    applied here so downstream operators see plain TimestampType."""
     import os
     import tempfile
 
@@ -75,11 +97,11 @@ def read_events_stream(
             os.symlink(src, os.path.join(land, os.path.basename(path)))
             _LANDING_DIRS[src] = land
         path = land
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = spark.read.parquet(path).schema
+    return normalize_event_ts(
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     )
 
 

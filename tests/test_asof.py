@@ -43,8 +43,10 @@ def test_asof_tie_matches(spark):
 
 
 def test_asof_preserves_left_rowcount(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)")
+    from stac_fastapi_duckdb_spark.streaming import normalize_event_ts
+
+    ev = normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     )
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select(

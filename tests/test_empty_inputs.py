@@ -17,11 +17,11 @@ def empty_docs(spark):
 
 @pytest.fixture(scope="module")
 def empty_events(spark):
-    return (
+    from stac_fastapi_duckdb_spark.streaming import normalize_event_ts
+
+    return normalize_event_ts(
         spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        .filter(F.lit(False))
-    )
+    ).filter(F.lit(False))
 
 
 def test_dedup_ops_on_empty(empty_docs):

@@ -58,9 +58,7 @@ def landing(spark, tmp_path_factory):
 def test_stream_rollup_equals_batch(spark, landing):
     stream = SE.read_events_stream(spark, landing)
     got = SE.run_to_memory(SE.hourly_rollup(stream), spark)
-    batch = spark.read.parquet(landing).withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)")
-    )
+    batch = SE.normalize_event_ts(spark.read.parquet(landing))
     want = (
         batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -82,9 +80,7 @@ def test_stream_single_file_path(spark, landing):
 
 
 def test_session_windows_batch(spark, landing):
-    batch = spark.read.parquet(landing).withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)")
-    )
+    batch = SE.normalize_event_ts(spark.read.parquet(landing))
     sessions = {
         (r.user_id, r.session_start.minute, r.n_events)
         for r in SE.session_windows(batch, "30 minutes").collect()
@@ -148,9 +144,7 @@ def test_stream_rollup_sf0001_matches_batch(spark):
     sf = "/root/testdata/sf0.001"
     stream = SE.read_events_stream(spark, f"{sf}/events.parquet")
     got = SE.run_to_memory(SE.hourly_rollup(stream), spark)
-    batch = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts DIV 1000)")
-    )
+    batch = SE.normalize_event_ts(spark.read.parquet(f"{sf}/events.parquet"))
     want = (
         batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

@@ -12,11 +12,11 @@ from stac_fastapi_duckdb_spark.sources import writer as W
 
 @pytest.fixture(scope="module")
 def events(spark):
-    return (
+    from stac_fastapi_duckdb_spark.streaming import normalize_event_ts
+
+    return normalize_event_ts(
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        .withColumn("event_date", F.to_date("ts"))
-    )
+    ).withColumn("event_date", F.to_date("ts"))
 
 
 def test_partitioned_write_prunes(spark, events, tmp_path):
