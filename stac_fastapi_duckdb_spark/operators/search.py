@@ -257,10 +257,16 @@ def _keyset_predicate(sort_specs: list[tuple[str, int]], last: list[Any]) -> Col
 
 def get_one_item(catalog: CollectionCatalog, collection_id: str, item_id: str) -> dict:
     """Point lookup (reference get_one_item, database_logic.py:156-189):
-    filter-pushdown + limit(1); empty → NotFoundError."""
+    filter-pushdown + limit(1); empty → NotFoundError.
+
+    If the catalog holds a manifest file index for the collection
+    (``build_item_index``), the scan mounts only the files whose id
+    min/max overlaps ``item_id`` — on a key-sorted multi-file layout
+    that is ONE file regardless of collection size; without an index
+    this is the plain full-listing scan with pushdown."""
     from stac_fastapi_duckdb_spark.errors import NotFoundError
 
-    df = catalog.items_df(collection_id)
+    df = catalog.pruned_items_df(collection_id, "id", item_id)
     rows = df.filter(F.col("id") == item_id).limit(1).collect()
     if not rows:
         raise NotFoundError(

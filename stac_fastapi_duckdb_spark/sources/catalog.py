@@ -78,6 +78,8 @@ class CollectionCatalog:
         self._stac_file_path = stac_file_path
         self._df_cache: dict[str, DataFrame] = {}
         self._partitioned: DataFrame | None = None
+        # collection_id → manifest min/max file index (sources/index.py)
+        self._file_index: dict[str, dict[str, dict]] = {}
 
     # ------------------------------------------------------------------
     # construction
@@ -128,6 +130,53 @@ class CollectionCatalog:
         )
         self._df_cache[collection_id] = df
         return df
+
+    # ------------------------------------------------------------------
+    # manifest file-skipping (sources/index.py): point/range lookups over
+    # a multi-file, key-sorted collection open only overlapping files
+    # ------------------------------------------------------------------
+    def build_item_index(
+        self, collection_id: str, columns: Iterable[str] = ("id",)
+    ) -> dict[str, dict]:
+        """One parquet-footer sweep over the collection's files →
+        driver-held ``{file → {col → (min,max)}}`` manifest. Metadata-only
+        (KBs per 1000 files); makes ``pruned_items_df`` (and therefore
+        ``get_one_item``) open only the files whose stats overlap the key
+        instead of every file in the collection. Local paths only — a
+        remote (http/s3a) collection is left unindexed and simply falls
+        back to the full scan."""
+        from stac_fastapi_duckdb_spark.sources.index import build_file_index
+
+        url = self._urls.get(collection_id)
+        if url is None:
+            raise NotFoundError(f"Collection {collection_id} not configured")
+        path = _localize(url)
+        if not os.path.exists(path):
+            return {}
+        idx = build_file_index(path, list(columns))
+        self._file_index[collection_id] = idx
+        return idx
+
+    def pruned_items_df(
+        self, collection_id: str, col: str, lo, hi=None
+    ) -> DataFrame:
+        """items_df restricted to the files whose [min,max] for ``col``
+        overlaps [lo, hi] (point lookup when ``hi`` is None). File
+        skipping is an optimization, never a correctness filter: the
+        caller still applies the row predicate, files without stats are
+        kept, and a collection without a built index falls back to the
+        full items_df."""
+        from stac_fastapi_duckdb_spark.sources.index import prune_files
+
+        idx = self._file_index.get(collection_id)
+        if self._partitioned is not None or not idx:
+            return self.items_df(collection_id)
+        files = prune_files(idx, col, lo, hi)
+        if not files:
+            return self.items_df(collection_id).limit(0)
+        return self.spark.read.parquet(*files).withColumn(
+            COLLECTION_COL, F.lit(collection_id)
+        )
 
     def sources(self, collection_ids: Iterable[str] | None) -> list[tuple[str, DataFrame]]:
         """Resolve requested collections to (id, DataFrame) pairs;

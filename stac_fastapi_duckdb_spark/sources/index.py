@@ -29,13 +29,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def build_file_index(path: str, columns: list[str]) -> dict[str, dict]:
-    """One footer sweep over ``path/*.parquet`` → per-file min/max for
-    ``columns``. Run it where the data lives (driver-side here; as a
-    distributed mapPartitions over file lists at cluster scale)."""
+    """One footer sweep over ``path/*.parquet`` (or a single parquet
+    file) → per-file min/max for ``columns``. Run it where the data
+    lives (driver-side here; as a distributed mapPartitions over file
+    lists at cluster scale)."""
     import pyarrow.parquet as pq
 
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     index: dict[str, dict] = {}
-    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+    for f in files:
         md = pq.ParquetFile(f).metadata
         name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         stats: dict[str, Any] = {}

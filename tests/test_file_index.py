@@ -79,6 +79,54 @@ def test_missing_stats_column_keeps_all_files(sorted_layout):
     assert len(prune_files(idx, "no_such_col", 1)) == N_FILES
 
 
+@pytest.fixture(scope="module")
+def stac_multifile_catalog(spark, tmp_path_factory):
+    """A STAC-shaped collection written as N id-sorted files, registered
+    in a CollectionCatalog with a built manifest index."""
+    from stac_fastapi_duckdb_spark.sources.catalog import CollectionCatalog
+
+    out = str(tmp_path_factory.mktemp("cat") / "items")
+    items = spark.range(400).select(
+        F.format_string("item-%04d", F.col("id")).alias("id"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    items.repartitionByRange(N_FILES, "id").sortWithinPartitions("id").write.parquet(out)
+    cat = CollectionCatalog(spark, {"demo": out})
+    cat.build_item_index("demo", ["id"])
+    return cat
+
+
+def test_catalog_point_lookup_scans_one_file(spark, stac_multifile_catalog):
+    from stac_fastapi_duckdb_spark.operators.search import get_one_item
+
+    cat = stac_multifile_catalog
+    pruned = cat.pruned_items_df("demo", "id", "item-0123")
+    # disjoint id-sorted files → the manifest prunes the scan to 1 file
+    assert len(pruned.inputFiles()) == 1
+    got = get_one_item(cat, "demo", "item-0123")
+    assert got["id"] == "item-0123" and got["collection"] == "demo"
+
+
+def test_catalog_pruned_lookup_missing_item_raises(stac_multifile_catalog):
+    from stac_fastapi_duckdb_spark.errors import NotFoundError
+    from stac_fastapi_duckdb_spark.operators.search import get_one_item
+
+    with pytest.raises(NotFoundError):
+        get_one_item(stac_multifile_catalog, "demo", "item-9999")
+
+
+def test_catalog_without_index_falls_back(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.operators.search import get_one_item
+    from stac_fastapi_duckdb_spark.sources.catalog import CollectionCatalog
+
+    out = str(tmp_path / "plain")
+    spark.range(10).select(
+        F.format_string("it-%02d", F.col("id")).alias("id")
+    ).write.parquet(out)
+    cat = CollectionCatalog(spark, {"c": out})  # no index built
+    assert get_one_item(cat, "c", "it-03")["id"] == "it-03"
+
+
 def test_index_roundtrip_json(tmp_path, sorted_layout):
     idx = build_file_index(sorted_layout, ["o_orderkey"])
     p = str(tmp_path / "index.json")
