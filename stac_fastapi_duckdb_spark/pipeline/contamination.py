@@ -1,0 +1,91 @@
+"""Benchmark-contamination detection: which corpus documents contain a
+benchmark/eval item's content?
+
+A training corpus must be screened against held-out evaluation sets
+before training — a benchmark item that leaks into the corpus inflates
+eval scores. The standard check is n-gram overlap: for each (corpus
+doc, benchmark item) pair, the fraction of the benchmark item's
+distinct word n-grams that also occur in the document; pairs above a
+threshold are contamination hits.
+
+Scale design (the asymmetry is the whole point):
+
+- The benchmark side is SMALL (thousands of items) and the corpus side
+  is the 100 TB table — so the benchmark's exploded shingle set is
+  **broadcast**, and the corpus side joins map-side: the corpus is
+  never shuffled. Per-pair match counts come from a partial-aggregated
+  groupBy on the (doc, bench) pairs that actually matched — a tiny
+  fraction of the corpus.
+- Corpus shingles explode to one row per (doc, shingle), but with
+  ``hash_shingles=True`` each shingle travels as an 8-byte xxhash64,
+  not the string — the exploded stream stays inside the scan stage
+  (project → explode → broadcast-join → partial agg, one codegen span).
+- Shingling itself is the JVM array algebra from ``dedup.shingles_col``
+  (no Python, no per-shingle rows until the explode feeding the join).
+
+No counterpart exists in the reference; this is part of the
+training-data-pipeline extension (same family as pipeline/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.dedup import (
+    ensure_parallelism,
+    shingles_col,
+)
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+    min_ratio: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """→ (doc_id, bench_id, n_overlap, ratio) for every pair where
+    ``ratio`` — the fraction of the benchmark item's distinct shingles
+    found in the document — is ≥ ``min_ratio``.
+
+    ``hash_shingles``: join on xxhash64(shingle) instead of the string
+    (8-byte keys; the at-scale default). The threshold filter uses the
+    unrounded ratio; the emitted ``ratio`` is rounded to 6 places.
+    """
+    bench_text = bench_text_col or text_col
+
+    bench_sh = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        shingles_col(F.col(bench_text), shingle_n).alias("_sh"),
+    ).select(
+        "bench_id", F.size("_sh").alias("_bench_n"), F.explode("_sh").alias("_g")
+    )
+    corpus_sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g"),
+    )
+    if hash_shingles:
+        bench_sh = bench_sh.withColumn("_g", F.xxhash64("_g"))
+        corpus_sh = corpus_sh.withColumn("_g", F.xxhash64("_g"))
+
+    # benchmark side broadcast: the corpus stream joins map-side and
+    # only matched (doc, bench) rows reach the aggregation shuffle
+    matched = corpus_sh.join(F.broadcast(bench_sh), "_g")
+    ratio = F.col("n_overlap") / F.col("_bench_n")
+    return (
+        matched.groupBy("doc_id", "bench_id", "_bench_n")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(ratio >= min_ratio)
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_overlap",
+            F.round(ratio, 6).alias("ratio"),
+        )
+    )

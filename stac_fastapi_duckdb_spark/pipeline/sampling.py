@@ -62,6 +62,42 @@ def hash_sample(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum's rows (``default_fraction`` for strata not listed),
+    membership a pure function of the key hash — the reweighting
+    primitive for corpus curation (downsample the dominant language /
+    source, keep the tail).
+
+    The per-stratum threshold compiles to a literal CASE over the
+    stratum column — a pure per-row filter, zero shuffle, pushed into
+    the scan's residual like ``hash_sample``. (A join against a rates
+    dim would broadcast fine but can't push into the scan.)
+    """
+    bucket = hash_bucket(F.col(key_col), salt, buckets)
+    thresh: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        bound = int(frac * buckets)
+        thresh = (
+            F.when(cond, bound) if thresh is None else thresh.when(cond, bound)
+        )
+    thresh = (
+        F.lit(int(default_fraction * buckets))
+        if thresh is None
+        else thresh.otherwise(int(default_fraction * buckets))
+    )
+    return df.filter(bucket < thresh)
+
+
 def dataset_split(
     df: DataFrame,
     key_col: str,

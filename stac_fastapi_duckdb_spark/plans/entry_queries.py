@@ -1202,6 +1202,45 @@ def q_hash_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic downsampling: keep 50% of en, 20% of
+    de, 10% of zh, 5% of everything else — the corpus-reweighting
+    primitive (pipeline/sampling.py stratified_hash_sample). Zero
+    shuffle: the per-stratum threshold is a literal CASE in the scan's
+    residual filter."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        stratified_hash_sample,
+    )
+
+    return stratified_hash_sample(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.2, "zh": 0.1},
+        default_fraction=0.05,
+        salt="corpus-v1",
+    ).select("doc_id", "lang")
+
+
+def q_contamination(spark, sf):
+    """Benchmark-contamination screen: corpus docs sharing ≥50% of a
+    benchmark item's distinct 3-gram shingles
+    (pipeline/contamination.py). The benchmark side (every 23rd doc
+    here) is broadcast — the corpus is never shuffled; only matched
+    (doc, bench) pairs reach the aggregation."""
+    from stac_fastapi_duckdb_spark.pipeline.contamination import (
+        contamination_overlap,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_overlap(
+        docs, bench, bench_id_col="bench_id", min_ratio=0.5
+    )
+
+
 def q_dataset_split(spark, sf):
     """Hash-stable train/val/test split (80/10/10) + per-split stats —
     a doc never changes split when the corpus grows."""
@@ -1438,6 +1477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_last_window": q_first_last_window,
     "json_extract": q_json_extract,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "contamination_check": q_contamination,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2251,6 +2292,32 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(('0x' || substring(
                   md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
               AS BIGINT) % 10000 < 1000
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substring(
+                  md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000
+              < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                          WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "contamination_check": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        be AS (
+            SELECT doc_id AS bench_id, len(s) AS bench_n, unnest(s) AS g
+            FROM sh WHERE doc_id % 23 = 0
+        ),
+        de AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        j AS (
+            SELECT de.doc_id, be.bench_id, be.bench_n,
+                   COUNT(*) AS n_overlap
+            FROM de JOIN be USING (g)
+            GROUP BY de.doc_id, be.bench_id, be.bench_n
+        )
+        SELECT doc_id, bench_id, n_overlap,
+               ROUND(CAST(n_overlap AS DOUBLE) / bench_n, 6) AS ratio
+        FROM j
+        WHERE CAST(n_overlap AS DOUBLE) / bench_n >= 0.5
     """,
     "dataset_split": """
         WITH b AS (

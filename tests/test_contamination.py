@@ -1,0 +1,78 @@
+"""pipeline/contamination.py: n-gram benchmark-contamination detection
+— exact-copy and partial-overlap semantics, hash/string path parity,
+and the broadcast (corpus-never-shuffled) plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.contamination import (
+    contamination_overlap,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact bench copy
+            (2, "alpha beta gamma delta nothing else here at all"),  # partial
+            (3, "totally unrelated words with zero shared grams"),
+            (4, "alpha beta gamma delta epsilon zeta plus a suffix tail"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "bench_id long, text string",
+    )
+
+
+def test_exact_copy_scores_one(spark):
+    got = {
+        (r.doc_id, r.bench_id): r.ratio
+        for r in contamination_overlap(
+            _corpus(spark), _bench(spark), min_ratio=0.0
+        ).collect()
+    }
+    assert got[(1, 100)] == 1.0  # identical text: every shingle matches
+    assert got[(4, 100)] == 1.0  # superset doc still contains all shingles
+    # bench has 4 distinct 3-grams; doc 2 shares exactly 2 of them
+    assert got[(2, 100)] == 0.5
+    assert (3, 100) not in got  # no shared shingles → no pair emitted
+
+
+def test_threshold_filters_low_overlap(spark):
+    got = contamination_overlap(
+        _corpus(spark), _bench(spark), min_ratio=0.9
+    ).collect()
+    assert {r.doc_id for r in got} == {1, 4}
+
+
+def test_hash_and_string_paths_agree(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    kw = dict(bench_id_col="bench_id", min_ratio=0.5)
+    a = sorted(
+        map(tuple, contamination_overlap(docs, bench, hash_shingles=True, **kw).collect())
+    )
+    b = sorted(
+        map(tuple, contamination_overlap(docs, bench, hash_shingles=False, **kw).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_bench_side_is_broadcast(spark):
+    plan = contamination_overlap(
+        _corpus(spark), _bench(spark)
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus must join map-side against a broadcast benchmark —
+    # a sort-merge join here would shuffle the full corpus at scale
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -10,6 +10,7 @@ from stac_fastapi_duckdb_spark.pipeline.sampling import (
     hash_sample,
     label_balance,
     pack_sequences,
+    stratified_hash_sample,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -87,3 +88,42 @@ def test_corpus_mixture_rates_and_determinism(spark):
     assert 0.3 * n < counts["half"] < 0.7 * n  # ~half, hash-determined
     again = corpus_mixture(sources, "doc_id", salt="m1")
     assert again.count() == mix.count()  # fully deterministic
+
+
+def test_stratified_sample_per_stratum_rates_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac = {"en": 0.5, "de": 0.2}
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", frac, default_fraction=0.0, salt="s1"
+    )
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # unlisted strata use default_fraction=0 → dropped entirely
+    assert set(by_lang) <= {"en", "de"}
+    for lang, f in frac.items():
+        if totals.get(lang, 0) >= 20:
+            assert 0.5 * f < by_lang.get(lang, 0) / totals[lang] < 1.5 * f
+    # partitioning-invariant determinism
+    again = stratified_hash_sample(
+        docs.repartition(13), "doc_id", "lang", frac, default_fraction=0.0, salt="s1"
+    )
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in out.select("doc_id").collect()
+    }
+
+
+def test_stratified_sample_matches_hash_sample_per_stratum(spark):
+    # within one stratum the kept set must equal plain hash_sample at
+    # that stratum's rate (same hash, same salt) — composability contract
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    strat = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.3}, default_fraction=0.0, salt="x"
+    )
+    plain = hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", 0.3, "x")
+    assert {r.doc_id for r in strat.collect()} == {r.doc_id for r in plain.collect()}
