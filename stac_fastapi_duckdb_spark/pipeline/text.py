@@ -153,3 +153,62 @@ def analyze_documents(
         quality_score_col(F.col(text_col)).alias("quality"),
         fingerprint_col(F.col(text_col)).alias("fp"),
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_df: int = 5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Corpus-wide boilerplate profile: per document, the fraction of
+    its distinct word n-grams whose document frequency across the WHOLE
+    corpus is ≥ ``min_df`` — the signal behind boilerplate / template
+    filtering in web-corpus curation (headers, footers, nav chrome
+    repeat across many pages; prose does not).
+
+    → (doc_id, n_shingles, n_boilerplate, boilerplate_ratio).
+
+    Scale shape — the exploded (doc, shingle-hash) stream is shuffled
+    exactly ONCE, on the shingle key: document frequency is a COUNT
+    window over that partitioning (shingles are distinct per doc, so
+    the partition size IS the DF) — no separate aggregate + self-join,
+    which would shuffle the exploded stream twice (measured: Spark does
+    not reuse the exchange across an agg and a join branch of the same
+    child). Only the final per-doc agg reshuffles, and by then rows are
+    just (doc_id, flag). With ``hash_shingles`` each shingle travels as
+    an 8-byte xxhash64, not the string.
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        shingles_col,
+    )
+
+    g = F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g")
+    ex = ensure_parallelism(df).select(F.col(id_col).alias("doc_id"), g)
+    if hash_shingles:
+        ex = ex.withColumn("_g", F.xxhash64("_g"))
+    annotated = ex.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
+    return (
+        annotated.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0)).alias(
+                "n_boilerplate"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate") / F.col("n_shingles"), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )

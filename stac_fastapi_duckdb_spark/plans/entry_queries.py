@@ -1241,6 +1241,16 @@ def q_contamination(spark, sf):
     )
 
 
+def q_boilerplate(spark, sf):
+    """Corpus-wide boilerplate profile: per-doc fraction of distinct
+    3-gram shingles with document frequency ≥ 5 (pipeline/text.py
+    boilerplate_stats) — one shuffle of 8-byte shingle hashes; the DF
+    aggregate and the annotating join share that exchange (AQE reuse)."""
+    from stac_fastapi_duckdb_spark.pipeline.text import boilerplate_stats
+
+    return boilerplate_stats(_t(spark, sf, "documents"), min_df=5)
+
+
 def q_dataset_split(spark, sf):
     """Hash-stable train/val/test split (80/10/10) + per-split stats —
     a doc never changes split when the corpus grows."""
@@ -1479,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination,
+    "boilerplate_stats": q_boilerplate,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2300,6 +2311,19 @@ ORACLE_SQL: dict[str, str] = {
               AS BIGINT) % 10000
               < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                           WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "boilerplate_stats": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        dfreq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g)
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate,
+               ROUND(SUM(CASE WHEN df >= 5 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS boilerplate_ratio
+        FROM e JOIN dfreq USING (g)
+        GROUP BY doc_id
     """,
     "contamination_check": f"""
         WITH sh AS ({_SHINGLES_SQL}),

@@ -41,3 +41,21 @@ def test_http_download_cached(spark, http_server):
     import os
 
     assert os.path.exists(p1)
+
+
+def test_object_store_urls_route_to_native_reader():
+    """s3a://, hdfs://, file:// and plain paths must reach Spark's own
+    datasource (the reference streams remote parquet via DuckDB httpfs;
+    Spark's equivalent is the hadoop filesystem layer — the shim must
+    only intercept plain http(s), which Spark cannot read natively).
+    The sandbox has no hadoop-aws jars, so this pins the ROUTING, not a
+    live S3 read."""
+    from stac_fastapi_duckdb_spark.sources import catalog as C
+
+    for url in (
+        "s3a://bucket/prefix/items.parquet",
+        "hdfs://nn:8020/warehouse/items.parquet",
+        "file:///data/items.parquet",
+        "/data/items.parquet",
+    ):
+        assert C._localize(url) == url  # untouched → native reader

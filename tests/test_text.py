@@ -71,3 +71,38 @@ def test_analyze_documents_single_pass(docs):
     out = T.analyze_documents(docs)
     assert set(out.columns) == {"doc_id", "lang_pred", "n_tokens", "n_tokens_bpe", "quality", "fp"}
     assert out.count() == 6
+
+
+def test_boilerplate_stats_semantics_and_shared_exchange(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright acme corp all rights reserved unique prose one"),
+            (2, "copyright acme corp all rights reserved unique prose two"),
+            (3, "copyright acme corp all rights reserved unique prose three"),
+            (4, "completely original sentence with no repeated template"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_stats(docs, min_df=3, shingle_n=3).collect()
+    }
+    # "copyright acme corp", "acme corp all", ... the 6 shared 3-grams
+    # appear in 3 docs (df=3 >= min_df); the per-doc tails don't
+    assert out[1].n_boilerplate == out[2].n_boilerplate == out[3].n_boilerplate > 0
+    assert out[4].n_boilerplate == 0 and out[4].boilerplate_ratio == 0.0
+    for d in (1, 2, 3):
+        assert 0 < out[d].boilerplate_ratio < 1
+
+    # the exploded (doc, shingle) stream must be shuffled exactly ONCE
+    # (the DF window) — an agg+self-join shape would shuffle it twice
+    plan = (
+        boilerplate_stats(docs, min_df=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(_g", plan)) == 1
+    assert "Join" not in plan
