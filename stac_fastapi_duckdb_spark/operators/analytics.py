@@ -1,0 +1,120 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+Beyond-reference operators (the reference has no event analytics at
+all) in the family every large event store serves. Both are expressed
+so the heavy input is shuffled a minimal number of times and all
+per-row work stays in whole-stage codegen.
+
+- **funnel_counts** — ordered-subsequence matching ("view, then click,
+  then purchase — in that order"). Events are filtered to the step
+  types FIRST (the funnel predicate is usually <1% of a 100 TB event
+  table — this filter pushes to the scan), then ONE shuffle gathers
+  each user's surviving events; the in-order match is a JVM
+  ``aggregate`` fold over the time-sorted array, advancing a step
+  cursor — no window, no per-step self-joins (k self-joins of the
+  event table is the naive shape this replaces).
+- **cohort_retention** — cohort = the user's first active week;
+  retention[k] = users active k weeks after their cohort week. Three
+  key-partitioned aggregations ((user, week) distinct → per-user min →
+  per-(cohort, offset) count), each with map-side partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """→ (step, step_name, n_users): how many users completed the first
+    ``k`` steps in order, for every k.
+
+    Ordering is (ts, event_id) — the unique id tiebreaks equal
+    timestamps, so the match is deterministic and engine-portable. A
+    user's events are matched greedily: the cursor advances at the
+    earliest event of the next step type that follows the previously
+    matched event.
+    """
+    n_steps = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    evs = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            F.col(id_col).alias("_eid"),
+            F.col(type_col).alias("_t"),
+        ).alias("_e"),
+    )
+    seq = evs.groupBy("_u").agg(F.array_sort(F.collect_list("_e")).alias("_seq"))
+    reached = F.aggregate(
+        "_seq",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < n_steps) & (e["_t"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    counts = (
+        seq.select(reached.alias("_reached"))
+        .filter(F.col("_reached") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("_reached"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    return (
+        steps_df.join(counts, "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """→ (cohort_week, week_offset, n_users, retention): for each
+    weekly cohort (users whose first activity falls in that ISO week),
+    how many are active ``week_offset`` weeks later, and the fraction
+    of the cohort that represents (retention at offset 0 is 1.0 by
+    construction)."""
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    user_weeks = events.select(
+        F.col(user_col).alias("_u"), week.alias("_w")
+    ).distinct()
+    first = user_weeks.groupBy("_u").agg(F.min("_w").alias("cohort_week"))
+    active = user_weeks.join(first, "_u").select(
+        "cohort_week",
+        (F.datediff(F.col("_w"), F.col("cohort_week")) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    out = active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(Window.partitionBy("cohort_week"))
+    return out.select(
+        # midnight timestamp rather than DATE: pandas/Arrow render both
+        # as datetime64, so cross-engine comparisons see one type
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / cohort_size, 6).alias("retention"),
+    )

@@ -1241,6 +1241,25 @@ def q_contamination(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """Ordered view→click→purchase funnel (operators/analytics.py):
+    scan-pushed step filter → one per-user shuffle → JVM fold over the
+    (ts, event_id)-sorted array — replaces the naive k-way self-join."""
+    from stac_fastapi_duckdb_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(_events(spark, sf), ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle (operators/analytics.py):
+    cohort = first-activity week; n_users/retention per week offset."""
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf))
+
+
 def q_boilerplate(spark, sf):
     """Corpus-wide boilerplate profile: per-doc fraction of distinct
     3-gram shingles with document frequency ≥ 5 (pipeline/text.py
@@ -1490,6 +1509,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination,
     "boilerplate_stats": q_boilerplate,
+    "funnel_steps": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2311,6 +2332,54 @@ ORACLE_SQL: dict[str, str] = {
               AS BIGINT) % 10000
               < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                           WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "funnel_steps": f"""
+        WITH ev AS (
+            SELECT user_id, ts, event_id, event_type FROM {_EVENTS_SQL}
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        s1 AS (
+            SELECT user_id, min(row(ts, event_id)) AS k FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
+            FROM ev e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND row(e.ts, e.event_id) > s1.k
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
+            FROM ev e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND row(e.ts, e.event_id) > s2.k
+            GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS step_name,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+    "cohort_retention": f"""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM {_EVENTS_SQL}
+        ),
+        f AS (SELECT user_id, min(w) AS cohort_week FROM uw GROUP BY user_id),
+        act AS (
+            SELECT f.cohort_week,
+                   CAST((uw.w - f.cohort_week) / 7 AS INTEGER) AS week_offset
+            FROM uw JOIN f ON uw.user_id = f.user_id
+        ),
+        agg AS (
+            SELECT cohort_week, week_offset, COUNT(*) AS n_users
+            FROM act GROUP BY cohort_week, week_offset
+        )
+        SELECT cohort_week, week_offset, n_users,
+               ROUND(CAST(n_users AS DOUBLE) /
+                     MAX(CASE WHEN week_offset = 0 THEN n_users END)
+                         OVER (PARTITION BY cohort_week), 6) AS retention
+        FROM agg
     """,
     "boilerplate_stats": f"""
         WITH sh AS ({_SHINGLES_SQL}),

@@ -1,0 +1,92 @@
+"""operators/analytics.py: ordered-funnel matching and cohort
+retention semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.operators.analytics import (
+    cohort_retention,
+    funnel_counts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _t(minutes):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+def test_funnel_order_matters(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, _t(0), 1, "view"), (1, _t(1), 2, "click"), (1, _t(2), 3, "purchase"),
+            # user 2: clicked BEFORE viewing — click must not count
+            (2, _t(0), 4, "click"), (2, _t(1), 5, "view"),
+            # user 3: view only
+            (3, _t(0), 6, "view"),
+            # user 4: never viewed — nothing counts
+            (4, _t(0), 7, "purchase"), (4, _t(1), 8, "click"),
+        ],
+    )
+    got = {
+        r.step: (r.step_name, r.n_users)
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_funnel_equal_timestamps_tiebreak_by_event_id(spark):
+    # view and click at the SAME ts: event_id orders them, so the click
+    # with the higher id still follows the view deterministically
+    ev = _ev(spark, [(1, _t(0), 10, "view"), (1, _t(0), 11, "click")])
+    got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got == {1: 1, 2: 1}
+    # reversed ids → click sorts before view → funnel stalls at view
+    ev2 = _ev(spark, [(1, _t(0), 11, "view"), (1, _t(0), 10, "click")])
+    got2 = {r.step: r.n_users for r in funnel_counts(ev2, ["view", "click"]).collect()}
+    assert got2 == {1: 1, 2: 0}
+
+
+def test_funnel_emits_zero_rows_for_unreached_steps(spark):
+    ev = _ev(spark, [(1, _t(0), 1, "view")])
+    rows = funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    assert [(r.step, r.n_users) for r in rows] == [(1, 1), (2, 0), (3, 0)]
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _ev(
+        spark,
+        [
+            # cohort week of Jan 1: users 1,2; user 1 returns weeks 1 and 2
+            (1, _t(0), 1, "view"),
+            (1, _t(60 * 24 * 7), 2, "view"),
+            (1, _t(60 * 24 * 14), 3, "view"),
+            (2, _t(10), 4, "view"),
+            # cohort week of Jan 8: user 3
+            (3, _t(60 * 24 * 7), 5, "view"),
+        ],
+    )
+    rows = {
+        (r.cohort_week.date().isoformat(), r.week_offset): (r.n_users, r.retention)
+        for r in cohort_retention(ev).collect()
+    }
+    assert rows[("2024-01-01", 0)] == (2, 1.0)
+    assert rows[("2024-01-01", 1)] == (1, 0.5)
+    assert rows[("2024-01-01", 2)] == (1, 0.5)
+    assert rows[("2024-01-08", 0)] == (1, 1.0)
+    assert len(rows) == 4
+
+
+def test_cohort_retention_multiple_events_one_week_count_once(spark):
+    ev = _ev(spark, [(1, _t(0), 1, "view"), (1, _t(5), 2, "click")])
+    rows = cohort_retention(ev).collect()
+    assert len(rows) == 1 and rows[0].n_users == 1
