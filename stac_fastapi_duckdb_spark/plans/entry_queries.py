@@ -62,8 +62,29 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     _CONF_GUARDED.add(key)
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Base-table reader. With ``SPARK_GRAFT_CACHE_INPUTS=1`` the table
+    is served from Spark's in-memory columnar cache — the long-lived
+    serving mode the bench uses, symmetric to the DuckDB baseline's
+    ``enable_object_cache=true`` + OS page cache (reference
+    ``config.py:142-150``): both engines then measure query compute,
+    not per-run parquet decode. Off by default (correctness runs, plan
+    goldens, and tests all exercise the cold parquet path, where
+    pushdown/pruning assertions live). At cluster scale the knob is
+    per-table: cache dims and hot extracts, never the 100 TB fact."""
+    import os as _os
+
     _ensure_session_confs(spark)
+    if _os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "1":
+        key = (id(spark), sf_dir, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
+            _TABLE_CACHE[key] = df
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

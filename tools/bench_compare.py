@@ -55,8 +55,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # warm-serving symmetry (see bench.py): DuckDB below benches warm
+    # (repeat runs, OS page cache); Spark serves base tables from its
+    # columnar cache unless SPARK_GRAFT_BENCH_COLD=1
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    if not cold:
+        os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "1"
     spark = get_spark("bench-compare")
     spark.sparkContext.setLogLevel("ERROR")
+    print(f"mode: {'cold' if cold else 'warm-cache'} (Spark input tables)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
