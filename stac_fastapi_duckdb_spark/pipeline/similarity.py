@@ -249,3 +249,157 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Per-subspace codebooks ``(m, ks, dim//m)``: split each vector
+    into ``m`` subvectors, k-means each subspace independently on a
+    bounded, scan-order-invariant sample (same xxhash64 draw as IVF
+    training). A 100 TB embedding table compresses to ``m`` small-int
+    codes per row (64 floats → 8 nibbles here) — the memory/IO lever
+    that makes billion-vector search fit a cluster's RAM.
+    """
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    dsub = dim // m
+    rows = (
+        df.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_size)
+        .toPandas()[vec_col]
+    )
+    x = np.stack(rows.to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ks, len(sub)), replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_code_col(
+    codebooks: np.ndarray, vec_col: str = "embedding"
+):
+    """``array<int>`` of ``m`` codes — PURE Column algebra over literal
+    codebook arrays, no Python in the row path. For each subspace the
+    squared distance to every centroid is a left-to-right ``aggregate``
+    fold; the code is the first index attaining the minimum. The
+    identical expression structure is what the DuckDB oracle replays
+    (same IEEE ops in the same order → bit-identical distances → the
+    same argmin, including ties)."""
+    m, ks, dsub = codebooks.shape
+    v = F.col(vec_col)
+    codes = []
+    for j in range(m):
+        # codebook of subspace j as ONE array<array<double>> literal;
+        # per-centroid distance references the lambda variable — keeps
+        # the expression tree (and generated code) small
+        cbj = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in codebooks[j, c]])
+                for c in range(ks)
+            ]
+        )
+        def _mk_dists(off):
+            # closure factory: the HOF lambdas must have EXACTLY the
+            # arity Spark expects (defaulted params count against it)
+            def _d(cent):
+                def _diff(i):
+                    return F.element_at(v, F.lit(off) + i) - F.element_at(
+                        cent, i
+                    )
+
+                return F.aggregate(
+                    F.sequence(F.lit(1), F.lit(dsub)),
+                    F.lit(0.0),
+                    lambda acc, i: acc + _diff(i) * _diff(i),
+                )
+
+            return _d
+
+        dists = F.transform(cbj, _mk_dists(j * dsub))
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*codes)  # 1-based codes (match SQL list_position)
+
+
+def with_pq_codes(
+    df: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the m-code PQ encoding (persist this next to — or instead
+    of — the raw vectors; 8 small ints replace 64 floats)."""
+    return df.withColumn(out_col, pq_code_col(codebooks, vec_col))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    probe: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: the probe is compared
+    against each row's PQ codes through a per-query lookup table
+    (``m × ks`` floats, built once driver-side in plain sequential
+    float arithmetic so the oracle's SQL reproduces it bitwise). Per
+    row the distance is ``m`` table lookups + adds inside codegen —
+    no vector math touches the scan. → (vec_id, adc_dist).
+
+    If ``code_col`` is absent the codes are derived on the fly (tests);
+    at scale they are precomputed by ``with_pq_codes``.
+    """
+    m, ks, dsub = codebooks.shape
+    # plain Python (not numpy) sequential arithmetic: (p-c)*(p-c) summed
+    # left-to-right, matching the SQL oracle's list_sum order exactly
+    lut = [
+        [
+            sum(
+                (probe[j * dsub + i] - float(codebooks[j, c, i]))
+                * (probe[j * dsub + i] - float(codebooks[j, c, i]))
+                for i in range(dsub)
+            )
+            for c in range(ks)
+        ]
+        for j in range(m)
+    ]
+    if code_col not in df.columns:
+        df = with_pq_codes(df, codebooks, vec_col, code_col)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(lut_lit, j), F.element_at(F.col(code_col), j)
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

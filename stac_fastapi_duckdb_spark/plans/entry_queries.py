@@ -569,6 +569,69 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_ann_pq_topk(spark, sf):
+    """ANN top-k via product quantization + asymmetric distance:
+    FROZEN per-subspace codebooks (plans/pq_index — the offline index
+    artifact), codes assigned in pure Column algebra, per-row distance
+    = m LUT lookups. The DuckDB oracle replays assignment and ADC from
+    the same literals — identical IEEE op order makes distances
+    bit-identical, so codes, ties, and ranking match exactly."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.plans.pq_index import PQ_CODEBOOKS
+
+    emb = _t(spark, sf, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    return P_sim.pq_adc_topk(
+        rest, probe, np.asarray(PQ_CODEBOOKS, dtype=np.float64), k=10
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """Generate the ann_pq_topk oracle from the frozen codebooks: the
+    SAME sequential (p-c)*(p-c) folds as the Spark Column algebra and
+    the Python LUT, so every double matches bitwise."""
+    from stac_fastapi_duckdb_spark.plans.pq_index import PQ_CODEBOOKS
+
+    m = len(PQ_CODEBOOKS)
+    dsub = len(PQ_CODEBOOKS[0][0])
+
+    def lst(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    def cb_lit(j):
+        return "[" + ", ".join(lst(c) for c in PQ_CODEBOOKS[j]) + "]"
+
+    def dists(j, vec):
+        off = j * dsub
+        return (
+            f"list_transform({cb_lit(j)}, cent -> list_sum("
+            f"list_transform(range(1, {dsub + 1}), i -> "
+            f"({vec}[{off}+i]-cent[i])*({vec}[{off}+i]-cent[i]))))"
+        )
+
+    terms = []
+    for j in range(m):
+        d_row = dists(j, "e.embedding")
+        lut = dists(j, "p.pe")
+        terms.append(f"({lut})[(list_position({d_row}, list_min({d_row})))]")
+    dist = " + ".join(terms)
+    return f"""
+        SELECT vec_id, ROUND(dist, 6) AS adc_dist FROM (
+            SELECT e.vec_id AS vec_id, {dist} AS dist
+            FROM embeddings e,
+                 (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
+            WHERE e.vec_id <> 0
+        )
+        ORDER BY ROUND(dist, 6) ASC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def _media(spark, sf):
     """Synthesize a media table from documents: payload = UTF-8 bytes of
     the text as an opaque binary column (the real corpus would carry
@@ -1494,6 +1557,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_srp_topk": q_ann_srp_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
@@ -2028,6 +2092,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos_sim DESC, s.vec_id ASC
         LIMIT 10
     """,
+    "ann_pq_topk": _pq_oracle_sql(),
     "ann_ivf_topk": f"""
         WITH base AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -145,3 +145,58 @@ def test_ann_planted_neighbor_recall(spark):
     cent = sim.train_ivf_centroids(rest, DIM, num_cells=4, sample_size=100)
     ivf = {r.vec_id for r in sim.ivf_topk(rest, probe, cent, k=5, nprobe=2).collect()}
     assert len(ivf & {1, 2, 3, 4, 5}) >= 4
+
+
+def test_pq_codes_shape_and_range(vectors):
+    books = sim.train_pq_codebooks(
+        vectors, dim=DIM, m=4, ks=8, sample_size=100
+    )
+    assert books.shape == (4, 8, 4)
+    rows = sim.with_pq_codes(vectors, books).select("pq_code").collect()
+    for r in rows:
+        assert len(r.pq_code) == 4
+        assert all(1 <= c <= 8 for c in r.pq_code)  # 1-based codes
+
+
+def test_pq_adc_finds_planted_near_copy(vectors):
+    # vec 100 is a near-exact copy of vec 0: quantized to the same (or
+    # adjacent) codes, it must rank first by asymmetric distance
+    books = sim.train_pq_codebooks(
+        vectors, dim=DIM, m=4, ks=8, sample_size=100
+    )
+    probe = _probe(vectors)
+    top = sim.pq_adc_topk(
+        vectors.filter(F.col("vec_id") != 0), probe, books, k=5
+    ).collect()
+    assert top[0].vec_id == 100
+    # all of cluster A (same half-space) should dominate the top-5
+    top_ids = {r.vec_id for r in top}
+    assert all(i == 100 or i < 15 for i in top_ids)
+
+
+def test_pq_adc_agrees_with_exact_on_cluster_membership(vectors):
+    # ADC is approximate, but at this separation the top-10 must stay
+    # inside the probe's cluster — the recall contract at test scale
+    books = sim.train_pq_codebooks(
+        vectors, dim=DIM, m=4, ks=8, sample_size=100
+    )
+    probe = _probe(vectors)
+    rest = vectors.filter(F.col("vec_id") != 0)
+    adc_ids = {r.vec_id for r in sim.pq_adc_topk(rest, probe, books, k=10).collect()}
+    exact_ids = {r.vec_id for r in sim.brute_force_topk(rest, probe, k=10).collect()}
+    assert len(adc_ids & exact_ids) >= 7  # recall@10 >= 0.7
+
+
+def test_pq_codes_deterministic_and_partition_invariant(vectors):
+    books = sim.train_pq_codebooks(
+        vectors, dim=DIM, m=4, ks=8, sample_size=100
+    )
+    a = {
+        r.vec_id: list(r.pq_code)
+        for r in sim.with_pq_codes(vectors, books).collect()
+    }
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in sim.with_pq_codes(vectors.repartition(7), books).collect()
+    }
+    assert a == b
