@@ -247,3 +247,29 @@ def test_kafka_shaped_envelope_parse_batch_and_stream(spark, tmp_path):
         SE.parse_event_envelope(stream), spark, output_mode="append"
     )
     assert sorted(r.event_id for r in streamed.collect()) == list(range(6))
+
+
+def test_normalize_event_ts_adapts_to_all_shipped_encodings(spark):
+    """The events table has shipped with ts as raw-ns longs AND as
+    timestamp[us] (TIMESTAMP_NTZ) across testdata generations; the
+    normalizer must map every encoding to the same TimestampType
+    wall-clock instant."""
+    import datetime as dtm
+
+    want = dtm.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    ns = int(want.replace(tzinfo=dtm.timezone.utc).timestamp() * 1e9)
+
+    as_long = spark.createDataFrame([(1, ns)], "event_id long, ts long")
+    got_long = SE.normalize_event_ts(as_long).collect()[0].ts
+
+    as_ntz = spark.createDataFrame(
+        [(1, want)], "event_id long, ts timestamp_ntz"
+    )
+    got_ntz = SE.normalize_event_ts(as_ntz).collect()[0].ts
+
+    as_ts = spark.createDataFrame([(1, want)], "event_id long, ts timestamp")
+    got_ts = SE.normalize_event_ts(as_ts).collect()[0].ts
+
+    assert got_long == got_ntz == got_ts == want
+    for df in (as_long, as_ntz, as_ts):
+        assert dict(SE.normalize_event_ts(df).dtypes)["ts"] == "timestamp"
