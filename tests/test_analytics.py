@@ -90,3 +90,63 @@ def test_cohort_retention_multiple_events_one_week_count_once(spark):
     ev = _ev(spark, [(1, _t(0), 1, "view"), (1, _t(5), 2, "click")])
     rows = cohort_retention(ev).collect()
     assert len(rows) == 1 and rows[0].n_users == 1
+
+
+# ---------------------------------------------------------------------------
+# property-based differential test: the distributed fold must agree with
+# a trivially-correct per-user Python reference on random event sets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+STEPS = ["view", "click", "purchase"]
+
+
+@st.composite
+def _event_sets(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    return [
+        (
+            draw(st.integers(min_value=1, max_value=4)),  # user
+            draw(st.integers(min_value=0, max_value=40)),  # minute
+            eid,
+            draw(st.sampled_from(["view", "click", "purchase", "other"])),
+        )
+        for eid in range(n)
+    ]
+
+
+def _ref_funnel(events, steps):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, e, ty in events:
+        by_user[u].append((t, e, ty))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()  # (minute, event_id) — same order the operator uses
+        reached = 0
+        for _t, _e, ty in evs:
+            if reached < len(steps) and ty == steps[reached]:
+                reached += 1
+        for k in range(reached):
+            counts[k] += 1
+    return {i + 1: c for i, c in enumerate(counts)}
+
+
+@given(_event_sets())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_python_reference(spark, events):
+    df = _ev(
+        spark,
+        [(u, _t(t), e, ty) for u, t, e, ty in events],
+    )
+    got = {
+        r.step: r.n_users for r in funnel_counts(df, STEPS).collect()
+    }
+    assert got == _ref_funnel(events, STEPS)
