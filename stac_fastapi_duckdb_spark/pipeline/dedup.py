@@ -138,27 +138,25 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
-
-    rows per doc in the shuffle = ``bands``; join is per (band, hash)
-    bucket. ``max_bucket_size`` drops degenerate buckets (skew guard).
-    """
+    """→ (_id, band, bhash): ``bands`` LSH bucket keys per doc (each a
+    hash of one signature band). The shared front half of every
+    minhash-LSH flow — self-dedup pairs it within buckets, incremental
+    dedup joins new→base on (band, bhash)."""
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -180,6 +178,25 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash.
+
+    rows per doc in the shuffle = ``bands``; join is per (band, hash)
+    bucket. ``max_bucket_size`` drops degenerate buckets (skew guard).
+    """
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
 
     # one shuffle: gather each bucket's ids, expand pairs in-bucket with
     # JVM array algebra (a self-join would shuffle twice and re-derive
@@ -496,4 +513,70 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup an ARRIVING batch against the EXISTING corpus:
+    → (new_id, base_id, jaccard) for every new doc near-duplicating a
+    base doc at ≥ ``threshold``.
+
+    This is the shape continuous ingest actually needs — the standing
+    corpus is already deduped, so re-pairing base×base (what running
+    the self-dedup over the union would do) is pure waste. Here the
+    candidate join is banded-new ⋈ banded-base on (band, bhash): the
+    shuffle carries ``bands`` rows per doc from EACH side, base-side
+    buckets above ``max_bucket_size`` are dropped before the join
+    (boilerplate-band skew guard, same rationale as the self-dedup
+    cap), and only cross-side candidates are verified with exact
+    shingle Jaccard. At scale the banded base table is a precomputed
+    artifact — persist ``banded_signatures(base)`` bucketed by (band,
+    bhash) and each arriving batch joins against it with no base-side
+    recompute.
+    """
+    banded_new = banded_signatures(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col("_id").alias("new_id"), "band", "bhash")
+    banded_base = banded_signatures(
+        base_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).select(F.col("_id").alias("base_id"), "band", "bhash")
+    w = Window.partitionBy("band", "bhash")
+    banded_base = banded_base.withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    ).filter(F.col("_n") <= max_bucket_size).drop("_n")
+
+    cand = (
+        banded_new.join(banded_base, ["band", "bhash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+
+    sh_new = ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("new_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("_sh_a"),
+    )
+    sh_base = ensure_parallelism(base_docs).select(
+        F.col(id_col).alias("base_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("_sh_b"),
+    )
+    pairs = cand.join(sh_new, "new_id").join(sh_base, "base_id")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
     )

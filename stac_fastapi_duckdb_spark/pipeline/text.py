@@ -212,3 +212,54 @@ def boilerplate_stats(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    embedding/pretraining chunker (a doc too long for the model's
+    context becomes ceil((n-c)/(c-o))+1 windows with ``overlap`` tokens
+    of context carried across the seam).
+
+    → (doc_id, chunk_idx, chunk_text, chunk_n_tokens). All JVM array
+    algebra on the token array (split → sequence of window starts →
+    slice per window → one explode); no Python, no shuffle — a pure
+    per-row expansion that pipelines inside the scan stage, so chunking
+    a 100 TB corpus is map-only work.
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(step - 1))
+            / F.lit(step)
+        ).cast("int")
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, k * step + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - k * step).alias(
+                "chunk_n_tokens"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.chunk_n_tokens").alias("chunk_n_tokens"),
+    )

@@ -1354,6 +1354,30 @@ def q_boilerplate(spark, sf):
     return boilerplate_stats(_t(spark, sf, "documents"), min_df=5)
 
 
+def q_incremental_dedup(spark, sf):
+    """New-batch-vs-standing-corpus dedup (pipeline/dedup.py
+    incremental_near_dup): banded minhash joined new→base only — no
+    base×base pair expansion; every 5th doc plays the arriving batch."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import incremental_near_dup
+
+    d = _t(spark, sf, "documents")
+    return incremental_near_dup(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
+def q_chunk_documents(spark, sf):
+    """Overlapping fixed-token chunking for embedding/pretraining
+    windows (pipeline/text.py chunk_documents): pure per-row JVM array
+    expansion, map-only — no shuffle at any corpus size."""
+    from stac_fastapi_duckdb_spark.pipeline.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_dataset_split(spark, sf):
     """Hash-stable train/val/test split (80/10/10) + per-split stats —
     a doc never changes split when the corpus grows."""
@@ -1596,6 +1620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_stats": q_boilerplate,
     "funnel_steps": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "chunk_documents": q_chunk_documents,
+    "incremental_dedup": q_incremental_dedup,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2418,6 +2444,38 @@ ORACLE_SQL: dict[str, str] = {
               AS BIGINT) % 10000
               < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                           WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "incremental_dedup": f"""
+        SELECT new_id, base_id, jaccard FROM (
+            SELECT a.doc_id AS new_id, b.doc_id AS base_id,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+              ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        ) WHERE jaccard >= 0.8
+    """,
+    "chunk_documents": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CAST(floor((greatest(len(toks) - 32, 0) + 23) / 24)
+                        AS INTEGER) + 1 AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx,
+               array_to_string(
+                   toks[unnest(range(0, n_chunks)) * 24 + 1
+                        : unnest(range(0, n_chunks)) * 24 + 32], ' ')
+                   AS chunk_text,
+               CAST(least(32, n - unnest(range(0, n_chunks)) * 24)
+                    AS INTEGER) AS chunk_n_tokens
+        FROM c
     """,
     "funnel_steps": f"""
         WITH ev AS (

@@ -137,3 +137,54 @@ def test_minhash_dedup_transitive_planted_chain(spark):
         for r in dedup.minhash_dedup(docs, threshold=0.8, transitive=False).collect()
     }
     assert one_hop[3] == 2  # documents the non-transitive trade-off
+
+
+def test_incremental_near_dup_finds_cross_side_pairs_only(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import incremental_near_dup
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different base document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of base doc 1 (one word changed)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            # near-copy of ANOTHER new doc — must NOT pair (new×new is
+            # the self-dedup job's business, not incremental's)
+            (11, "fresh unseen content with no counterpart anywhere one"),
+            (12, "fresh unseen content with no counterpart anywhere two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = incremental_near_dup(new, base, threshold=0.5).collect()
+    assert {(r.new_id, r.base_id) for r in got} == {(10, 1)}
+    assert all(0.5 <= r.jaccard <= 1.0 for r in got)
+
+
+def test_incremental_near_dup_matches_bruteforce_on_testdata(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        incremental_near_dup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r.new_id, r.base_id, r.jaccard)
+        for r in incremental_near_dup(new, base, threshold=0.8).collect()
+    }
+    # brute-force oracle: all-pairs exact Jaccard across the split
+    brute = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, None, threshold=0.8).collect()
+        if (r.id_a % 5 == 0) != (r.id_b % 5 == 0)
+    }
+    brute = {
+        (a, b, j) if a % 5 == 0 else (b, a, j) for a, b, j in brute
+    }
+    assert got == brute

@@ -106,3 +106,49 @@ def test_boilerplate_stats_semantics_and_shared_exchange(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning\(_g", plan)) == 1
     assert "Join" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short text")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: 10 tokens, window 4, step 3 → starts 0,3,6 cover to 10 →
+    # ceil((10-4)/3)+1 = 3 chunks
+    assert out[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert out[(1, 1)] == ("w3 w4 w5 w6", 4)  # 1-token overlap seam
+    assert out[(1, 2)] == ("w6 w7 w8 w9", 4)
+    # doc 2 fits one window; chunk_n_tokens is the true (short) count
+    assert out[(2, 0)] == ("short text", 2)
+    assert len(out) == 4
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    # every document's final chunk must end exactly at its last token:
+    # sum over chunks of (tokens - overlap) + overlap == n_tokens
+    from pyspark.sql import functions as FF
+
+    agg = chunks.groupBy("doc_id").agg(
+        FF.max("chunk_idx").alias("last"),
+        FF.sum("chunk_n_tokens").alias("s"),
+        FF.count(FF.lit(1)).alias("k"),
+    )
+    toks = docs.select(
+        "doc_id", FF.size(FF.split(FF.lower(FF.trim("text")), r"\s+")).alias("n")
+    )
+    bad = (
+        agg.join(toks, "doc_id")
+        .filter(FF.col("s") - (FF.col("k") - 1) * 8 != FF.col("n"))
+        .count()
+    )
+    assert bad == 0
