@@ -263,3 +263,55 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.chunk_n_tokens").alias("chunk_n_tokens"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF (sklearn-style
+    ``tf * (ln((1+N)/(1+df)) + 1)``) — keyword extraction / salient-term
+    profiling for corpus exploration and topic labeling.
+
+    → (doc_id, term, tf, tfidf). Scale shape: term frequency is one
+    (doc, term) aggregation; document frequency is a COUNT window over
+    the term partitioning of that SAME aggregate (partition size = df —
+    no separate aggregate + join, the boilerplate_stats trick); top-k
+    is a row_number window per doc. Ordering ties break on the ROUNDED
+    score then term, so ranking is engine-portable (a raw float
+    ordering would be at the mercy of libm's last ulp).
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    if n_docs is None:
+        n_docs = df.count()
+    tf = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(F.lit(float(1 + n_docs)) / (dfreq + F.lit(1))) + F.lit(1.0)
+    scored = tf.withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", "term", "tf", "tfidf")
+    )

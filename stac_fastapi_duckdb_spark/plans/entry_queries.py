@@ -1354,6 +1354,16 @@ def q_boilerplate(spark, sf):
     return boilerplate_stats(_t(spark, sf, "documents"), min_df=5)
 
 
+def q_tfidf_terms(spark, sf):
+    """Per-doc top-5 salient terms by smoothed TF-IDF (pipeline/text.py
+    tfidf_top_terms): DF via count-window over the TF aggregate's term
+    partitioning (one shuffle, no DF self-join), rounded-score ordering
+    for engine-portable ranking."""
+    from stac_fastapi_duckdb_spark.pipeline.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
 def q_incremental_dedup(spark, sf):
     """New-batch-vs-standing-corpus dedup (pipeline/dedup.py
     incremental_near_dup): banded minhash joined new→base only — no
@@ -1622,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "chunk_documents": q_chunk_documents,
     "incremental_dedup": q_incremental_dedup,
+    "tfidf_terms": q_tfidf_terms,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2444,6 +2455,28 @@ ORACLE_SQL: dict[str, str] = {
               AS BIGINT) % 10000
               < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                           WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "tfidf_terms": r"""
+        WITH e AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+        sc AS (
+            SELECT doc_id, term, tf,
+                   ROUND(tf * (ln((1 + (SELECT COUNT(*) FROM documents))
+                                  * 1.0
+                                  / (1 + COUNT(*) OVER (PARTITION BY term)))
+                               + 1), 6) AS tfidf
+            FROM tf
+        )
+        SELECT doc_id, term, tf, tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rn
+            FROM sc
+        ) WHERE rn <= 5
     """,
     "incremental_dedup": f"""
         SELECT new_id, base_id, jaccard FROM (

@@ -152,3 +152,29 @@ def test_chunk_documents_covers_every_token(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_tfidf_top_terms_ranks_rare_terms_highest(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common rare1"),
+            (2, "common common unique2 unique2"),
+            (3, "common filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.term, r.tf, r.tfidf))
+    # doc 1: "rare1" (df=1) must outrank "common" (df=3) despite tf 1 vs 3
+    terms1 = [t for t, _, _ in by_doc[1]]
+    assert terms1[0] == "rare1" or by_doc[1][0][2] >= by_doc[1][1][2]
+    assert "rare1" in terms1
+    # doc 2: unique2 with tf=2 and df=1 is the clear top term
+    assert by_doc[2][0][0] == "unique2"
+    # every doc gets at most k rows, scores are positive
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert all(s > 0 for v in by_doc.values() for _, _, s in v)
