@@ -315,3 +315,72 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select("doc_id", "term", "tf", "tfidf")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a bag of
+    query terms, return the top-``k`` — the classic lexical-search
+    ranking (and the retrieval twin of ``tfidf_top_terms``).
+
+    → (doc_id, score). Scale shape: the term filter is applied DURING
+    the explode (only query-term tokens survive — for a handful of
+    terms that's a ~|query|/|vocab| row reduction before any shuffle),
+    document frequency is again a COUNT window over the per-(doc,term)
+    TF aggregate, and the final per-doc sum + top-k is one aggregation
+    plus TakeOrderedAndProject. Corpus stats (N, avgdl) are two cheap
+    driver-side aggregates — index-build-time constants in a real
+    deployment.
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    n_docs = df.count()
+    avgdl = df.select(
+        F.avg(F.size(tokens_col(F.col(text_col)))).alias("a")
+    ).collect()[0]["a"]
+
+    toks = tokens_col(F.col(text_col))
+    tf = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(
+                F.filter(
+                    toks,
+                    lambda t: t.isin([str(q) for q in query_terms]),
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        tf.withColumn("_s", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1364,6 +1364,18 @@ def q_tfidf_terms(spark, sf):
     return tfidf_top_terms(_t(spark, sf, "documents"), k=5)
 
 
+def q_bm25_search(spark, sf):
+    """Okapi BM25 lexical retrieval for a fixed query bag
+    (pipeline/text.py bm25_search): query-term filter inside the
+    explode, DF via count-window over the TF aggregate, per-doc sum +
+    TakeOrderedAndProject top-k."""
+    from stac_fastapi_duckdb_spark.pipeline.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf, "documents"), ["join", "scan", "filter"], k=10
+    )
+
+
 def q_incremental_dedup(spark, sf):
     """New-batch-vs-standing-corpus dedup (pipeline/dedup.py
     incremental_near_dup): banded minhash joined new→base only — no
@@ -1633,6 +1645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "incremental_dedup": q_incremental_dedup,
     "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
     "label_balance": q_label_balance,
@@ -2455,6 +2468,36 @@ ORACLE_SQL: dict[str, str] = {
               AS BIGINT) % 10000
               < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                           WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+    "bm25_search": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        st AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n,
+                   (SELECT AVG(len(string_split_regex(lower(trim(text)),
+                                                      '\s+')))
+                    FROM documents) AS avgdl
+        ),
+        e AS (
+            SELECT doc_id, len(toks) AS dl,
+                   unnest(list_filter(toks,
+                       t -> t IN ('join', 'scan', 'filter'))) AS term
+            FROM d
+        ),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY 1, 2, 3),
+        sc AS (
+            SELECT doc_id,
+                   ln(1.0 + (st.n - (COUNT(*) OVER (PARTITION BY term)) + 0.5)
+                            / ((COUNT(*) OVER (PARTITION BY term)) + 0.5))
+                   * (tf * (1.2 + 1))
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) AS s
+            FROM tf, st
+        )
+        SELECT doc_id, ROUND(SUM(s), 6) AS score FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 10
     """,
     "tfidf_terms": r"""
         WITH e AS (

@@ -178,3 +178,24 @@ def test_tfidf_top_terms_ranks_rare_terms_highest(spark):
     # every doc gets at most k rows, scores are positive
     assert all(len(v) <= 2 for v in by_doc.values())
     assert all(s > 0 for v in by_doc.values() for _, _, s in v)
+
+
+def test_bm25_ranks_matching_docs_by_saturation_and_length(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),        # high tf, short
+            (2, "spark engine " + "pad " * 50),     # one hit, long doc
+            (3, "nothing relevant at all here"),    # no hit
+            (4, "spark spark engine"),              # high tf, shortest
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["spark"], k=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids  # zero-hit docs never score
+    # term-frequency saturation + length normalization: the short
+    # high-tf docs outrank the long single-hit doc
+    assert set(ids[:2]) == {1, 4} and ids[2] == 2
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
