@@ -543,6 +543,14 @@ def incremental_near_dup(
     artifact — persist ``banded_signatures(base)`` bucketed by (band,
     bhash) and each arriving batch joins against it with no base-side
     recompute.
+
+    Recall is PROBABILISTIC, like any LSH gate: a true pair at exactly
+    ``threshold`` is missed with probability ``(1 - t^(h/b))^b`` (≈2e-4
+    at the 64/16 defaults, ≈3e-15 at bands=32), and base buckets larger
+    than ``max_bucket_size`` are dropped entirely — boilerplate members
+    of an oversized bucket are deliberately not reported. Callers that
+    need parity with an exhaustive oracle should raise ``bands`` and
+    lift the cap (see ``plans/entry_queries.q_incremental_dedup``).
     """
     banded_new = banded_signatures(
         new_docs, text_col, id_col, num_hashes, bands, shingle_n

@@ -281,6 +281,8 @@ def train_pq_codebooks(
         .limit(sample_size)
         .toPandas()[vec_col]
     )
+    if len(rows) == 0:
+        raise ValueError("train_pq_codebooks: empty sample (no input rows)")
     x = np.stack(rows.to_numpy()).astype(np.float64)
     rng = np.random.RandomState(seed)
     books = np.empty((m, ks, dsub), dtype=np.float64)
@@ -294,6 +296,11 @@ def train_pq_codebooks(
                 mask = assign == c
                 if mask.any():
                     cent[c] = sub[mask].mean(axis=0)
+        if len(cent) < ks:
+            # sample smaller than ks: tile centroids so the codebook keeps
+            # its (m, ks, dsub) shape (duplicate codes are harmless — the
+            # argmin just always picks the first occurrence)
+            cent = np.resize(cent, (ks, dsub))
         books[j] = cent
     return books
 

@@ -346,10 +346,23 @@ def bm25_search(
         tokens_col,
     )
 
-    n_docs = df.count()
-    avgdl = df.select(
-        F.avg(F.size(tokens_col(F.col(text_col)))).alias("a")
-    ).collect()[0]["a"]
+    # one aggregate scan for both corpus constants (not two)
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens_col(F.col(text_col)))).alias("a"),
+    ).collect()[0]
+    n_docs = stats["n"]
+    if n_docs == 0:
+        # empty corpus: avgdl is NULL — short-circuit to an empty result
+        # with the contract schema instead of a float(None) TypeError
+        return (
+            df.select(F.col(id_col).alias("doc_id"))
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
+    # all-NULL text: avg over zero non-null rows is NULL; the explode
+    # below yields no rows anyway, so any finite placeholder is safe
+    avgdl = stats["a"] if stats["a"] is not None else 1.0
 
     toks = tokens_col(F.col(text_col))
     tf = (

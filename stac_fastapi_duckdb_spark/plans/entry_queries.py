@@ -37,7 +37,12 @@ from stac_fastapi_duckdb_spark.pipeline import text as P_text
 from stac_fastapi_duckdb_spark.streaming import events as P_stream
 
 
-_CONF_GUARDED: set[int] = set()
+import weakref
+
+# Keyed by the live session object (weakly): id(spark) can be reused by a
+# new session after the old one is GC'd, which would hand out cached
+# DataFrames bound to a dead session; weak keys also self-evict.
+_CONF_GUARDED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -47,8 +52,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     nanosAsLong (events.parquet is TIMESTAMP(NANOS) — a plain session
     errors with PARQUET_TYPE_ILLEGAL) and UTC so timestamp hashing
     matches the DuckDB oracle."""
-    key = id(spark)
-    if key in _CONF_GUARDED:
+    if spark in _CONF_GUARDED:
         return
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -59,10 +63,12 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             spark.conf.set(conf, val)
         except Exception:
             pass  # static in this deployment; session.py already set it
-    _CONF_GUARDED.add(key)
+    _CONF_GUARDED.add(spark)
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,11 +85,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     _ensure_session_confs(spark)
     if _os.environ.get("SPARK_GRAFT_CACHE_INPUTS") == "1":
-        key = (id(spark), sf_dir, name)
-        df = _TABLE_CACHE.get(key)
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        key = (sf_dir, name)
+        df = per_session.get(key)
         if df is None:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
-            _TABLE_CACHE[key] = df
+            per_session[key] = df
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1379,13 +1386,25 @@ def q_bm25_search(spark, sf):
 def q_incremental_dedup(spark, sf):
     """New-batch-vs-standing-corpus dedup (pipeline/dedup.py
     incremental_near_dup): banded minhash joined new→base only — no
-    base×base pair expansion; every 5th doc plays the arriving batch."""
+    base×base pair expansion; every 5th doc plays the arriving batch.
+
+    The oracle is EXHAUSTIVE exact Jaccard while the engine is
+    LSH-candidate-limited, so the contract run closes the probabilistic
+    gap the same way ``minhash_near_dup`` does: 32 bands of 2 hashes →
+    per-pair miss probability at j≥0.8 is (1-0.8²)³² ≈ 3e-15, corpus-
+    independent; and the base-bucket skew cap (a production guard that
+    DROPS oversized boilerplate buckets, i.e. deliberately trades recall
+    for bounded shuffle) is lifted here so a regenerated corpus with a
+    heavy band cannot silently diverge from the exhaustive oracle. The
+    capped default path is pkg-tested in tests/test_dedup.py."""
     from stac_fastapi_duckdb_spark.pipeline.dedup import incremental_near_dup
 
     d = _t(spark, sf, "documents")
     return incremental_near_dup(
         d.filter(F.col("doc_id") % 5 == 0),
         d.filter(F.col("doc_id") % 5 != 0),
+        bands=32,
+        max_bucket_size=1_000_000,
     )
 
 

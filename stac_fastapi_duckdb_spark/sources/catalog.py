@@ -102,6 +102,9 @@ class CollectionCatalog:
     def register(self, collection_id: str, url: str) -> None:
         self._urls[collection_id] = url
         self._df_cache.pop(collection_id, None)
+        # the manifest holds absolute file paths into the previous dataset;
+        # keeping it would make pruned_items_df skip files of the NEW url
+        self._file_index.pop(collection_id, None)
 
     # ------------------------------------------------------------------
     # item tables
