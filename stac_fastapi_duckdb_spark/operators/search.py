@@ -15,12 +15,15 @@ Spark re-expression:
   which Catalyst compiles to TakeOrderedAndProject, a per-partition
   top-k + single merge instead of a global sort.
 
-Count strategy: the filtered pre-sort DataFrame is shared between the
-page fetch and ``numMatched`` — one logical plan, two actions — instead
-of the reference's fully rebuilt second query on a fresh connection.
-Filters are pushed into both scans by Catalyst; with ``count_mode=
-"none"`` the count scan is skipped entirely (the scale-friendly option
-for 100 TB interactive search).
+Count strategy: ``numMatched`` rides the PAGE SCAN via ``df.observe``
+(a CollectMetrics node pinned between the filter and the sort). The
+ordered page always compiles to a top-k (populate_sort's id tiebreak
+guarantees an ordering), and top-k consumes every input row to find the
+winners — so the metric sees every matched row during the one page
+action. That kills the reference's second full count query per request
+(database_logic.py:957-958, the double scan SURVEY §4.3 calls out):
+one scan of the union serves both the page and the exact count. With
+``count_mode="none"`` even the metric is skipped (numMatched=None).
 """
 
 from __future__ import annotations
@@ -165,6 +168,7 @@ def execute_search(
     filtered = builder.dataframe()
     columns = filtered.columns
 
+
     sort_specs = [
         (resolve_sort_field(f, columns), d)
         for f, d in populate_sort(sortby)
@@ -192,6 +196,27 @@ def execute_search(
             keep.update(columns)
         keep -= exclude - protected
         page_df = page_df.select(*[safe_col(c) for c in columns if c in keep])
+
+    # numMatched piggybacks on the PAGE SCAN: a CollectMetrics node
+    # pinned here — above the filter + fields projection (so column
+    # pruning still reaches the parquet reader), below the keyset
+    # filter and top-k (so keyset-paged requests still report the FULL
+    # result size, matching the reference's standalone count). The
+    # top-k above consumes every input row to pick the winners, so the
+    # metric is complete after the one page action — no second scan.
+    # Guard: without an ordering the limit is a bare LocalLimit that
+    # early-exits the scan, which would undercount — fall back to a
+    # separate count action then (only possible on tables with no id
+    # column; STAC items always sort by the id tiebreak).
+    observation = None
+    if count_mode == "exact" and order_cols:
+        from pyspark.sql import Observation
+
+        observation = Observation()
+        page_df = page_df.observe(
+            observation, F.count(F.lit(1)).alias("matched")
+        )
+
     if keyset is not None and sort_specs:
         page_df = page_df.filter(_keyset_predicate(sort_specs, keyset))
         offset = 0
@@ -212,9 +237,11 @@ def execute_search(
             next_token = pg.offset_token(offset, limit)
 
     matched: int | None = None
-    if count_mode == "exact":
-        # same filtered plan, second action — not a rebuilt query
-        matched = filtered.count()
+    if observation is not None:
+        # metric was computed BY the page collect above — no second scan
+        matched = observation.get["matched"]
+    elif count_mode == "exact":
+        matched = filtered.count()  # unordered-page fallback (see guard)
 
     return [r.asDict(recursive=True) for r in rows], matched, next_token
 

@@ -285,3 +285,32 @@ def test_keyset_offset_parity_across_null_region(catalog):
             break
         tok = keyset_token([page[-1].get("cloud_cover"), page[-1]["id"]])
     assert got_ks == want
+
+
+def test_exact_count_rides_page_scan(catalog, monkeypatch):
+    """numMatched must come from the observe metric computed by the page
+    action itself — never a second count action (the reference's
+    double-scan defect, database_logic.py:957-958). count() is poisoned
+    for the duration, so any fallback to a second scan fails loudly."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("execute_search ran a second count scan")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    items, matched, token = execute_search(
+        catalog, collection_ids=["col-a"], limit=5
+    )
+    assert len(items) == 5 and matched == 20 and token == "5"
+
+    # keyset page: matched still reports the FULL result size
+    items2, matched2, _ = execute_search(
+        catalog, collection_ids=["col-a"], limit=5, token=token
+    )
+    assert len(items2) == 5 and matched2 == 20
+
+    # fields projection above the metric node keeps count green too
+    _, matched3, _ = execute_search(
+        catalog, collection_ids=["col-a"], limit=3, fields=["platform"]
+    )
+    assert matched3 == 20
