@@ -35,6 +35,9 @@ _LOCAL_DEFAULTS = {
     # Spark timestamp; read as long ns and convert explicitly at the source
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # let Python data sources (sources/http_parquet.py) receive pushed
+    # filters for row-group stat skipping
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     # local[32]: one partition per core for the ~600k-row bench tables;
     # at cluster scale AQE coalesces post-shuffle partitions anyway.

@@ -41,12 +41,11 @@ _HTTP_CACHE_DIR = os.environ.get(
 
 
 def _localize(url: str) -> str:
-    """Spark's parquet reader speaks file:// and cluster filesystems
-    (s3a://, hdfs://) natively, but not plain http(s) — the reference
-    covers that via DuckDB httpfs (``config.py:112-121``). Shim:
-    download-once to a local cache keyed by URL hash. Single-file
-    collections only; at scale data lives in an object store where the
-    native committers/readers apply."""
+    """LEGACY driver-download shim, kept only as the fallback when the
+    Python DataSource API is unavailable. The live http(s) path is
+    ``sources/http_parquet.py``: executor-side ranged reads,
+    partition-per-row-group, footer-stat skipping — the Spark-native
+    analog of the reference's DuckDB httpfs (``config.py:112-121``)."""
     if not url.startswith(("http://", "https://")):
         return url
     import hashlib
@@ -120,7 +119,13 @@ class CollectionCatalog:
 
     def items_df(self, collection_id: str) -> DataFrame:
         """DataFrame of one collection's items, with the injected
-        constant ``collection`` column (reference S2)."""
+        constant ``collection`` column (reference S2).
+
+        URL forms: a path/s3a/hdfs/file URL (native reader), an http(s)
+        URL, a LIST of http(s) URLs (multi-file collection), or a
+        ``*manifest.json`` URL — the http forms read through the
+        executor-side ranged data source (``sources/http_parquet.py``),
+        never a driver download."""
         if self._partitioned is not None:
             return self._partitioned.filter(F.col(COLLECTION_COL) == collection_id)
         if collection_id in self._df_cache:
@@ -128,11 +133,31 @@ class CollectionCatalog:
         url = self._urls.get(collection_id)
         if url is None:
             raise NotFoundError(f"Collection {collection_id} not configured")
-        df = self.spark.read.parquet(_localize(url)).withColumn(
+        df = self._read_source(url).withColumn(
             COLLECTION_COL, F.lit(collection_id)
         )
         self._df_cache[collection_id] = df
         return df
+
+    def _read_source(self, url) -> DataFrame:
+        urls = list(url) if isinstance(url, (list, tuple)) else [url]
+        n_http = sum(u.startswith(("http://", "https://")) for u in urls)
+        if n_http == 0:
+            # native reader: local / file:// / s3a:// / hdfs:// paths,
+            # single or multi-path
+            return self.spark.read.parquet(*urls)
+        if n_http != len(urls):
+            raise ValueError(
+                f"collection URL list mixes http(s) and native paths: {urls}"
+            )
+        from stac_fastapi_duckdb_spark.sources import http_parquet as hp
+
+        hp.ensure_registered(self.spark)
+        return (
+            self.spark.read.format("http_parquet")
+            .option("urls", json.dumps(urls))
+            .load()
+        )
 
     # ------------------------------------------------------------------
     # manifest file-skipping (sources/index.py): point/range lookups over
@@ -153,6 +178,10 @@ class CollectionCatalog:
         url = self._urls.get(collection_id)
         if url is None:
             raise NotFoundError(f"Collection {collection_id} not configured")
+        if not isinstance(url, str) or url.startswith(("http://", "https://")):
+            # remote/multi-URL collections: the http data source does its
+            # own footer-stat row-group skipping; no driver-side manifest
+            return {}
         path = _localize(url)
         if not os.path.exists(path):
             return {}
