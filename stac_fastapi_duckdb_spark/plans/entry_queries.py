@@ -488,8 +488,17 @@ def q_minhash_near_dup(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """Exact all-pairs word-3-gram Jaccard ≥ 0.8 (brute-force verifier)."""
-    return P_dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), None, threshold=0.8)
+    """Word-3-gram Jaccard ≥ 0.8 pairs via the CANDIDATE-JOIN form:
+    128-hash / 64-band LSH candidates (per-pair miss ≈ (1-0.8²)⁶⁴ ≈
+    6e-30 at the threshold — effectively exhaustive) verified by exact
+    shingle Jaccard. The brute-force crossJoin branch of
+    ``ngram_jaccard_pairs`` is deliberately NOT registered — it is the
+    test-only verification oracle (tests/test_dedup.py); no contract
+    plan contains a cartesian product (pinned in
+    tests/test_plan_regression.py)."""
+    docs = _t(spark, sf, "documents")
+    cand = P_dedup.minhash_lsh_candidates(docs, num_hashes=128, bands=64)
+    return P_dedup.ngram_jaccard_pairs(docs, cand, threshold=0.8)
 
 
 def q_minhash_dedup_map(spark, sf):

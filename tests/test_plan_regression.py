@@ -101,9 +101,9 @@ def test_no_accidental_python_or_nested_loops(spark):
         "simhash_pairs",
     }
     # single-row broadcast side crossed against every embedding (brute
-    # force ANN baseline) / doc_id < doc_id inequality self-join (exact
-    # all-pairs verification oracle)
-    nlj_ok = {"embedding_topk", "ngram_jaccard"}
+    # force ANN baseline) — a BroadcastNestedLoopJoin over ONE row, not
+    # a data×data cartesian
+    nlj_ok = {"embedding_topk"}
     got = _capture(spark)
     for name, sig in got.items():
         if name not in python_ok:
@@ -112,3 +112,17 @@ def test_no_accidental_python_or_nested_loops(spark):
             )
         if name not in nlj_ok:
             assert "nlj" not in sig, f"{name} plans a nested-loop join: {sig}"
+
+
+def test_no_registered_plan_contains_cartesian_product(spark):
+    # global invariant: the brute-force all-pairs branches (crossJoin
+    # verification oracles) must never be REGISTERED as contract plans —
+    # a CartesianProduct in the registry is the one shape guaranteed to
+    # die at 100× scale
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a CartesianProduct"
+        )
