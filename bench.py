@@ -108,9 +108,69 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
                 "mode": "cold" if cold else "warm-cache",
+                "streaming": _streaming_components(spark, sf_dir),
             }
         )
     )
+
+
+def _streaming_components(spark, sf_dir: str) -> dict:
+    """Decompose streaming_hourly_rollup into its honest components.
+    The headline number runs a WHOLE streaming query per invocation —
+    a shape that pays fresh-query startup every time, which a real
+    long-lived ingest amortizes to zero. Measured here on a durable
+    checkpoint with files ARRIVING between passes:
+
+    - ``initial``     fresh checkpoint, file 1 lands → full cold pass
+    - ``steady_state`` file 2 lands, SAME checkpoint → what continuous
+      ingest actually pays per arriving batch (resume + process)
+    - ``resume_noop``  nothing new → pure offset-log consult
+
+    Timing-only: result values are oracle-checked through the
+    memory-sink contract query (streaming == batch rollup)."""
+    import shutil
+    import tempfile
+
+    from stac_fastapi_duckdb_spark.streaming import events as SE
+
+    d = tempfile.mkdtemp(prefix="bench_stream_")
+    land, out, ckpt = f"{d}/landing", f"{d}/out", f"{d}/ckpt"
+    os.makedirs(land)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+
+    def one_pass() -> float:
+        plan = SE.hourly_rollup(SE.read_events_stream(spark, land))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")  # state stores
+        t0 = time.perf_counter()
+        try:
+            q = (
+                plan.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 4)
+
+    try:
+        os.symlink(src, f"{land}/batch-0.parquet")
+        initial = one_pass()
+        os.symlink(src, f"{land}/batch-1.parquet")  # new data arrives
+        steady = one_pass()
+        noop = one_pass()
+        return {
+            "query": "streaming_hourly_rollup",
+            "initial": initial,
+            "steady_state": steady,
+            "resume_noop": noop,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
