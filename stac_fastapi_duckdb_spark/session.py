@@ -35,6 +35,9 @@ _LOCAL_DEFAULTS = {
     # Spark timestamp; read as long ns and convert explicitly at the source
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # default INT96 timestamps carry NO parquet min/max statistics —
+    # written files would be invisible to row-group/file skipping
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # let Python data sources (sources/http_parquet.py) receive pushed
     # filters for row-group stat skipping
     "spark.sql.python.filterPushdown.enabled": "true",

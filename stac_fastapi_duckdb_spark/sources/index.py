@@ -28,6 +28,18 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _naive_utc(v: Any) -> Any:
+    """Timestamp stats come back tz-aware from pyarrow when the file
+    was written as TIMESTAMP(isAdjustedToUTC=true); the engine runs
+    with a UTC session and queries with naive datetimes — normalize so
+    the two compare."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def build_file_index(path: str, columns: list[str]) -> dict[str, dict]:
     """One footer sweep over ``path/*.parquet`` (or a single parquet
     file) → per-file min/max for ``columns``. Run it where the data
@@ -57,7 +69,7 @@ def build_file_index(path: str, columns: list[str]) -> dict[str, dict]:
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
             if ok and lo is not None:
-                stats[col] = {"min": lo, "max": hi}
+                stats[col] = {"min": _naive_utc(lo), "max": _naive_utc(hi)}
         index[f] = stats
     return index
 
