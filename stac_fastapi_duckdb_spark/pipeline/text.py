@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism, tokens_col
 
 # Minimal stopword profiles for the corpus languages (en/de/fr/es + CJK
 # detection for zh). Tiny on purpose: the operator shape (per-language
@@ -396,4 +396,175 @@ def bm25_search(
         .agg(F.round(F.sum("_s"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition metrics used by crawl-corpus quality
+    filters (the "repetition removal" family of Gopher rules):
+
+    - ``dup_word_frac``   — fraction of word occurrences that are
+      repeats of an earlier word: ``(n - n_distinct) / n``.
+    - ``top_bigram_frac`` — occurrences of the single most frequent
+      word-2-gram over all 2-gram positions.
+    - ``dup_trigram_frac``— fraction of 3-gram positions whose gram
+      occurs more than once in the document.
+
+    All pure Column algebra over the token array: the whole operator is
+    map-only and fuses with the scan — no shuffle, so at 100 TB this
+    runs at scan speed. Per-document cost is O(n log n): the gram
+    arrays are SORTED once and both frequency metrics become
+    single-pass run-length folds over the sorted array (F.aggregate) —
+    not the naive O(n·d) count-each-distinct-gram nested loop, which
+    matters because higher-order functions evaluate interpreted
+    (outside codegen). Short documents (< 2 or < 3 tokens) define the
+    corresponding fraction as 0.0.
+    """
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    toks = tokens_col(t)
+
+    def _run_fold(sorted_col: str) -> Column:
+        """One fold over a sorted gram array → struct(best, dups):
+        best = longest equal-run length (count of the most frequent
+        gram), dups = number of positions belonging to runs of length
+        ≥ 2 (count of duplicated gram positions)."""
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dups"),
+        )
+
+        def step(acc, x):
+            same = x == acc["prev"]
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            # on a repeat: +1 position, +1 more if it's the run's first
+            # repeat (to retroactively count the run's head position)
+            dups = acc["dups"] + F.when(
+                same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                dups.alias("dups"),
+            )
+
+        return F.aggregate(
+            F.col(sorted_col),
+            zero,
+            step,
+            lambda acc: F.struct(acc["best"].alias("best"), acc["dups"].alias("dups")),
+        )
+
+    # n-grams via zip_with over shifted slices: TWO array slices per
+    # document (not one per position) and a single zip pass
+    n = F.size("_w")
+    bg0 = F.zip_with(
+        F.slice("_w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tg0 = F.zip_with(
+        F.slice("_bg0", 1, F.greatest(F.size("_w") - 2, F.lit(0))),
+        F.slice("_w", 3, F.greatest(F.size("_w") - 2, F.lit(0))),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.col("_w"),
+        bg0.alias("_bg0"),
+    ).select(
+        F.col(id_col),
+        F.col("_w"),
+        F.array_sort("_bg0").alias("_bg"),
+        F.array_sort(tg0).alias("_tg"),
+    ).select(
+        F.col(id_col),
+        F.size("_w").alias("_n"),
+        F.size(F.array_distinct("_w")).alias("_nd"),
+        _run_fold("_bg").alias("_bgf"),
+        _run_fold("_tg").alias("_tgf"),
+    ).select(
+        id_col,
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.col("_n") > 0,
+                (F.col("_n") - F.col("_nd")) / F.col("_n").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                F.col("_n") >= 2,
+                F.col("_bgf")["best"] / (F.col("_n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("_n") >= 3,
+                F.col("_tgf")["dups"] / (F.col("_n") - 2).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns are deliberately RE2-compatible (no lookaround, no backrefs):
+# the same literal pattern runs in Spark (Java regex) and any RE2-based
+# engine (DuckDB oracle, Go/Rust scrubbers), so detection semantics are
+# portable across the pipeline and its verification oracle.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d-]{7,}\d", "<PHONE>"),
+}
+
+
+def redact_pii_col(text: Column | str) -> Column:
+    """Redact all PII_PATTERNS in order (email → ip → phone; email
+    first so its digit-bearing local parts can't be half-eaten by the
+    phone pattern). Spark regexp_replace is global, one JVM-side pass
+    per pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII audit + redaction: match counts per class and
+    the redacted text. Map-only Column algebra (regexp_extract_all /
+    regexp_replace) — no shuffle, runs at scan speed over the corpus."""
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}s")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    return df.select(
+        F.col(id_col),
+        *counts,
+        redact_pii_col(t).alias("redacted"),
     )

@@ -1588,6 +1588,100 @@ def q_distinct_count(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style within-document repetition metrics (dup-word frac,
+    top-bigram frac, dup-trigram frac) — the 'repetition removal'
+    quality family. Pure higher-order-function Column algebra: map-only,
+    fuses with the scan, zero shuffles."""
+    return P_text.repetition_stats(_t(spark, sf, "documents"))
+
+
+def _pii_documents(spark, sf):
+    """Documents with deterministically injected PII (the corpus text is
+    synthetic word soup with no real PII, so a meaningful value-level
+    oracle needs known positives; the IDENTICAL injection expression
+    runs on the DuckDB side)."""
+    d = _t(spark, sf, "documents")
+    id_s = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        id_s,
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" cc admin"), id_s, F.lit("@mail.test")),
+        ).otherwise(F.lit("")),
+        F.lit(" or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", synth.alias("text"))
+
+
+def q_pii_scrub(spark, sf):
+    """PII audit + redaction over PII-injected documents: per-class
+    match counts and the redacted-text fingerprint. RE2-compatible
+    patterns so the DuckDB oracle runs the LITERAL same regexes."""
+    out = P_text.pii_scrub(_pii_documents(spark, sf))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+def q_url_normalize(spark, sf):
+    """URL canonicalization (crawl-pipeline keying): scheme/host
+    lowercased, default port + www. stripped, fragment dropped,
+    tracking params removed + rest sorted, trailing slash collapsed.
+    Spark-side uses the built-in parse_url decomposition; the oracle
+    restates the same semantics with regexps."""
+    from stac_fastapi_duckdb_spark.functions.urls import normalize_urls
+
+    d = _t(spark, sf, "documents")
+    id_s = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        id_s,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&ref="),
+        F.col("lang"),
+        F.lit("&b=2&a=1#frag"),
+    )
+    return normalize_urls(d.select("doc_id", raw.alias("url")))
+
+
+def q_stream_stream_join(spark, sf):
+    """Watermarked stream-stream interval join (view→purchase
+    attribution within 30 min per user): two file-source streams, both
+    watermarked, inner-joined on user + bounded event-time range, run
+    to completion with AvailableNow. State expires with the watermark —
+    O(interval window), not O(stream). The batch form of the SAME
+    builder is the oracle (restated in DuckDB SQL)."""
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    views = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    purchases = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    (v,) = SJ.split_by_type(views, "view")
+    (p,) = SJ.split_by_type(purchases, "purchase")
+    joined = SJ.view_purchase_pairs(v, p, within="30 minutes")
+    return P_stream.run_to_memory(joined, spark, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1687,6 +1781,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_funcs": q_datetime_funcs,
     "props_map_explode": q_props_map_explode,
     "window_analytics": q_window_analytics,
+    "repetition_stats": q_repetition_stats,
+    "pii_scrub": q_pii_scrub,
+    "url_normalize": q_url_normalize,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 
@@ -1843,6 +1941,29 @@ _SIMHASH_SIGS_SQL = r"""
                              x -> x <> '') AS ts
           FROM documents)
     WHERE len(ts) = 0
+"""
+
+
+# PII oracle shares the LITERAL pattern constants with the Spark
+# operator (pipeline/text.py PII_PATTERNS are RE2-compatible by design)
+from stac_fastapi_duckdb_spark.pipeline.text import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII["email"][0]
+_PII_IP = _PII["ip"][0]
+_PII_PHONE = _PII["phone"][0]
+
+# identical injection expression as _pii_documents (Spark side)
+_PII_SYNTH_SQL = """
+    SELECT doc_id,
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com',
+                  CASE WHEN doc_id % 3 = 0
+                       THEN concat(' cc admin', CAST(doc_id AS VARCHAR), '@mail.test')
+                       ELSE '' END,
+                  ' or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                  CASE WHEN doc_id % 4 = 0
+                       THEN concat(' from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.7')
+                       ELSE '' END) AS text
+    FROM documents
 """
 
 
@@ -2814,5 +2935,100 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
+    """,
+    "repetition_stats": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id, w, len(w) AS n,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(generate_series(1, len(w)-1),
+                             i -> concat_ws(' ', w[i], w[i+1]))
+                        ELSE [] END AS bg,
+                   CASE WHEN len(w) >= 3
+                        THEN list_transform(generate_series(1, len(w)-2),
+                             i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                        ELSE [] END AS tg
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n > 0
+                          THEN (n - len(list_distinct(w))) / CAST(n AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_word_frac,
+               ROUND(CASE WHEN n >= 2
+                          THEN COALESCE(list_aggregate(
+                                   list_transform(list_distinct(bg),
+                                       g2 -> len(list_filter(bg, x -> x = g2))),
+                                   'max'), 0) / CAST(n - 1 AS DOUBLE)
+                          ELSE 0.0 END, 6) AS top_bigram_frac,
+               ROUND(CASE WHEN n >= 3
+                          THEN len(list_filter(tg,
+                                   x -> len(list_filter(tg, y -> y = x)) > 1))
+                               / CAST(n - 2 AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM g
+    """,
+    "pii_scrub": f"""
+        WITH s AS ({_PII_SYNTH_SQL})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+        FROM s
+    """,
+    "url_normalize": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   concat('HTTPS://WWW.', source, '.Example.COM',
+                          CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+                          '/Docs/', CAST(doc_id AS VARCHAR),
+                          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                          '?utm_source=x&ref=', lang, '&b=2&a=1#frag') AS url
+            FROM documents
+        ), u AS (
+            SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM s
+        ), p AS (
+            SELECT doc_id,
+                   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(lower(split_part(
+                       regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                       ':', 1)), '^www\.', '') AS host,
+                   regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
+                   list_sort(list_filter(
+                       string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+                       pp -> NOT regexp_matches(pp, '^utm_')
+                             AND NOT regexp_matches(pp, '^ref=')
+                             AND pp <> '')) AS kept
+            FROM u
+        )
+        SELECT doc_id,
+               concat(scheme, '://', host,
+                      CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                           THEN '/' ELSE regexp_replace(path0, '/+$', '') END,
+                      CASE WHEN len(kept) > 0
+                           THEN concat('?', array_to_string(kept, '&'))
+                           ELSE '' END) AS url_norm,
+               regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+               CAST(len(kept) AS BIGINT) AS n_params
+        FROM p
+    """,
+    "stream_stream_join": f"""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts
+        FROM (SELECT * FROM {_EVENTS_SQL} e WHERE event_type = 'view') v
+        JOIN (SELECT * FROM {_EVENTS_SQL} e WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts
+         AND p.ts <= v.ts + INTERVAL 30 MINUTE
     """,
 }

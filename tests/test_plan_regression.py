@@ -28,7 +28,7 @@ GOLDEN = Path(__file__).parent / "golden_plans.json"
 
 # executing these runs a full streaming query / mutates session state in
 # ways that make the captured plan a LocalTableScan — not plan-checkable
-SKIP = {"streaming_hourly_rollup", "stateful_sessions"}
+SKIP = {"streaming_hourly_rollup", "stateful_sessions", "stream_stream_join"}
 
 _MARKERS = {
     "scans": r"FileScan parquet",

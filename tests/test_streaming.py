@@ -273,3 +273,62 @@ def test_normalize_event_ts_adapts_to_all_shipped_encodings(spark):
     assert got_long == got_ntz == got_ts == want
     for df in (as_long, as_ntz, as_ts):
         assert dict(SE.normalize_event_ts(df).dtypes)["ts"] == "timestamp"
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join (view→purchase attribution)
+# ---------------------------------------------------------------------------
+
+
+def _attribution_rows():
+    # user 1: view@0 → purchases @10 (in), @25 (in), @45 (out of 30min)
+    # user 2: view@100 → purchase @120 (in); purchase@90 precedes → out
+    # user 3: purchase with no view → never joins
+    return [
+        _mk(0, user=1, etype="view", eid=1),
+        _mk(10, user=1, etype="purchase", eid=2),
+        _mk(25, user=1, etype="purchase", eid=3),
+        _mk(45, user=1, etype="purchase", eid=4),
+        _mk(100, user=2, etype="view", eid=5),
+        _mk(90, user=2, etype="purchase", eid=6),
+        _mk(120, user=2, etype="purchase", eid=7),
+        _mk(50, user=3, etype="purchase", eid=8),
+    ]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    land = _write_events(spark, tmp_path, _attribution_rows())
+
+    ev_batch = SE.normalize_event_ts(spark.read.parquet(land))
+    vb, pb = SJ.split_by_type(ev_batch, "view", "purchase")
+    expect = {
+        (r.view_id, r.purchase_id)
+        for r in SJ.view_purchase_pairs(vb, pb).collect()
+    }
+    assert expect == {(1, 2), (1, 3), (5, 7)}
+
+    vs, ps = (
+        SJ.split_by_type(SE.read_events_stream(spark, land), "view")[0],
+        SJ.split_by_type(SE.read_events_stream(spark, land), "purchase")[0],
+    )
+    got = SE.run_to_memory(
+        SJ.view_purchase_pairs(vs, ps), spark, output_mode="append"
+    )
+    assert {(r.view_id, r.purchase_id) for r in got.collect()} == expect
+
+
+def test_stream_stream_join_is_watermarked(spark, tmp_path):
+    """Both sides must carry event-time watermarks — without them the
+    interval-join state never expires (unbounded state at stream scale).
+    Assert the analyzed streaming plan carries watermarks on both
+    inputs rather than trusting the builder."""
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    land = _write_events(spark, tmp_path, _attribution_rows())
+    v = SJ.split_by_type(SE.read_events_stream(spark, land), "view")[0]
+    p = SJ.split_by_type(SE.read_events_stream(spark, land), "purchase")[0]
+    joined = SJ.view_purchase_pairs(v, p)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2

@@ -199,3 +199,79 @@ def test_bm25_ranks_matching_docs_by_saturation_and_length(spark):
     # high-tf docs outrank the long single-hit doc
     assert set(ids[:2]) == {1, 4} and ids[2] == 2
     assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    rows = [
+        (1, "a b a b a b"),      # heavy 2-gram repetition
+        (2, "a b c d e f"),      # all unique
+        (3, "x"),                # too short for bigrams/trigrams
+        (4, "x y"),              # bigrams but no trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+
+    # doc 1: tokens [a b a b a b] → n=6, distinct=2 → dup_word=4/6
+    assert out[1].n_tokens == 6
+    assert abs(out[1].dup_word_frac - 4 / 6) < 1e-6
+    # bigrams: ab ba ab ba ab → top 'a b' ×3 over 5 positions
+    assert abs(out[1].top_bigram_frac - 3 / 5) < 1e-6
+    # trigrams: aba bab aba bab → all positions duplicated → 4/4
+    assert abs(out[1].dup_trigram_frac - 1.0) < 1e-6
+
+    # doc 2: nothing repeats
+    assert out[2].dup_word_frac == 0.0
+    assert abs(out[2].top_bigram_frac - 1 / 5) < 1e-6  # every bigram ×1
+    assert out[2].dup_trigram_frac == 0.0
+
+    # short docs: fractions defined as 0, no errors
+    assert out[3].n_tokens == 1
+    assert out[3].top_bigram_frac == 0.0 and out[3].dup_trigram_frac == 0.0
+    assert out[4].top_bigram_frac == 1.0  # 'x y' ×1 over 1 position
+    assert out[4].dup_trigram_frac == 0.0
+
+
+def test_repetition_stats_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = T.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row metric: must fuse with the scan
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+        (2, "server 192.168.1.200 and 10.0.0.7 are down, call +44-20-7946-0958"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io c.d@e-f.org and +1-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.pii_scrub(df).collect()}
+
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert "<EMAIL>" in out[1].redacted and "jane" not in out[1].redacted
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 2, 1)
+    assert out[2].redacted.count("<IP>") == 2 and "<PHONE>" in out[2].redacted
+    assert (out[3].n_emails, out[3].n_ips, out[3].n_phones) == (0, 0, 0)
+    assert out[3].redacted == rows[2][1]  # untouched
+    assert out[4].n_emails == 2 and out[4].n_phones == 1
+
+
+def test_pii_email_not_eaten_by_phone(spark):
+    # digit-heavy email local part must be redacted as EMAIL, not PHONE
+    df = spark.createDataFrame(
+        [(1, "user12345678@example.com")], "doc_id long, text string"
+    )
+    r = T.pii_scrub(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 0
+    assert r.redacted == "<EMAIL>"
