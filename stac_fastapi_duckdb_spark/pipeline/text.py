@@ -568,3 +568,57 @@ def pii_scrub(
         *counts,
         redact_pii_col(t).alias("redacted"),
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    probe_id: int = 0,
+    k: int = 10,
+    n_candidates: int = 50,
+    alpha: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 candidate generation over
+    the corpus, then dense cosine rerank of the candidate set against a
+    probe embedding; final score = ``alpha·bm25 + cosine``.
+
+    Scale shape: BM25 produces ``n_candidates`` rows (driver-small);
+    that candidate set is BROADCAST into the embeddings scan, so the
+    billion-vector side is filtered by a broadcast hash join (never
+    shuffled), the probe vector is a broadcast single row, and the
+    rerank is ``n_candidates`` cosine evaluations + a
+    TakeOrderedAndProject — the standard retrieve-then-rerank topology
+    at any corpus size.
+    """
+    from stac_fastapi_duckdb_spark.functions import vectors as V
+
+    cand = bm25_search(
+        docs, query_terms, text_col=text_col, id_col=id_col, k=n_candidates
+    ).select(F.col("doc_id"), F.col("score").alias("bm25"))
+    probe = embeddings.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe_vec")
+    )
+    return (
+        embeddings.join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(V.cosine_similarity("embedding", "probe_vec"), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .select(
+            "doc_id",
+            "bm25",
+            "cos_sim",
+            F.round(F.lit(alpha) * F.col("bm25") + F.col("cos_sim"), 6).alias(
+                "hybrid"
+            ),
+        )
+        .orderBy(F.col("hybrid").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

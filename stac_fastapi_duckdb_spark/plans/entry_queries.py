@@ -1682,6 +1682,38 @@ def q_stream_stream_join(spark, sf):
     return P_stream.run_to_memory(joined, spark, output_mode="append")
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid lexical+dense retrieval: BM25 top-50 candidate generation,
+    broadcast of the candidate set into the embeddings scan (vector side
+    never shuffled), cosine rerank vs a probe embedding, combined-score
+    top-k."""
+    from stac_fastapi_duckdb_spark.pipeline.text import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        ["join", "scan", "filter"],
+        probe_id=0,
+        k=10,
+        n_candidates=50,
+    )
+
+
+def q_stream_enrich(spark, sf):
+    """Stream-static broadcast enrichment + watermarked rollup: the
+    events stream joined to the static customer dim (broadcast,
+    stateless, stream never shuffled pre-window), then hourly value per
+    market segment. Oracle is the batch join+rollup restated in SQL."""
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    ev = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    dim = _t(spark, sf, "customer")
+    out = SJ.enriched_hourly_value(
+        ev, dim, ("user_id", "c_custkey"), "c_mktsegment"
+    )
+    return P_stream.run_to_memory(out, spark)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1785,6 +1817,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "url_normalize": q_url_normalize,
     "stream_stream_join": q_stream_stream_join,
+    "hybrid_search": q_hybrid_search,
+    "stream_enrich": q_stream_enrich,
 }
 
 
@@ -3030,5 +3064,59 @@ ORACLE_SQL: dict[str, str] = {
           ON v.user_id = p.user_id
          AND p.ts > v.ts
          AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    "hybrid_search": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ),
+        st AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n,
+                   (SELECT AVG(len(string_split_regex(lower(trim(text)),
+                                                      '\s+')))
+                    FROM documents) AS avgdl
+        ),
+        e AS (
+            SELECT doc_id, len(toks) AS dl,
+                   unnest(list_filter(toks,
+                       t -> t IN ('join', 'scan', 'filter'))) AS term
+            FROM d
+        ),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY 1, 2, 3),
+        sc AS (
+            SELECT doc_id,
+                   ln(1.0 + (st.n - (COUNT(*) OVER (PARTITION BY term)) + 0.5)
+                            / ((COUNT(*) OVER (PARTITION BY term)) + 0.5))
+                   * (tf * (1.2 + 1))
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) AS s
+            FROM tf, st
+        ),
+        bm AS (
+            SELECT doc_id, ROUND(SUM(s), 6) AS bm25 FROM sc GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+        ),
+        probe AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS pv
+            FROM embeddings WHERE vec_id = 0
+        ),
+        rr AS (
+            SELECT bm.doc_id, bm.bm25,
+                   ROUND(list_cosine_similarity(
+                       CAST(emb.embedding AS DOUBLE[]), probe.pv), 6) AS cos_sim
+            FROM bm JOIN embeddings emb ON emb.vec_id = bm.doc_id, probe
+        )
+        SELECT doc_id, bm25, cos_sim,
+               ROUND(0.1 * bm25 + cos_sim, 6) AS hybrid
+        FROM rr
+        ORDER BY hybrid DESC, doc_id ASC LIMIT 10
+    """,
+    "stream_enrich": f"""
+        SELECT date_trunc('hour', e.ts) AS bucket,
+               c.c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM {_EVENTS_SQL} e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
     """,
 }

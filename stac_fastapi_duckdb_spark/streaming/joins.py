@@ -63,3 +63,58 @@ def split_by_type(events: DataFrame, *types: str) -> tuple[DataFrame, ...]:
     """Filter one event feed into per-type feeds (filters are pushed to
     the scan / applied before any state is built)."""
     return tuple(events.filter(F.col("event_type") == t) for t in types)
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static broadcast enrichment: join an (unbounded) event
+    feed to a small static dimension table. The dim side is broadcast —
+    stateless per micro-batch, no state store, no watermark needed, and
+    the stream side is never shuffled. The standard 'decorate the fact
+    stream' topology: at 100 TB/day the fact side stays a pass-through
+    map while the dimension (thousands-to-millions of rows) ships to
+    executors once per batch."""
+    ev_key, dim_key = on
+    d = dim.select(F.col(dim_key), *[F.col(c) for c in dim_cols])
+    return events.join(
+        F.broadcast(d), events[ev_key] == d[dim_key], "inner"
+    ).drop(dim_key)
+
+
+def enriched_hourly_value(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    group_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked hourly rollup of event value per dimension attribute
+    (e.g. revenue per customer segment per hour): broadcast-enrich the
+    stream, then tumbling-window aggregate. Works identically on batch
+    input (the oracle contract)."""
+    enriched = enrich_with_dim(events, dim, on, [group_col])
+    if enriched.isStreaming:
+        enriched = enriched.withWatermark("ts", watermark)
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col(group_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL sum: exact and order-independent under arbitrary
+            # merge order (stream replay / partial-agg merges)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            group_col,
+            "n_events",
+            "total_value",
+        )
+    )

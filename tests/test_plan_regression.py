@@ -28,7 +28,12 @@ GOLDEN = Path(__file__).parent / "golden_plans.json"
 
 # executing these runs a full streaming query / mutates session state in
 # ways that make the captured plan a LocalTableScan — not plan-checkable
-SKIP = {"streaming_hourly_rollup", "stateful_sessions", "stream_stream_join"}
+SKIP = {
+    "streaming_hourly_rollup",
+    "stateful_sessions",
+    "stream_stream_join",
+    "stream_enrich",
+}
 
 _MARKERS = {
     "scans": r"FileScan parquet",
@@ -101,9 +106,9 @@ def test_no_accidental_python_or_nested_loops(spark):
         "simhash_pairs",
     }
     # single-row broadcast side crossed against every embedding (brute
-    # force ANN baseline) — a BroadcastNestedLoopJoin over ONE row, not
-    # a data×data cartesian
-    nlj_ok = {"embedding_topk"}
+    # force ANN baseline / probe-vector rerank) — a
+    # BroadcastNestedLoopJoin over ONE row, not a data×data cartesian
+    nlj_ok = {"embedding_topk", "hybrid_search"}
     got = _capture(spark)
     for name, sig in got.items():
         if name not in python_ok:

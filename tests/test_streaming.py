@@ -332,3 +332,70 @@ def test_stream_stream_join_is_watermarked(spark, tmp_path):
     joined = SJ.view_purchase_pairs(v, p)
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    land = _write_events(
+        spark,
+        tmp_path,
+        [
+            _mk(0, user=1, value=10.0, eid=1),
+            _mk(30, user=1, value=5.0, eid=2),
+            _mk(70, user=2, value=2.5, eid=3),
+            _mk(80, user=99, value=1.0, eid=4),  # no dim row → dropped
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "AUTO"), (2, "RETAIL")], "c_custkey long, c_mktsegment string"
+    )
+
+    batch = SJ.enriched_hourly_value(
+        SE.normalize_event_ts(spark.read.parquet(land)),
+        dim,
+        ("user_id", "c_custkey"),
+        "c_mktsegment",
+    )
+    expect = {
+        (r.bucket, r.c_mktsegment, r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert len(expect) == 2  # hour0/AUTO (2 events), hour1/RETAIL (1)
+    assert {e[1] for e in expect} == {"AUTO", "RETAIL"}
+
+    streamed = SE.run_to_memory(
+        SJ.enriched_hourly_value(
+            SE.read_events_stream(spark, land),
+            dim,
+            ("user_id", "c_custkey"),
+            "c_mktsegment",
+        ),
+        spark,
+    )
+    got = {
+        (r.bucket, r.c_mktsegment, r.n_events, r.total_value)
+        for r in streamed.collect()
+    }
+    assert got == expect
+
+
+def test_stream_static_enrichment_is_stateless_broadcast(spark, tmp_path):
+    """The dim join itself must be a broadcast with NO stream-side state
+    (no watermark requirement, no state store) — assert on the batch
+    twin's physical plan (identical join topology)."""
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    land = _write_events(spark, tmp_path, [_mk(0, user=1, eid=1)])
+    dim = spark.createDataFrame(
+        [(1, "AUTO")], "c_custkey long, c_mktsegment string"
+    )
+    joined = SJ.enrich_with_dim(
+        SE.normalize_event_ts(spark.read.parquet(land)),
+        dim,
+        ("user_id", "c_custkey"),
+        ["c_mktsegment"],
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

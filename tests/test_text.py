@@ -275,3 +275,55 @@ def test_pii_email_not_eaten_by_phone(spark):
     r = T.pii_scrub(df).collect()[0]
     assert r.n_emails == 1 and r.n_phones == 0
     assert r.redacted == "<EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_search_ranking(spark):
+    # doc 1: strong lexical match; doc 2: weak lexical; doc 3: no match
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join scan filter join scan"),
+            (2, "scan appears once here with filler words to pad length"),
+            (3, "completely unrelated text about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # probe
+            (1, [0.9, 0.1, 0.0]),   # close to probe
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [1.0, 0.0, 0.0]),   # identical to probe but no lexical hit
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = T.hybrid_search(
+        docs, embs, ["join", "scan", "filter"], probe_id=0, k=3, n_candidates=3
+    ).collect()
+    ranked = [r.doc_id for r in out]
+    # doc 3 never enters: BM25 candidates gate the rerank
+    assert 3 not in ranked
+    # doc 1 wins: lexical + dense agree
+    assert ranked[0] == 1
+    for r in out:
+        assert r.hybrid == round(0.1 * r.bm25 + r.cos_sim, 6)
+
+
+def test_hybrid_search_broadcasts_candidates(spark):
+    docs = spark.createDataFrame(
+        [(i, "join scan filter") for i in range(5)], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    df = T.hybrid_search(docs, embs, ["join"], probe_id=0, k=2, n_candidates=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # candidate set + probe reach the vector side as broadcasts — the
+    # embeddings table is never exchanged by hash/range partitioning
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
