@@ -56,6 +56,7 @@ from pyspark.sql.datasource import (
 )
 
 _FOOTER_PREFETCH = 64 * 1024  # one tail request covers most footers
+_PLAN_THREADS = 16  # driver-side planning concurrency (latency-bound I/O)
 
 
 def _urlopen(req: urllib.request.Request):
@@ -222,7 +223,17 @@ class HttpParquetReader(DataSourceReader):
 
     def _probe_all(self) -> list[tuple[str, int, bool]]:
         if self._probed is None:
-            self._probed = [(u, *probe_url(u)) for u in self._urls]
+            # parallel metadata probes: planning a 10k-file catalog must
+            # not serialize 10k HTTP round-trips on the driver (each is
+            # ~latency-bound, so a thread pool scales ~linearly)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
+                probed = list(pool.map(probe_url, self._urls))
+            self._probed = [
+                (u, size, ranged)
+                for u, (size, ranged) in zip(self._urls, probed)
+            ]
         return self._probed
 
     def pushFilters(self, filters: list[Filter]):
@@ -232,21 +243,29 @@ class HttpParquetReader(DataSourceReader):
         return list(filters)
 
     def partitions(self):
-        parts: list[_RowGroupPartition] = []
-        for url, size, ranged in self._probe_all():
+        from concurrent.futures import ThreadPoolExecutor
+
+        probed = self._probe_all()
+
+        def plan_one(entry) -> list[_RowGroupPartition]:
+            url, size, ranged = entry
             if not ranged or size < 0:
-                parts.append(_RowGroupPartition(url, size, -1, False))
-                continue
+                return [_RowGroupPartition(url, size, -1, False)]
             # footer-only metadata read (driver: no data pages fetched)
             meta = pq.ParquetFile(
                 pa.PythonFile(RangedHttpFile(url, size), mode="r")
             ).metadata
-            for rg in range(meta.num_row_groups):
-                if self._rules and not _rg_survives(
-                    _rg_stats(meta.row_group(rg)), self._rules
-                ):
-                    continue  # row-group skipped: zero data requests
-                parts.append(_RowGroupPartition(url, size, rg, True))
+            return [
+                _RowGroupPartition(url, size, rg, True)
+                for rg in range(meta.num_row_groups)
+                if not self._rules
+                or _rg_survives(_rg_stats(meta.row_group(rg)), self._rules)
+            ]  # pruned row groups never issue a data request
+
+        # footer fetches are latency-bound: plan files concurrently
+        with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
+            per_file = list(pool.map(plan_one, probed))
+        parts: list[_RowGroupPartition] = [p for ps in per_file for p in ps]
         if not parts:
             # fully pruned: keep one empty marker partition so read()
             # still yields a zero-row batch with the right schema
