@@ -410,3 +410,63 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z_thresh: float = 2.0,
+) -> DataFrame:
+    """Embedding quality control: flag vectors whose distance to their
+    label's centroid is a z-score outlier — the standard screen for
+    mislabeled / corrupt / degenerate embeddings before they enter a
+    training mix.
+
+    Scale shape: the centroid is an elementwise mean computed by
+    posexplode → (label, dim) partial aggregate — map-side combine
+    reduces each partition to ``labels × dim`` cells before the one
+    shuffle, independent of row count. Centroids (labels × dim doubles,
+    kilobytes) come back broadcast; the distance pass is map-only JVM
+    fold; per-label mean/std of the distances is a window over the
+    label key (second small shuffle). No Python, no UDFs.
+
+    Determinism contract: centroid components and distances are rounded
+    to 6 decimals (mean-of-doubles is order-sensitive at the ulp level;
+    rounding pins both engines to identical values), z to 4.
+    """
+    dbl = F.col("_v").cast("double")
+    cent = (
+        df.select(F.col(label_col).alias("_l"), F.posexplode(vec_col).alias("_p", "_v"))
+        .groupBy("_l", "_p")
+        .agg(F.round(F.avg(dbl), 6).alias("_c"))
+        .groupBy("_l")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_centroid")
+        )
+    )
+    with_dist = (
+        df.join(F.broadcast(cent), df[label_col] == cent["_l"])
+        .select(
+            id_col,
+            label_col,
+            F.round(V.l2_distance(vec_col, "_centroid"), 6).alias("dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col)
+    mean_d = F.avg("dist").over(w)
+    std_d = F.stddev("dist").over(w)
+    z = F.when(std_d > 0, (F.col("dist") - mean_d) / std_d).otherwise(F.lit(0.0))
+    return with_dist.select(
+        id_col,
+        label_col,
+        "dist",
+        F.round(z, 4).alias("z"),
+        (F.round(z, 4) > z_thresh).alias("is_outlier"),
+    )

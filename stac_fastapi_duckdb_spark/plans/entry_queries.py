@@ -1714,6 +1714,14 @@ def q_stream_enrich(spark, sf):
     return P_stream.run_to_memory(out, spark)
 
 
+def q_embedding_outliers(spark, sf):
+    """Embedding QC: distance-to-label-centroid z-score outliers.
+    Centroids via posexplode + (label, dim) partial agg (map-side
+    combine → labels×dim cells per partition), broadcast back; the
+    distance pass is a map-only JVM fold; per-label stats via window."""
+    return P_sim.embedding_outliers(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1819,6 +1827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_join": q_stream_stream_join,
     "hybrid_search": q_hybrid_search,
     "stream_enrich": q_stream_enrich,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 
@@ -3118,5 +3127,33 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM {_EVENTS_SQL} e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
+    """,
+    "embedding_outliers": r"""
+        WITH cent AS (
+            SELECT label, t.i AS i,
+                   ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS c
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, t.i
+        ), cl AS (
+            SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+        ), d AS (
+            SELECT e.vec_id, e.label,
+                   ROUND(sqrt(list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       j -> (CAST(e.embedding[j] AS DOUBLE) - cl.centroid[j]) ^ 2),
+                       'sum')), 6) AS dist
+            FROM embeddings e JOIN cl ON e.label = cl.label
+        )
+        SELECT vec_id, label, dist,
+               ROUND(CASE WHEN STDDEV_SAMP(dist) OVER (PARTITION BY label) > 0
+                     THEN (dist - AVG(dist) OVER (PARTITION BY label))
+                          / STDDEV_SAMP(dist) OVER (PARTITION BY label)
+                     ELSE 0.0 END, 4) AS z,
+               ROUND(CASE WHEN STDDEV_SAMP(dist) OVER (PARTITION BY label) > 0
+                     THEN (dist - AVG(dist) OVER (PARTITION BY label))
+                          / STDDEV_SAMP(dist) OVER (PARTITION BY label)
+                     ELSE 0.0 END, 4) > 2.0 AS is_outlier
+        FROM d
     """,
 }

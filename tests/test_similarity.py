@@ -200,3 +200,42 @@ def test_pq_codes_deterministic_and_partition_invariant(vectors):
         for r in sim.with_pq_codes(vectors.repartition(7), books).collect()
     }
     assert a == b
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    from stac_fastapi_duckdb_spark.pipeline.similarity import embedding_outliers
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 30 inliers tightly around [1, 0, 0]; one vector far away
+    for i in range(30):
+        rows.append(
+            (i, [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01), 0.0], 1)
+        )
+    rows.append((99, [-5.0, 4.0, 3.0], 1))
+    # a second clean label: no outliers
+    for i in range(100, 110):
+        rows.append((i, [0.0, 1.0 + rng.uniform(-0.01, 0.01), 0.0], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    out = {r.vec_id: r for r in embedding_outliers(df).collect()}
+    assert out[99].is_outlier and out[99].z > 2.0
+    flagged = [v for v, r in out.items() if r.is_outlier]
+    assert flagged == [99]
+    # the centroid is pulled toward the outlier, but the outlier's
+    # distance still dwarfs every inlier's
+    assert out[99].dist > 10 * out[0].dist
+
+
+def test_embedding_outliers_constant_label_is_not_outlier(spark):
+    from stac_fastapi_duckdb_spark.pipeline.similarity import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0], 7) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_outliers(df).collect()
+    # zero stddev → z defined as 0, nothing flagged
+    assert all(r.z == 0.0 and not r.is_outlier for r in out)
