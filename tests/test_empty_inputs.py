@@ -91,3 +91,31 @@ def test_zorder_on_empty(empty_events, tmp_path):
         empty_events.select("event_id", "user_id", "value"), ["user_id", "value"]
     )
     assert z.count() == 0 and "__zvalue" in z.columns
+
+
+def test_round5_text_ops_on_empty(empty_docs, spark):
+    from stac_fastapi_duckdb_spark.functions.urls import normalize_urls
+    from stac_fastapi_duckdb_spark.pipeline import text as T
+
+    assert T.repetition_stats(empty_docs).count() == 0
+    assert T.pii_scrub(empty_docs).count() == 0
+    empty_urls = empty_docs.select("doc_id", F.col("text").alias("url"))
+    assert normalize_urls(empty_urls).count() == 0
+
+    empty_emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.lit(False))
+    # empty corpus: bm25 short-circuits, hybrid returns no candidates
+    assert T.hybrid_search(empty_docs, empty_emb, ["join"]).count() == 0
+
+
+def test_embedding_outliers_on_empty(spark):
+    from stac_fastapi_duckdb_spark.pipeline.similarity import embedding_outliers
+
+    empty_emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.lit(False))
+    assert embedding_outliers(empty_emb).count() == 0
+
+
+def test_stream_join_builders_on_empty_batch(empty_events):
+    from stac_fastapi_duckdb_spark.streaming import joins as SJ
+
+    v, p = SJ.split_by_type(empty_events, "view", "purchase")
+    assert SJ.view_purchase_pairs(v, p).count() == 0
