@@ -403,6 +403,116 @@ def bm25_search(
 # Repetition metrics (Gopher-style quality rules, Rae et al. 2021)
 # ---------------------------------------------------------------------------
 
+def _run_fold(sorted_col: str) -> Column:
+    """One fold over a sorted gram array → struct(best, dups):
+    best = longest equal-run length (count of the most frequent gram),
+    dups = number of positions belonging to runs of length ≥ 2 (count
+    of duplicated gram positions)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dups"),
+    )
+
+    def step(acc, x):
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        # on a repeat: +1 position, +1 more if it's the run's first
+        # repeat (to retroactively count the run's head position)
+        dups = acc["dups"] + F.when(
+            same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dups.alias("dups"),
+        )
+
+    return F.aggregate(
+        F.col(sorted_col),
+        zero,
+        step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dups"].alias("dups")),
+    )
+
+
+def _with_repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Staged projection chain computing the repetition metrics, with
+    ``carry`` columns passed through (so a fused pipeline can keep the
+    text / other scores alongside). Each stage is a separate Project so
+    Catalyst's CollapseProject keeps the multi-referenced gram arrays
+    staged instead of inlining them per use."""
+    df = ensure_parallelism(df)
+    toks = tokens_col(F.col(text_col))
+    keep = [F.col(c) for c in carry]
+
+    # n-grams via zip_with over shifted slices: TWO array slices per
+    # document (not one per position) and a single zip pass
+    n = F.size("_w")
+    bg0 = F.zip_with(
+        F.slice("_w", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_w", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tg0 = F.zip_with(
+        F.slice("_bg0", 1, F.greatest(F.size("_w") - 2, F.lit(0))),
+        F.slice("_w", 3, F.greatest(F.size("_w") - 2, F.lit(0))),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    return (
+        df.select(F.col(id_col), *keep, toks.alias("_w"))
+        .select(F.col(id_col), *keep, F.col("_w"), bg0.alias("_bg0"))
+        .select(
+            F.col(id_col),
+            *keep,
+            F.col("_w"),
+            F.array_sort("_bg0").alias("_bg"),
+            F.array_sort(tg0).alias("_tg"),
+        )
+        .select(
+            F.col(id_col),
+            *keep,
+            F.size("_w").alias("_n"),
+            F.size(F.array_distinct("_w")).alias("_nd"),
+            _run_fold("_bg").alias("_bgf"),
+            _run_fold("_tg").alias("_tgf"),
+        )
+        .select(
+            F.col(id_col),
+            *keep,
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("_n") > 0,
+                    (F.col("_n") - F.col("_nd")) / F.col("_n").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(
+                    F.col("_n") >= 2,
+                    F.col("_bgf")["best"] / (F.col("_n") - 1).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.col("_n") >= 3,
+                    F.col("_tgf")["dups"] / (F.col("_n") - 2).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -426,101 +536,7 @@ def repetition_stats(
     (outside codegen). Short documents (< 2 or < 3 tokens) define the
     corresponding fraction as 0.0.
     """
-    df = ensure_parallelism(df)
-    t = F.col(text_col)
-    toks = tokens_col(t)
-
-    def _run_fold(sorted_col: str) -> Column:
-        """One fold over a sorted gram array → struct(best, dups):
-        best = longest equal-run length (count of the most frequent
-        gram), dups = number of positions belonging to runs of length
-        ≥ 2 (count of duplicated gram positions)."""
-        zero = F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(0).alias("dups"),
-        )
-
-        def step(acc, x):
-            same = x == acc["prev"]
-            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
-            # on a repeat: +1 position, +1 more if it's the run's first
-            # repeat (to retroactively count the run's head position)
-            dups = acc["dups"] + F.when(
-                same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
-            ).otherwise(F.lit(0))
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-                dups.alias("dups"),
-            )
-
-        return F.aggregate(
-            F.col(sorted_col),
-            zero,
-            step,
-            lambda acc: F.struct(acc["best"].alias("best"), acc["dups"].alias("dups")),
-        )
-
-    # n-grams via zip_with over shifted slices: TWO array slices per
-    # document (not one per position) and a single zip pass
-    n = F.size("_w")
-    bg0 = F.zip_with(
-        F.slice("_w", 1, F.greatest(n - 1, F.lit(0))),
-        F.slice("_w", 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    tg0 = F.zip_with(
-        F.slice("_bg0", 1, F.greatest(F.size("_w") - 2, F.lit(0))),
-        F.slice("_w", 3, F.greatest(F.size("_w") - 2, F.lit(0))),
-        lambda ab, c: F.concat_ws(" ", ab, c),
-    )
-    out = df.select(
-        F.col(id_col),
-        toks.alias("_w"),
-    ).select(
-        F.col(id_col),
-        F.col("_w"),
-        bg0.alias("_bg0"),
-    ).select(
-        F.col(id_col),
-        F.col("_w"),
-        F.array_sort("_bg0").alias("_bg"),
-        F.array_sort(tg0).alias("_tg"),
-    ).select(
-        F.col(id_col),
-        F.size("_w").alias("_n"),
-        F.size(F.array_distinct("_w")).alias("_nd"),
-        _run_fold("_bg").alias("_bgf"),
-        _run_fold("_tg").alias("_tgf"),
-    ).select(
-        id_col,
-        F.col("_n").cast("bigint").alias("n_tokens"),
-        F.round(
-            F.when(
-                F.col("_n") > 0,
-                (F.col("_n") - F.col("_nd")) / F.col("_n").cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_word_frac"),
-        F.round(
-            F.when(
-                F.col("_n") >= 2,
-                F.col("_bgf")["best"] / (F.col("_n") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("top_bigram_frac"),
-        F.round(
-            F.when(
-                F.col("_n") >= 3,
-                F.col("_tgf")["dups"] / (F.col("_n") - 2).cast("double"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_trigram_frac"),
-    )
-    return out
+    return _with_repetition_metrics(df, text_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -621,4 +637,95 @@ def hybrid_search(
         )
         .orderBy(F.col("hybrid").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str | None = "en",
+    min_tokens: int = 30,
+    max_dup_word_frac: float = 0.85,
+    max_top_bigram_frac: float = 0.2,
+    forbid_pii: bool = True,
+    observation=None,
+) -> DataFrame:
+    """The fused corpus-curation pipeline: language gate, length gate,
+    repetition gates, PII gate, then exact dedup — the standard
+    pre-training filter chain, composed so the WHOLE chain is one scan.
+
+    Scale shape: every score (lang-ID, token counts, repetition
+    metrics, PII counts, fingerprint) is a Column expression in one
+    staged projection chain — a 100 TB corpus is read ONCE, filtered
+    in-scan, and only survivors reach the single dedup shuffle (keyed
+    on the 16-byte fingerprint, so shuffle volume is survivors × ~30 B,
+    not documents × text). Chaining the operators as separate
+    DataFrame passes would scan the corpus five times; composing them
+    as columns costs one.
+
+    Per-stage accounting rides the SAME scan via ``df.observe``
+    (conditional sums evaluated during the one pass — no second action,
+    mirroring the numMatched observe fix in operators/search.py): pass
+    an ``Observation`` to receive n_total / n_lang_fail / n_short /
+    n_repetitive / n_pii / n_kept after the first action.
+
+    → (doc_id, fp, n_tokens, lang_pred) — one row per kept canonical
+    document (min id per identical normalized text).
+    """
+    t = F.col("_text")
+    scored = _with_repetition_metrics(
+        df.select(F.col(id_col), F.col(text_col).alias("_text")),
+        text_col="_text",
+        id_col=id_col,
+        carry=("_text",),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_word_frac",
+        "top_bigram_frac",
+        lang_id_col(t).alias("lang_pred"),
+        sum(
+            (
+                F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+                for pat, _ in PII_PATTERNS.values()
+            ),
+            F.lit(0),
+        ).alias("n_pii"),
+        fingerprint_col(t).alias("fp"),
+    )
+
+    lang_ok = F.lit(True) if lang is None else F.col("lang_pred") == lang
+    long_enough = F.col("n_tokens") >= min_tokens
+    not_repetitive = (F.col("dup_word_frac") <= max_dup_word_frac) & (
+        F.col("top_bigram_frac") <= max_top_bigram_frac
+    )
+    pii_ok = F.lit(True) if not forbid_pii else F.col("n_pii") == 0
+    keep = lang_ok & long_enough & not_repetitive & pii_ok
+
+    if observation is not None:
+        # stage attribution is first-gate-that-fails (waterfall order)
+        scored = scored.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((~lang_ok).cast("long")).alias("n_lang_fail"),
+            F.sum((lang_ok & ~long_enough).cast("long")).alias("n_short"),
+            F.sum((lang_ok & long_enough & ~not_repetitive).cast("long")).alias(
+                "n_repetitive"
+            ),
+            F.sum(
+                (lang_ok & long_enough & not_repetitive & ~pii_ok).cast("long")
+            ).alias("n_pii"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+        )
+
+    return (
+        scored.filter(keep)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("lang_pred").alias("lang_pred"),
+        )
+        .select(id_col, "fp", "n_tokens", "lang_pred")
     )

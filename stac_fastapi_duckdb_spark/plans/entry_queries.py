@@ -1722,6 +1722,23 @@ def q_embedding_outliers(spark, sf):
     return P_sim.embedding_outliers(_t(spark, sf, "embeddings"))
 
 
+def q_curation_pipeline(spark, sf):
+    """The fused corpus-curation chain (lang gate → length gate →
+    repetition gates → PII gate → exact dedup) composed as ONE scan:
+    every score is a Column in a staged projection; only survivors
+    reach the single fingerprint-keyed dedup shuffle. Thresholds here
+    are tuned to bite on the synthetic corpus (each gate drops rows)."""
+    from stac_fastapi_duckdb_spark.pipeline.text import curate_documents
+
+    return curate_documents(
+        _t(spark, sf, "documents"),
+        lang="en",
+        min_tokens=30,
+        max_dup_word_frac=0.6,
+        max_top_bigram_frac=0.05,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1828,6 +1845,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search": q_hybrid_search,
     "stream_enrich": q_stream_enrich,
     "embedding_outliers": q_embedding_outliers,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 
@@ -3155,5 +3173,55 @@ ORACLE_SQL: dict[str, str] = {
                           / STDDEV_SAMP(dist) OVER (PARTITION BY label)
                      ELSE 0.0 END, 4) > 2.0 AS is_outlier
         FROM d
+    """,
+    "curation_pipeline": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id, text, w, len(w) AS n,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(generate_series(1, len(w)-1),
+                             i -> concat_ws(' ', w[i], w[i+1]))
+                        ELSE [] END AS bg
+            FROM t
+        ), rep AS (
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   ROUND(CASE WHEN n > 0
+                              THEN (n - len(list_distinct(w))) / CAST(n AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_word_frac,
+                   ROUND(CASE WHEN n >= 2
+                              THEN COALESCE(list_aggregate(
+                                       list_transform(list_distinct(bg),
+                                           g2 -> len(list_filter(bg, x -> x = g2))),
+                                       'max'), 0) / CAST(n - 1 AS DOUBLE)
+                              ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM g
+        ), lang AS (
+            SELECT doc_id, {_LANG_PRED_SQL} AS lang_pred FROM ({_LANG_SCORES_SQL})
+        ), pii AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                   + len(regexp_extract_all(text, '{_PII_IP}'))
+                   + len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_pii
+            FROM documents
+        ), fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        ), kept AS (
+            SELECT r.doc_id, r.n_tokens, l.lang_pred, f.fp
+            FROM rep r
+            JOIN lang l USING (doc_id)
+            JOIN pii p USING (doc_id)
+            JOIN fp f USING (doc_id)
+            WHERE l.lang_pred = 'en' AND r.n_tokens >= 30
+              AND r.dup_word_frac <= 0.6 AND r.top_bigram_frac <= 0.05
+              AND p.n_pii = 0
+        )
+        SELECT MIN(doc_id) AS doc_id, fp, MIN(n_tokens) AS n_tokens,
+               MIN(lang_pred) AS lang_pred
+        FROM kept GROUP BY fp
     """,
 }

@@ -327,3 +327,78 @@ def test_hybrid_search_broadcasts_candidates(spark):
     # embeddings table is never exchanged by hash/range partitioning
     assert plan.count("BroadcastExchange") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# fused curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_documents_gates_and_dedup(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import curate_documents
+
+    en = "the cat and the dog walked to the park in the morning it is nice day"
+    rows = [
+        (1, en),                                   # kept
+        (2, en),                                   # exact dup of 1 → collapsed
+        (3, "der hund und die katze sind nicht in der stadt mit den kindern heute"),  # lang fail
+        (4, "the a of to in is"),                  # too short
+        (5, " ".join(["the cat"] * 10)),           # repetitive (top bigram)
+        (6, en + " mail me a@b.io"),               # pii
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_documents(
+        df, min_tokens=10, max_dup_word_frac=0.9, max_top_bigram_frac=0.5
+    ).collect()
+    assert [r.doc_id for r in out] == [1]  # canonical = min id of the dup pair
+    assert out[0].lang_pred == "en"
+
+
+def test_curate_documents_stage_accounting_rides_the_scan(spark):
+    from pyspark.sql import Observation
+
+    from stac_fastapi_duckdb_spark.pipeline.text import curate_documents
+
+    en = "the cat and the dog walked to the park in the morning it is nice day"
+    rows = [
+        (1, en),
+        (2, "der hund und die katze sind nicht in der stadt mit den kindern heute"),
+        (3, "the a of"),
+        (4, en + " ping 10.1.2.3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("curation")
+    kept = curate_documents(
+        df,
+        min_tokens=10,
+        max_dup_word_frac=0.9,
+        max_top_bigram_frac=0.5,
+        observation=obs,
+    )
+    assert kept.count() == 1
+    m = obs.get
+    assert m["n_total"] == 4
+    assert m["n_lang_fail"] == 1 and m["n_short"] == 1 and m["n_pii"] == 1
+    assert m["n_repetitive"] == 0
+    assert m["n_kept"] == 1
+    # waterfall attribution partitions the input exactly
+    assert (
+        m["n_lang_fail"] + m["n_short"] + m["n_repetitive"] + m["n_pii"] + m["n_kept"]
+        == m["n_total"]
+    )
+
+
+def test_curate_documents_is_single_scan(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        curate_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    # the whole gate chain fuses into ONE corpus scan; the only
+    # exchange is the fingerprint dedup shuffle
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "EvalPython" not in plan
