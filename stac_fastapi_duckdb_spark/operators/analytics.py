@@ -118,3 +118,62 @@ def cohort_retention(
         "n_users",
         F.round(F.col("n_users") / cohort_size, 6).alias("retention"),
     )
+
+
+def gap_fill_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the hypertable ``time_bucket_gapfill`` + ``locf`` shape): roll the
+    feed up to hourly buckets per key, densify each key's range with an
+    hourly spine, and carry the last observed value across the gaps.
+
+    → (key, bucket, is_gap, v_filled); the first buckets of a key are
+    never gaps by construction (the spine starts at the key's first
+    observation).
+
+    Scale shape: the rollup is one keyed aggregate (map-side partial);
+    the spine is generated from each key's (min, max) — a per-key
+    ``sequence`` explode, no driver loop, no cross join against a
+    global calendar (which would materialize keys × full range). The fill
+    is a running ``last(ignorenulls)`` window over the same key
+    partitioning. Dense-but-bounded: spine rows = Σ per-key span hours,
+    the minimum any gap-filling semantics can produce.
+    """
+    hourly = (
+        events.groupBy(
+            F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    spine = (
+        hourly.groupBy(key_col)
+        .agg(F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_b0", "_b1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            "bucket",
+            F.col("v").isNull().alias("is_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )

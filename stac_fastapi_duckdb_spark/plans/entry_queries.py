@@ -1722,6 +1722,16 @@ def q_embedding_outliers(spark, sf):
     return P_sim.embedding_outliers(_t(spark, sf, "embeddings"))
 
 
+def q_gap_fill(spark, sf):
+    """Hourly gap filling with LOCF per user (hypertable
+    time_bucket_gapfill + locf shape): keyed rollup, per-key hourly
+    spine via sequence-explode (no global-calendar cross join), running
+    last(ignorenulls) fill."""
+    from stac_fastapi_duckdb_spark.operators.analytics import gap_fill_hourly
+
+    return gap_fill_hourly(_events(spark, sf))
+
+
 def q_curation_pipeline(spark, sf):
     """The fused corpus-curation chain (lang gate → length gate →
     repetition gates → PII gate → exact dedup) composed as ONE scan:
@@ -1846,6 +1856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "embedding_outliers": q_embedding_outliers,
     "curation_pipeline": q_curation_pipeline,
+    "gap_fill": q_gap_fill,
 }
 
 
@@ -3223,5 +3234,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT MIN(doc_id) AS doc_id, fp, MIN(n_tokens) AS n_tokens,
                MIN(lang_pred) AS lang_pred
         FROM kept GROUP BY fp
+    """,
+    "gap_fill": f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+            FROM {_EVENTS_SQL} GROUP BY 1, 2
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(bucket), max(bucket),
+                                          INTERVAL 1 HOUR)) AS bucket
+            FROM hourly GROUP BY user_id
+        )
+        SELECT s.user_id, s.bucket, h.v IS NULL AS is_gap,
+               last_value(h.v IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS v_filled
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.bucket = h.bucket
     """,
 }

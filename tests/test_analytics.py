@@ -150,3 +150,31 @@ def test_funnel_matches_python_reference(spark, events):
         r.step: r.n_users for r in funnel_counts(df, STEPS).collect()
     }
     assert got == _ref_funnel(events, STEPS)
+
+
+def test_gap_fill_hourly_locf(spark):
+    import datetime as dt
+
+    from stac_fastapi_duckdb_spark.operators.analytics import gap_fill_hourly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: events at hours 0, 3 → gaps at 1, 2 carry hour-0 value
+        (1, base, 10.0),
+        (1, base + dt.timedelta(hours=3), 7.0),
+        # two events same hour aggregate before filling
+        (1, base + dt.timedelta(hours=3, minutes=30), 1.0),
+        # user 2: single hour → spine of one, no gaps
+        (2, base + dt.timedelta(hours=5), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.bucket.hour): (r.is_gap, r.v_filled)
+        for r in gap_fill_hourly(df).collect()
+    }
+    assert out[(1, 0)] == (False, 10.0)
+    assert out[(1, 1)] == (True, 10.0)   # carried forward
+    assert out[(1, 2)] == (True, 10.0)
+    assert out[(1, 3)] == (False, 8.0)   # 7 + 1 aggregated
+    assert out[(2, 5)] == (False, 2.0)
+    assert len(out) == 5  # spine never extends beyond each key's range
