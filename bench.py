@@ -110,9 +110,38 @@ def main() -> None:
                 "mode": "cold" if cold else "warm-cache",
                 "streaming": _streaming_components(spark, sf_dir),
                 "layout": _layout_components(spark, sf_dir),
+                "pipeline_ops": _pipeline_ops(spark, sf_dir),
             }
         )
     )
+
+
+# round-5 operators, timed OUTSIDE the headline total so the headline
+# stays round-over-round comparable; reported for visibility
+_EXTRA_OPS = [
+    "repetition_stats",
+    "pii_scrub",
+    "url_normalize",
+    "hybrid_search",
+    "embedding_outliers",
+    "curation_pipeline",
+    "gap_fill",
+]
+
+
+def _pipeline_ops(spark, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in _EXTRA_OPS:
+        fn = eq.QUERIES[name]
+        force(fn(spark, sf_dir))  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            el = round(time.perf_counter() - t0, 4)
+            best = el if best is None else min(best, el)
+        out[name] = best
+    return out
 
 
 def _layout_components(spark, sf_dir: str) -> dict:
