@@ -1722,6 +1722,26 @@ def q_embedding_outliers(spark, sf):
     return P_sim.embedding_outliers(_t(spark, sf, "embeddings"))
 
 
+def q_left_outer_join(spark, sf):
+    """LEFT OUTER join with null-side accounting: every event row kept,
+    decorated with its customer segment where one exists (events.user_id
+    0 has no customer — c_custkey starts at 1 — so the null branch is
+    real). The small dim side broadcasts; unmatched rows surface as an
+    explicit 'unmatched' bucket instead of silently dropping."""
+    ev = _events(spark, sf)
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey, "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("unmatched")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_gap_fill(spark, sf):
     """Hourly gap filling with LOCF per user (hypertable
     time_bucket_gapfill + locf shape): keyed rollup, per-key hourly
@@ -1857,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "curation_pipeline": q_curation_pipeline,
     "gap_fill": q_gap_fill,
+    "left_outer_join": q_left_outer_join,
 }
 
 
@@ -3251,5 +3272,12 @@ ORACLE_SQL: dict[str, str] = {
                    OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS v_filled
         FROM spine s LEFT JOIN hourly h
           ON s.user_id = h.user_id AND s.bucket = h.bucket
+    """,
+    "left_outer_join": f"""
+        SELECT COALESCE(c.c_mktsegment, 'unmatched') AS segment,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM {_EVENTS_SQL} e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """,
 }
