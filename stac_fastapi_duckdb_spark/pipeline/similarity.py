@@ -463,10 +463,13 @@ def embedding_outliers(
     mean_d = F.avg("dist").over(w)
     std_d = F.stddev("dist").over(w)
     z = F.when(std_d > 0, (F.col("dist") - mean_d) / std_d).otherwise(F.lit(0.0))
+    # + 0.0 normalizes IEEE negative zero: a z in (-5e-5, 0) rounds to
+    # -0.0, which engines format as "-0.0000" vs "0.0000" inconsistently
+    zr = F.round(z, 4) + F.lit(0.0)
     return with_dist.select(
         id_col,
         label_col,
         "dist",
-        F.round(z, 4).alias("z"),
-        (F.round(z, 4) > z_thresh).alias("is_outlier"),
+        zr.alias("z"),
+        (zr > z_thresh).alias("is_outlier"),
     )

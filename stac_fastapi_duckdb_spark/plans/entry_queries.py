@@ -3196,14 +3196,15 @@ ORACLE_SQL: dict[str, str] = {
             FROM embeddings e JOIN cl ON e.label = cl.label
         )
         SELECT vec_id, label, dist,
+               -- + 0.0 normalizes IEEE -0.0 (tiny negative z rounded)
                ROUND(CASE WHEN STDDEV_SAMP(dist) OVER (PARTITION BY label) > 0
                      THEN (dist - AVG(dist) OVER (PARTITION BY label))
                           / STDDEV_SAMP(dist) OVER (PARTITION BY label)
-                     ELSE 0.0 END, 4) AS z,
+                     ELSE 0.0 END, 4) + 0.0 AS z,
                ROUND(CASE WHEN STDDEV_SAMP(dist) OVER (PARTITION BY label) > 0
                      THEN (dist - AVG(dist) OVER (PARTITION BY label))
                           / STDDEV_SAMP(dist) OVER (PARTITION BY label)
-                     ELSE 0.0 END, 4) > 2.0 AS is_outlier
+                     ELSE 0.0 END, 4) + 0.0 > 2.0 AS is_outlier
         FROM d
     """,
     "curation_pipeline": f"""
