@@ -49,7 +49,10 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     compute. Single parquet files with one row group arrive as ONE
     partition; the pre-shuffle of raw rows is negligible against
     signature/UDF work. No-op when the input is already wide (the
-    normal case at scale)."""
+    normal case at scale) and on streaming inputs (micro-batch
+    parallelism is the source's concern; df.rdd is illegal there)."""
+    if df.isStreaming:
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)

@@ -640,7 +640,7 @@ def hybrid_search(
     )
 
 
-def curate_documents(
+def curation_gates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -651,28 +651,12 @@ def curate_documents(
     forbid_pii: bool = True,
     observation=None,
 ) -> DataFrame:
-    """The fused corpus-curation pipeline: language gate, length gate,
-    repetition gates, PII gate, then exact dedup — the standard
-    pre-training filter chain, composed so the WHOLE chain is one scan.
-
-    Scale shape: every score (lang-ID, token counts, repetition
-    metrics, PII counts, fingerprint) is a Column expression in one
-    staged projection chain — a 100 TB corpus is read ONCE, filtered
-    in-scan, and only survivors reach the single dedup shuffle (keyed
-    on the 16-byte fingerprint, so shuffle volume is survivors × ~30 B,
-    not documents × text). Chaining the operators as separate
-    DataFrame passes would scan the corpus five times; composing them
-    as columns costs one.
-
-    Per-stage accounting rides the SAME scan via ``df.observe``
-    (conditional sums evaluated during the one pass — no second action,
-    mirroring the numMatched observe fix in operators/search.py): pass
-    an ``Observation`` to receive n_total / n_lang_fail / n_short /
-    n_repetitive / n_pii / n_kept after the first action.
-
-    → (doc_id, fp, n_tokens, lang_pred) — one row per kept canonical
-    document (min id per identical normalized text).
-    """
+    """The stateless gate stage of the curation chain: score + filter,
+    NO dedup. Pure map-only Column algebra over one scan, so the same
+    plan runs unchanged on an unbounded STREAM (tested) — only the
+    dedup stage below needs state. → one row per surviving document
+    with its scores (doc_id, n_tokens, dup/bigram fracs, lang_pred,
+    n_pii, fp)."""
     t = F.col("_text")
     scored = _with_repetition_metrics(
         df.select(F.col(id_col), F.col(text_col).alias("_text")),
@@ -719,9 +703,55 @@ def curate_documents(
             F.sum(keep.cast("long")).alias("n_kept"),
         )
 
+    return scored.filter(keep)
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str | None = "en",
+    min_tokens: int = 30,
+    max_dup_word_frac: float = 0.85,
+    max_top_bigram_frac: float = 0.2,
+    forbid_pii: bool = True,
+    observation=None,
+) -> DataFrame:
+    """The fused corpus-curation pipeline: language gate, length gate,
+    repetition gates, PII gate, then exact dedup — the standard
+    pre-training filter chain, composed so the WHOLE chain is one scan.
+
+    Scale shape: every score (lang-ID, token counts, repetition
+    metrics, PII counts, fingerprint) is a Column expression in one
+    staged projection chain — a 100 TB corpus is read ONCE, filtered
+    in-scan, and only survivors reach the single dedup shuffle (keyed
+    on the 16-byte fingerprint, so shuffle volume is survivors × ~30 B,
+    not documents × text). Chaining the operators as separate
+    DataFrame passes would scan the corpus five times; composing them
+    as columns costs one.
+
+    Per-stage accounting rides the SAME scan via ``df.observe``
+    (conditional sums evaluated during the one pass — no second action,
+    mirroring the numMatched observe fix in operators/search.py): pass
+    an ``Observation`` to receive n_total / n_lang_fail / n_short /
+    n_repetitive / n_pii / n_kept after the first action.
+
+    → (doc_id, fp, n_tokens, lang_pred) — one row per kept canonical
+    document (min id per identical normalized text).
+    """
+    kept = curation_gates(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        lang=lang,
+        min_tokens=min_tokens,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        forbid_pii=forbid_pii,
+        observation=observation,
+    )
     return (
-        scored.filter(keep)
-        .groupBy("fp")
+        kept.groupBy("fp")
         .agg(
             F.min(id_col).alias(id_col),
             F.min("n_tokens").alias("n_tokens"),

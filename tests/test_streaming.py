@@ -399,3 +399,36 @@ def test_stream_static_enrichment_is_stateless_broadcast(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_gates_run_unchanged_on_a_stream(spark, tmp_path):
+    """The curation gate chain is stateless Column algebra, so the SAME
+    builder must run on an unbounded stream (append mode, no watermark
+    needed) and keep exactly the documents the batch form keeps."""
+    from stac_fastapi_duckdb_spark.pipeline.text import curation_gates
+
+    en = "the cat and the dog walked to the park in the morning it is nice day"
+    rows = [
+        (1, en),
+        (2, "der hund und die katze sind nicht in der stadt mit den kindern heute"),
+        (3, "the a of"),
+        (4, en + " ping 10.1.2.3"),
+        (5, en + " extended with more words here"),
+    ]
+    land = str(tmp_path / "docs_land")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(land)
+
+    kwargs = dict(min_tokens=10, max_dup_word_frac=0.9, max_top_bigram_frac=0.5)
+    batch_kept = sorted(
+        r.doc_id
+        for r in curation_gates(spark.read.parquet(land), **kwargs).collect()
+    )
+    assert batch_kept == [1, 5]
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(land)
+    )
+    streamed = SE.run_to_memory(
+        curation_gates(stream, **kwargs), spark, output_mode="append"
+    )
+    assert sorted(r.doc_id for r in streamed.collect()) == batch_kept
