@@ -432,3 +432,55 @@ def test_curation_gates_run_unchanged_on_a_stream(spark, tmp_path):
         curation_gates(stream, **kwargs), spark, output_mode="append"
     )
     assert sorted(r.doc_id for r in streamed.collect()) == batch_kept
+
+
+def test_streaming_dedup_ingest_admits_only_novel_docs(spark, tmp_path):
+    """Continuous dedup ingest: micro-batches are deduped within
+    themselves AND against everything admitted so far; replaying the
+    stream from the same checkpoint admits nothing twice."""
+    from stac_fastapi_duckdb_spark.streaming.dedup_ingest import run_dedup_ingest
+
+    land = str(tmp_path / "land")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine"
+    c = "completely different content about query engines and columns"
+
+    def _write(rows):
+        # append a new part-file into the FLAT landing dir (the file
+        # stream source does not recurse into subdirectories)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+
+    # file 1: A, B, and an exact dup of A inside the same batch
+    _write([(1, a), (2, b), (3, a)])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    run_dedup_ingest(spark, stream, corpus, ckpt)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}  # within-batch dup 3 rejected
+
+    # file 2 lands: novel C plus a near-dup of A → only C admitted,
+    # deduped against the PREVIOUS batch's admitted corpus
+    _write([(4, c), (5, a)])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    run_dedup_ingest(spark, stream2, corpus, ckpt)
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 4}
+
+    # replay with the same checkpoint and no new files: a no-op
+    stream3 = (
+        spark.readStream.schema("doc_id long, text string").parquet(land)
+    )
+    run_dedup_ingest(spark, stream3, corpus, ckpt)
+    got3 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got3 == got2
