@@ -1,13 +1,19 @@
 """Driver-style correctness check: run each queries() entry on Spark and
-its oracle_sql() on DuckDB at sf0.01; compare row count, sorted column
-names, and order-insensitive rounded value multisets."""
-import hashlib, math, sys
+its oracle_sql() on DuckDB; compare row count, sorted column names, and
+order-insensitive rounded value multisets.
+
+    PYTHONPATH=. python tools/oracle_check.py [name ...]
+    SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 ... # other scale factor
+
+At sf0.1 the LSH-dedup family's deliberately O(n²) oracles are
+infeasible — pass an explicit subset to skip them there."""
+import hashlib, math, os, sys
 import duckdb
 import pandas as pd
 from stac_fastapi_duckdb_spark.session import get_spark
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 spark = get_spark("oracle-check")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
