@@ -1,4 +1,5 @@
-"""Column-level function helpers: geometry, vector algebra, skew tools."""
+"""Column-level function helpers: geometry, vector algebra, skew tools,
+URL canonicalization."""
 
 from stac_fastapi_duckdb_spark.functions.bloom import (  # noqa: F401
     bloom_filter_injected,
@@ -10,6 +11,10 @@ from stac_fastapi_duckdb_spark.functions.skew import (  # noqa: F401
     salted_join,
     skewed_key_stats,
     two_phase_agg,
+)
+from stac_fastapi_duckdb_spark.functions.urls import (  # noqa: F401
+    normalize_url_cols,
+    normalize_urls,
 )
 from stac_fastapi_duckdb_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,

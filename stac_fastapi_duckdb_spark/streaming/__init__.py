@@ -8,3 +8,12 @@ from stac_fastapi_duckdb_spark.streaming.events import (  # noqa: F401
     session_windows,
     streaming_dedup,
 )
+from stac_fastapi_duckdb_spark.streaming.joins import (  # noqa: F401
+    enrich_with_dim,
+    enriched_hourly_value,
+    view_purchase_pairs,
+)
+from stac_fastapi_duckdb_spark.streaming.dedup_ingest import (  # noqa: F401
+    admit_batch,
+    run_dedup_ingest,
+)
