@@ -623,7 +623,8 @@ def hybrid_search(
         .select(
             "doc_id",
             "bm25",
-            F.round(V.cosine_similarity("embedding", "probe_vec"), 6).alias(
+            # + 0.0 pins IEEE zero sign on near-zero cosines
+            (F.round(V.cosine_similarity("embedding", "probe_vec"), 6) + F.lit(0.0)).alias(
                 "cos_sim"
             ),
         )
@@ -631,7 +632,7 @@ def hybrid_search(
             "doc_id",
             "bm25",
             "cos_sim",
-            F.round(F.lit(alpha) * F.col("bm25") + F.col("cos_sim"), 6).alias(
+            (F.round(F.lit(alpha) * F.col("bm25") + F.col("cos_sim"), 6) + F.lit(0.0)).alias(
                 "hybrid"
             ),
         )

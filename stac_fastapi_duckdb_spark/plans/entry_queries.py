@@ -1273,8 +1273,10 @@ def q_stats_agg(spark, sf):
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+        # + 0.0 pins IEEE zero sign: a corr/covar in (-5e-7, 0) would
+        # round to -0.0 and format differently across engines
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qp"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("cov_qp"),
     )
 
 
@@ -2688,8 +2690,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag,
                ROUND(stddev_samp(l_discount), 6) AS sd_disc,
                ROUND(var_samp(l_quantity), 6) AS var_qty,
-               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+               ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qp
         FROM lineitem GROUP BY l_returnflag
     """,
     "histogram": """
@@ -3162,11 +3164,11 @@ ORACLE_SQL: dict[str, str] = {
         rr AS (
             SELECT bm.doc_id, bm.bm25,
                    ROUND(list_cosine_similarity(
-                       CAST(emb.embedding AS DOUBLE[]), probe.pv), 6) AS cos_sim
+                       CAST(emb.embedding AS DOUBLE[]), probe.pv), 6) + 0.0 AS cos_sim
             FROM bm JOIN embeddings emb ON emb.vec_id = bm.doc_id, probe
         )
         SELECT doc_id, bm25, cos_sim,
-               ROUND(0.1 * bm25 + cos_sim, 6) AS hybrid
+               ROUND(0.1 * bm25 + cos_sim, 6) + 0.0 AS hybrid
         FROM rr
         ORDER BY hybrid DESC, doc_id ASC LIMIT 10
     """,
