@@ -144,8 +144,15 @@ class CollectionCatalog:
         n_http = sum(u.startswith(("http://", "https://")) for u in urls)
         if n_http == 0:
             # native reader: local / file:// / s3a:// / hdfs:// paths,
-            # single or multi-path
-            return self.spark.read.parquet(*urls)
+            # single or multi-path. Multi-file collections evolve
+            # (new proj:*/properties columns appear in newer files);
+            # mergeSchema unions the footers so late-added columns
+            # surface as nulls in old files instead of being silently
+            # dropped by the sampled-file schema.
+            reader = self.spark.read
+            if len(urls) > 1:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*urls)
         if n_http != len(urls):
             raise ValueError(
                 f"collection URL list mixes http(s) and native paths: {urls}"

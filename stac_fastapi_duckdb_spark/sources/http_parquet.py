@@ -215,11 +215,14 @@ def _rg_survives(stats: dict[str, tuple], rules) -> bool:
 
 
 class HttpParquetReader(DataSourceReader):
-    def __init__(self, urls: list[str]) -> None:
+    def __init__(self, urls: list[str], spark_schema=None) -> None:
         self._urls = urls
         self._rules: list[tuple[str, str, object]] = []
         # probed lazily in partitions(); kept for schema() reuse
         self._probed: list[tuple[str, int, bool]] | None = None
+        # the UNIFIED schema (multi-file collections may drift); each
+        # file's batches are aligned to it in read()
+        self._spark_schema = spark_schema
 
     def _probe_all(self) -> list[tuple[str, int, bool]]:
         if self._probed is None:
@@ -284,10 +287,37 @@ class HttpParquetReader(DataSourceReader):
         pf = pq.ParquetFile(src)
         if partition.row_group == -2:  # fully-pruned marker: no rows
             return
-        if partition.row_group < 0:
-            yield from pf.iter_batches()
+        target = None
+        if self._spark_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self._spark_schema)
+        batches = (
+            pf.iter_batches()
+            if partition.row_group < 0
+            else pf.iter_batches(row_groups=[partition.row_group])
+        )
+        for batch in batches:
+            yield _align_batch(batch, target) if target is not None else batch
+
+
+def _align_batch(batch: pa.RecordBatch, target: pa.Schema) -> pa.RecordBatch:
+    """Project a file's batch onto the unified schema: drifted files
+    miss late-added columns (→ typed nulls) or carry narrower types
+    (→ cast). No-op when the file already matches."""
+    if batch.schema == target:
+        return batch
+    cols = []
+    for field in target:
+        idx = batch.schema.get_field_index(field.name)
+        if idx >= 0:
+            col = batch.column(idx)
+            if col.type != field.type:
+                col = col.cast(field.type)
         else:
-            yield from pf.iter_batches(row_groups=[partition.row_group])
+            col = pa.nulls(batch.num_rows, type=field.type)
+        cols.append(col)
+    return pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 def _rg_stats(rg_meta) -> dict[str, tuple]:
@@ -323,21 +353,31 @@ class HttpParquetDataSource(DataSource):
         return out
 
     def schema(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        url = self._url_list()[0]
-        size, ranged = probe_url(url)
-        if ranged and size >= 0:  # footer-only
-            src = pa.PythonFile(RangedHttpFile(url, size), mode="r")
-        else:
-            with _urlopen(urllib.request.Request(url)) as resp:
-                src = pa.BufferReader(resp.read())
-        return from_arrow_schema(
-            pq.ParquetFile(src).schema_arrow, prefer_timestamp_ntz=True
-        )
+        # unify footers across ALL files (multi-file collections evolve:
+        # newer files gain columns; a first-file-only schema would drop
+        # them). Footer reads are latency-bound → thread pool, like
+        # partitions().
+        def one(url: str) -> pa.Schema:
+            size, ranged = probe_url(url)
+            if ranged and size >= 0:  # footer-only
+                src = pa.PythonFile(RangedHttpFile(url, size), mode="r")
+            else:
+                with _urlopen(urllib.request.Request(url)) as resp:
+                    src = pa.BufferReader(resp.read())
+            return pq.ParquetFile(src).schema_arrow
+
+        urls = self._url_list()
+        with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
+            schemas = list(pool.map(one, urls))
+        unified = pa.unify_schemas(schemas) if len(schemas) > 1 else schemas[0]
+        return from_arrow_schema(unified, prefer_timestamp_ntz=True)
 
     def reader(self, schema) -> HttpParquetReader:
-        return HttpParquetReader(self._url_list())
+        return HttpParquetReader(self._url_list(), spark_schema=schema)
 
 
 _REGISTERED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()

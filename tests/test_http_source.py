@@ -232,3 +232,56 @@ def test_native_multi_path_list(spark, tmp_path):
         {"c": [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]},
     )
     assert cat.items_df("c").count() == 6
+
+
+def test_schema_drift_across_http_files(spark, served_dir, http_server):
+    """Multi-file collections EVOLVE: newer files gain columns. The
+    unified schema must be the union of all footers, with late-added
+    columns surfacing as nulls in old files (not silently dropped)."""
+    base, handler = http_server
+    drift = pa.table(
+        {
+            "id": list(range(300, 320)),
+            "val": [f"v{i}" for i in range(20)],
+            "quality": [float(i) / 20 for i in range(20)],  # new column
+        }
+    )
+    pq.write_table(drift, os.path.join(served_dir, "part-2-drift.parquet"))
+
+    cat = CollectionCatalog(
+        spark,
+        {
+            "web": [
+                f"{base}/part-0.parquet",
+                f"{base}/part-1.parquet",
+                f"{base}/part-2-drift.parquet",
+            ]
+        },
+    )
+    df = cat.items_df("web")
+    assert "quality" in df.columns  # union schema, not first-file schema
+    assert df.count() == 320
+    from pyspark.sql import functions as F
+
+    # old files: null quality; new file: real values
+    assert df.filter(F.col("quality").isNull()).count() == 300
+    got = df.filter(F.col("id") == 310).select("quality").collect()[0][0]
+    assert abs(got - 0.5) < 1e-9
+
+
+def test_schema_drift_across_native_files(spark, tmp_path):
+    """Native multi-path reads merge footers (mergeSchema) so evolved
+    collections keep late-added columns."""
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"id": [1, 2], "val": ["x", "y"]}), a)
+    pq.write_table(
+        pa.table({"id": [3], "val": ["z"], "extra": [42]}), b
+    )
+    cat = CollectionCatalog(spark, {"c": [str(a), str(b)]})
+    df = cat.items_df("c")
+    assert "extra" in df.columns
+    assert df.count() == 3
+    from pyspark.sql import functions as F
+
+    assert df.filter(F.col("extra").isNotNull()).count() == 1
