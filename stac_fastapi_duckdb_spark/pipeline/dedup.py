@@ -591,3 +591,182 @@ def incremental_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "base_id", "jaccard")
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT over candidate
+    pairs. Jaccard misses doc-inside-doc duplication (a paragraph
+    quoted verbatim inside a much longer page scores low on
+    |∩|/|∪| but 1.0 on |∩|/|smaller|); containment is the standard
+    fix (Broder's resemblance vs containment distinction).
+
+    ``containment = |Sa ∩ Sb| / min(|Sa|, |Sb|)`` — the smaller
+    document's coverage by the pair's shared shingles, direction-free.
+
+    ``candidates``: (id_a, id_b) pairs (normally from
+    ``minhash_lsh_candidates`` — same bucketed front end); None → all
+    pairs (test/oracle-scale only). → (id_a, id_b, containment).
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — the shingle
+    table is repartitioned on id once and feeds both join sides from
+    one shared exchange; candidate count (not n²) bounds the work.
+    """
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        .repartition("_id")
+    )
+    if candidates is None:
+        a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = (
+            candidates.join(
+                sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")),
+                "id_a",
+            ).join(
+                sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")),
+                "id_b",
+            )
+        )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    smaller = F.least(F.size("_sh_a"), F.size("_sh_b"))
+    cont = F.when(
+        smaller > 0, inter.cast("double") / smaller.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-substring detection at token-window
+    granularity — the distributed restatement of suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove long verbatim repeats, not
+    whole near-dup documents). Every ``window_tokens``-token sliding
+    window (stride 1) is fingerprinted; a window whose fingerprint
+    occurs in ≥ ``min_docs`` distinct documents is duplicated;
+    overlapping duplicated windows in a document are merged into
+    maximal spans.
+
+    → (doc_id, span_start, span_len, n_windows): token offset of each
+    maximal duplicated span, its token length, and how many duplicated
+    windows it merged. Downstream removal is a trivial consumer (slice
+    the token array around the spans).
+
+    Scale shape: the exploded stream carries a 16-hex-char (64-bit)
+    fingerprint, not the window text; cross-corpus duplication is a
+    COUNT-DISTINCT-window over ONE shuffle on the fingerprint (the
+    same single-exchange trick as ``boilerplate_stats``); span merging
+    is gaps-and-islands per doc — one more shuffle of only the
+    duplicated (doc, pos) rows, which in a healthy corpus is a small
+    fraction of the input. The fingerprint is md5-derived (not
+    xxhash64) so the oracle can rebuild it engine-neutrally.
+    """
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
+        ),
+    )
+    ex = (
+        ensure_parallelism(df)
+        .filter(n >= k)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp"))
+    )
+    # distinct-doc count per fingerprint, one shuffle on fp
+    dup = (
+        ex.withColumn(
+            "_docs",
+            F.size(F.collect_set("doc_id").over(Window.partitionBy("fp"))),
+        )
+        .filter(F.col("_docs") >= min_docs)
+        .select("doc_id", "pos")
+    )
+    # merge windows whose starts are within k tokens (overlap/adjacency)
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        dup.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -(k + 1)).over(ws) > k, 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+    )
+    return (
+        spans.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
+def anchor_window_candidates(
+    df: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate pairs by ANCHOR-WINDOW blocking: two documents are
+    candidates iff they share at least one identical
+    ``window_tokens``-token run (the same md5 window fingerprint as
+    ``duplicate_spans``). Deterministic — no hash-family probability —
+    which makes it the right candidate front end for CONTAINMENT
+    verification: a short document quoted inside a long one shares
+    whole windows with it even when their Jaccard (what minhash-LSH is
+    tuned for) is far below any banding threshold, and the oracle can
+    replay the exact same blocking in SQL.
+
+    → (id_a, id_b) distinct, id_a < id_b. Scale shape: one shuffle of
+    (fp, id) rows (fingerprints travel as 16 hex chars), per-bucket
+    in-array pair expansion behind the same ``max_bucket_size`` skew
+    cap as the minhash/simhash joins.
+    """
+    k = window_tokens
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
+            ),
+        )
+    )
+    ex = (
+        ensure_parallelism(df)
+        .filter(n >= k)
+        .select(F.col(id_col).alias("_id"), F.explode(wins).alias("fp"))
+    )
+    return _bucket_pairs(ex, ["fp"], "_id", max_bucket_size).distinct()

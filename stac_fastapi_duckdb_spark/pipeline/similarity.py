@@ -251,6 +251,113 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_cell_col(centroids: np.ndarray, vec_col: str = "embedding"):
+    """PURE-Column coarse-cell assignment: 0-based argmin of exact L2
+    distance over the centroid literals — the JVM/codegen twin of
+    ``_assign_udf`` (same float64 arithmetic, same first-min tie rule),
+    with the same sequential-fold op order the SQL oracles replay.
+    Use this in hot paths that would otherwise re-evaluate a pandas UDF
+    per plan reference; ``_assign_udf`` remains for wide-batch numpy
+    assignment where one evaluation dominates."""
+    num_cells, dim = centroids.shape
+    v = F.col(vec_col)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in centroids[c]])
+            for c in range(num_cells)
+        ]
+    )
+
+    def _dist(cent):
+        def _diff(i):
+            return F.element_at(v, i).cast("double") - F.element_at(cent, i)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc + _diff(i) * _diff(i),
+        )
+
+    dists = F.transform(cents, _dist)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "sem_cluster",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with a FROZEN coarse
+    quantizer (the k-means index artifact — same shape as the IVF
+    centroids) and, within each cluster, dropping every vector that is
+    cosine-≥-τ similar to a lower-id cluster-mate.
+
+    → one row per DROPPED vector: (drop_id, keep_id, cluster, cos_sim)
+    where keep_id is the LOWEST-id cluster-mate covering it (and
+    cos_sim that pair's similarity) — a deterministic contract the SQL
+    oracle replays exactly.
+
+    Scale shape: the all-pairs comparison SemDeDup's paper runs
+    per-cluster is here a self-equi-join on the cluster id — candidate
+    pairs only ever form inside a cluster, never across the corpus, so
+    the shuffle key is the cluster column (which at 100 TB is also the
+    table's partition key — the join is then co-located). Clusters
+    larger than ``max_cluster_size`` are dropped before pair expansion
+    (the same skew cap as the minhash/SRP bucket joins); the witness
+    reduction is a struct-min aggregate, one shuffle on drop_id.
+    """
+    if cell_col not in df.columns:
+        # pure-Column assignment: the plan references the cell column
+        # several times (window count, exchange key, both join sides) —
+        # a pandas-UDF assignment would re-enter Python at each
+        # reference; the Column fold stays inside codegen
+        df = df.withColumn(cell_col, ivf_cell_col(centroids, vec_col))
+    from pyspark.sql.window import Window
+
+    bucketed = (
+        df.withColumn(
+            "_cl_n", F.count(F.lit(1)).over(Window.partitionBy(cell_col))
+        )
+        .filter(F.col("_cl_n") <= max_cluster_size)
+        .drop("_cl_n")
+        .repartition(cell_col)  # shared exchange for both join sides (AQE reuse)
+    )
+    a = bucketed.select(
+        F.col(cell_col), F.col(id_col).alias("keep_id"), F.col(vec_col).alias("_va")
+    )
+    b = bucketed.select(
+        F.col(cell_col), F.col(id_col).alias("drop_id"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, cell_col)
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            F.col("drop_id"),
+            F.col(cell_col).alias("cluster"),
+            F.col("keep_id"),
+            F.round(V.cosine_similarity("_va", "_vb"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # deterministic witness: the lowest keep_id per dropped vector
+    # (struct min orders by the first field) — one agg, no second window
+    return (
+        pairs.groupBy("drop_id", "cluster")
+        .agg(F.min(F.struct("keep_id", "cos_sim")).alias("_w"))
+        .select(
+            "drop_id",
+            F.col("_w.keep_id").alias("keep_id"),
+            "cluster",
+            F.col("_w.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------

@@ -760,3 +760,74 @@ def curate_documents(
         )
         .select(id_col, "fp", "n_tokens", "lang_pred")
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: list[float] | None = None,
+    bias: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring: a hashed bag-of-words LINEAR
+    classifier (the serving form of a fastText-style quality model, as
+    used for pretraining-corpus filtering a la GPT-3/CCNet quality
+    classifiers) evaluated in pure Column algebra — no Python, no
+    model runtime, just the frozen weight table from
+    ``plans/qc_index.py``.
+
+    ``score = bias + mean over tokens of W[h(token) mod D]`` where
+    ``h`` is the low 60 bits of md5 — engine-neutral, so the DuckDB
+    oracle replays the identical arithmetic. → (doc_id, n_tokens,
+    qc_score, qc_keep).
+
+    Scale shape: map-only — one scan, one transform+fold per row over
+    the token array inside whole-stage codegen; the weight table
+    travels as a literal array (kilobytes). The classic trap at this
+    spot is a per-token Python UDF calling a model object — 100×
+    slower and unshippable; hashing-trick linearization is how the
+    big-corpus quality filters actually run.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+    from stac_fastapi_duckdb_spark.plans.qc_index import (
+        QC_BIAS,
+        QC_DIM,
+        QC_WEIGHTS,
+    )
+
+    w = QC_WEIGHTS if weights is None else weights
+    b = QC_BIAS if bias is None else bias
+    dim = len(w)
+    assert dim >= 1
+    w_lit = F.array(*[F.lit(float(x)) for x in w])
+    toks = tokens_col(F.col(text_col))
+    # low 60 bits of md5 → bucket; conv() returns a decimal string,
+    # 15 hex chars < 2^63 so the long cast cannot overflow
+    contrib = F.transform(
+        toks,
+        lambda t: F.element_at(
+            w_lit,
+            (
+                F.pmod(
+                    F.conv(F.substring(F.md5(t), 18, 15), 16, 10).cast("long"),
+                    F.lit(dim),
+                )
+                + 1
+            ).cast("int"),
+        ),
+    )
+    n = F.size(toks)
+    score = F.round(
+        F.lit(float(b))
+        + F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x) / n,
+        6,
+    )
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("bigint").alias("n_tokens"),
+        score.alias("qc_score"),
+        (score >= 0).alias("qc_keep"),
+    )

@@ -1771,6 +1771,106 @@ def q_curation_pipeline(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the FROZEN
+    IVF centroid artifact, drop any vector cosine-≥0.95 similar to a
+    lower-id cluster-mate (lowest such mate is the deterministic
+    witness). Planted dups: the table unioned with an id-shifted copy —
+    identical vectors land in the same cluster by construction. The
+    oracle replays cluster assignment from the same centroid literals
+    (row_number over exact L2, as ann_ivf_topk does) and the same
+    witness reduction."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
+
+    emb = _t(spark, sf, "embeddings")
+    # offset far beyond any SF's id range: a colliding shift would make
+    # planted ids ambiguous (vec_id+1000 overlaps the real 0..4999 range
+    # at sf0.1) and the per-drop-id witness reduction ill-defined
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return P_sim.semdedup(
+        emb.unionByName(shifted),
+        np.asarray(IVF_CENTROIDS, dtype=np.float64),
+        threshold=0.95,
+    )
+
+
+def q_duplicate_spans(spark, sf):
+    """Cross-document duplicated-substring spans (Lee et al. 2022 exact
+    substring dedup, restated at 8-token window granularity): md5
+    window fingerprints, cross-doc duplication via ONE count-distinct
+    window shuffle on the fingerprint, maximal-span merging by
+    gaps-and-islands. Planted duplication: corpus unioned with an
+    id-shifted copy, so every ≥8-token document carries at least one
+    full-length duplicated span; organic cross-doc repeats merge into
+    the same span set. Fully deterministic (md5 — engine-neutral), so
+    the oracle replays it span for span."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return P_dedup.duplicate_spans(docs.unionByName(shifted), window_tokens=8)
+
+
+def q_containment_dedup(spark, sf):
+    """Asymmetric (doc-inside-doc) near-dup: anchor-window blocking +
+    exact shingle CONTAINMENT ≥ 0.9 — the pair class Jaccard-tuned
+    minhash is structurally blind to. Planted containment: each doc's
+    first-half token prefix re-enters the corpus as a new doc
+    (containment 1.0 against its parent, Jaccard only ~0.5). The
+    anchor-window candidate generator is deterministic (shared md5
+    8-token window ⇒ candidate — no hash-family miss probability), so
+    the oracle replays blocking AND verification exactly."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    half = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    F.floor(F.size(toks) / 2).cast("int"), F.lit(1)
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(half)
+    cand = P_dedup.anchor_window_candidates(
+        corpus, window_tokens=8, max_bucket_size=1000
+    )
+    return P_dedup.shingle_containment_pairs(
+        corpus, cand, threshold=0.9
+    )
+
+
+def q_quality_classifier(spark, sf):
+    """Model-based quality filter in pure Column algebra: frozen
+    hashed-feature linear scorer (plans/qc_index.py — the serving form
+    of a fastText-style corpus-quality classifier), one map-only scan.
+    The oracle recomputes the identical md5-bucket lookups and fold
+    from the same weight literals."""
+    return P_text.quality_classifier(_t(spark, sf, "documents"))
+
+
+def q_dataset_fingerprint(spark, sf):
+    """Order-invariant per-column corpus checksum (pipeline/validate):
+    count / null-count / xor-hash / modular-sum-hash of md5-derived row
+    hashes — the one-scan integrity check two copies of a 100 TB corpus
+    can actually afford. Restricted here to int/string columns (float
+    canonical formatting is engine-specific — documented in the
+    operator)."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import dataset_fingerprint
+
+    return dataset_fingerprint(
+        _t(spark, sf, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1880,6 +1980,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "gap_fill": q_gap_fill,
     "left_outer_join": q_left_outer_join,
+    "semdedup": q_semdedup,
+    "duplicate_spans": q_duplicate_spans,
+    "containment_dedup": q_containment_dedup,
+    "quality_classifier": q_quality_classifier,
+    "dataset_fingerprint": q_dataset_fingerprint,
 }
 
 
@@ -1983,6 +2088,14 @@ def _srp_planes_values_sql(dim: int = 64, num_planes: int = 8, seed: int = 42) -
         for p, row in enumerate(planes)
     )
     return f"(VALUES {rows})"
+
+
+def _qc_weights_sql() -> str:
+    """DOUBLE[] literal of the frozen quality-classifier weight table
+    (plans/qc_index.py) — both engines score from the same literals."""
+    from stac_fastapi_duckdb_spark.plans.qc_index import QC_WEIGHTS
+
+    return "[" + ", ".join(repr(float(x)) for x in QC_WEIGHTS) + "]::DOUBLE[]"
 
 
 def _ivf_centroids_values_sql() -> str:
@@ -3283,4 +3396,156 @@ ORACLE_SQL: dict[str, str] = {
         FROM {_EVENTS_SQL} e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1
     """,
+    # frozen-centroid replay (same literals, exact L2 + row_number argmin
+    # — the ann_ivf_topk technique), then the same in-cluster pair rule
+    # and lowest-keep-id witness reduction as pipeline.similarity.semdedup
+    "semdedup": f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        ), dists AS (
+            SELECT b.vec_id, b.v, c.c AS cell,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> (b.v[i] - c.cv[i]) ** 2)) AS dsq
+            FROM base b CROSS JOIN {_ivf_centroids_values_sql()} AS c(c, cv)
+        ), assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists) WHERE rn = 1
+        ), pairs AS (
+            SELECT b.vec_id AS drop_id, a.vec_id AS keep_id,
+                   CAST(a.cell AS BIGINT) AS cluster,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT drop_id, keep_id, cluster, cos_sim FROM (
+            SELECT drop_id, keep_id, cluster, cos_sim,
+                   row_number() OVER (PARTITION BY drop_id
+                                      ORDER BY keep_id ASC) AS rn
+            FROM pairs WHERE cos_sim >= 0.95)
+        WHERE rn = 1
+    """,
+    # same md5 8-token window fingerprints, same >=2-distinct-docs rule,
+    # same gaps-and-islands merge as pipeline.dedup.duplicate_spans
+    "duplicate_spans": r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM corpus
+        ), w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(toks) - 7)) AS i, toks
+            FROM t WHERE len(toks) >= 8
+        ), fps AS (
+            SELECT doc_id, i - 1 AS pos,
+                   substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS fp
+            FROM w
+        ), dup AS (
+            SELECT doc_id, pos FROM fps
+            WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                         HAVING count(DISTINCT doc_id) >= 2)
+        ), marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos, 1, -9) OVER
+                                (PARTITION BY doc_id ORDER BY pos) > 8
+                        THEN 1 ELSE 0 END AS nw
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+            FROM marked
+        )
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, isl
+    """,
+    # same half-doc planting, same anchor-window blocking (shared md5
+    # 8-token window, bucket cap 1000), same exact 3-gram containment as
+    # pipeline.dedup.anchor_window_candidates + shingle_containment_pairs
+    "containment_dedup": r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000,
+                   array_to_string(
+                       (string_split_regex(lower(trim(text)), '\s+'))
+                           [1:greatest(len(string_split_regex(lower(trim(text)), '\s+')) // 2, 1)],
+                       ' ') AS text
+            FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM corpus
+        ), wf AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)))) AS fp
+            FROM t WHERE len(toks) >= 8
+        ), ok_fp AS (
+            SELECT fp FROM wf GROUP BY fp
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            WHERE a.fp IN (SELECT fp FROM ok_fp)
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                        ELSE [array_to_string(toks, ' ')] END AS s
+            FROM t
+        )
+        SELECT id_a, id_b, containment FROM (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / least(len(a.s), len(b.s)), 6) AS containment
+            FROM cand c JOIN sh a ON c.id_a = a.doc_id
+                        JOIN sh b ON c.id_b = b.doc_id
+        ) WHERE containment >= 0.9
+    """,
+    # same frozen weight literals, same md5 low-60-bit bucket, same
+    # bias + mean-of-weights fold as pipeline.text.quality_classifier
+    "quality_classifier": f"""
+        SELECT doc_id, n_tokens, qc_score, qc_score >= 0 AS qc_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ROUND(0.05 + list_sum(list_transform(toks,
+                       tok -> ({_qc_weights_sql()})[
+                           CAST(CAST('0x' || substr(md5(tok), 18, 15) AS UBIGINT)
+                                % 64 AS INTEGER) + 1]))
+                       / len(toks), 6) AS qc_score
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                  FROM documents)
+        )
+    """,
+    # same md5-low-60-bit row hashes, same commutative aggregates as
+    # pipeline.validate.dataset_fingerprint
+    "dataset_fingerprint": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               bit_xor(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 18, 15)
+                            AS BIGINT)) AS xor_hash,
+               CAST(sum(CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 18, 15)
+                             AS BIGINT) % 1000000007) AS BIGINT) AS sum_hash
+        FROM documents
+        """
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
 }

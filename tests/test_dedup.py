@@ -188,3 +188,81 @@ def test_incremental_near_dup_matches_bruteforce_on_testdata(spark):
         (a, b, j) if a % 5 == 0 else (b, a, j) for a, b, j in brute
     }
     assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans / anchor-window containment
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_marks_and_merges(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one tail words here now"),
+            (2, f"prefix other words {shared} trailing bits"),
+            (3, "completely different text with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.span_start, r.span_len) for r in
+           duplicate_spans(docs, window_tokens=8).collect()}
+    # doc 1: shared run at token 0..7; doc 2: at token 3..10; doc 3: none
+    assert got == {(1, 0, 8), (2, 3, 8)}
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import duplicate_spans
+
+    # two docs share a 10-token run -> 3 overlapping 8-token windows
+    # that must merge into ONE span of length 10
+    run = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, f"{run} xx yy"), (2, f"zz ww {run}")],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, window_tokens=8).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 2
+    assert (by_doc[1].span_start, by_doc[1].span_len, by_doc[1].n_windows) == (0, 10, 3)
+    assert (by_doc[2].span_start, by_doc[2].span_len, by_doc[2].n_windows) == (2, 10, 3)
+
+
+def test_anchor_window_candidates_catch_low_jaccard_containment(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        anchor_window_candidates,
+        shingle_containment_pairs,
+    )
+
+    # doc 2 is doc 1's first 10 tokens verbatim inside 40 tokens of
+    # unrelated text: Jaccard is tiny, containment is ~1.0
+    quoted = "one two three four five six seven eight nine ten"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quoted), (2, f"{filler} {quoted}")],
+        "doc_id long, text string",
+    )
+    cand = anchor_window_candidates(docs, window_tokens=8)
+    assert {(r.id_a, r.id_b) for r in cand.collect()} == {(1, 2)}
+    got = shingle_containment_pairs(docs, cand, threshold=0.9).collect()
+    assert len(got) == 1
+    assert got[0].containment == 1.0
+
+
+def test_containment_is_direction_free(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        shingle_containment_pairs,
+    )
+
+    big = " ".join(f"t{i}" for i in range(30))
+    small = " ".join(f"t{i}" for i in range(12))  # prefix of big
+    docs = spark.createDataFrame(
+        [(1, big), (2, small), (3, small)],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.containment
+           for r in shingle_containment_pairs(docs, None, threshold=0.9).collect()}
+    # small-in-big both directions of id order, and small==small
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert all(v == 1.0 for v in got.values())

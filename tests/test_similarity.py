@@ -239,3 +239,43 @@ def test_embedding_outliers_constant_label_is_not_outlier(spark):
     out = embedding_outliers(df).collect()
     # zero stddev → z defined as 0, nothing flagged
     assert all(r.z == 0.0 and not r.is_outlier for r in out)
+
+
+# ---------------------------------------------------------------------------
+# semdedup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drops_near_identical_within_cluster(spark):
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import semdedup
+
+    # two well-separated clusters; ids 1,2,3 identical direction in
+    # cluster A (2 and 3 must drop, witnessed by 1); id 10 alone in B
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [1.5, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    got = {r.drop_id: r for r in semdedup(df, cents, threshold=0.95).collect()}
+    assert set(got) == {2, 3}
+    assert got[2].keep_id == 1 and got[3].keep_id == 1
+    assert got[2].cos_sim == 1.0
+    assert got[2].cluster == 0 and got[3].cluster == 0
+
+
+def test_semdedup_cluster_cap_bounds_pairs(spark):
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import semdedup
+
+    # one degenerate cluster of 5 identical vectors: with the cap below
+    # the cluster size, the bucket is dropped entirely (skew guard)
+    rows = [(i, [1.0, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assert semdedup(df, cents, threshold=0.9, max_cluster_size=4).count() == 0
+    assert semdedup(df, cents, threshold=0.9).count() == 4  # 1..4 drop

@@ -402,3 +402,46 @@ def test_curate_documents_is_single_scan(spark):
     assert len(re.findall(r"FileScan parquet", plan)) == 1
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+def test_quality_classifier_matches_reference_arithmetic(spark):
+    import hashlib
+
+    from stac_fastapi_duckdb_spark.pipeline.text import quality_classifier
+    from stac_fastapi_duckdb_spark.plans.qc_index import (
+        QC_BIAS,
+        QC_WEIGHTS,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown Fox"), (2, "  spaced   out   tokens ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_classifier(docs).collect()}
+
+    def expect(text):
+        toks = text.lower().strip().split()
+        s = sum(
+            QC_WEIGHTS[int(hashlib.md5(t.encode()).hexdigest()[17:], 16) % 64]
+            for t in toks
+        )
+        return round(QC_BIAS + s / len(toks), 6)
+
+    assert got[1].qc_score == expect("The quick brown Fox")
+    assert got[1].n_tokens == 4
+    assert got[2].qc_score == expect("spaced out tokens")
+    assert got[2].n_tokens == 3
+    for r in got.values():
+        assert r.qc_keep == (r.qc_score >= 0)
+
+
+def test_quality_classifier_stays_jvm_side(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import quality_classifier
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan

@@ -1,0 +1,67 @@
+"""Dataset-fingerprint validation operator (pipeline/validate.py):
+order-invariance, sensitivity to single-row changes, null accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.validate import (
+    dataset_fingerprint,
+    fingerprints_match,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fingerprint_is_order_and_partitioning_invariant(spark):
+    rows = [(i, f"text number {i}") for i in range(100)]
+    a = _docs(spark, rows)
+    b = _docs(spark, list(reversed(rows))).repartition(7)
+    assert fingerprints_match(dataset_fingerprint(a), dataset_fingerprint(b))
+
+
+def test_fingerprint_detects_single_value_change(spark):
+    rows = [(i, f"text number {i}") for i in range(50)]
+    changed = list(rows)
+    changed[17] = (17, "text number 17!")  # one char differs
+    a = dataset_fingerprint(_docs(spark, rows))
+    b = dataset_fingerprint(_docs(spark, changed))
+    assert not fingerprints_match(a, b)
+    # only the text column's hashes move; doc_id row is identical
+    fa = {r.col_name: r for r in a.collect()}
+    fb = {r.col_name: r for r in b.collect()}
+    assert tuple(fa["doc_id"]) == tuple(fb["doc_id"])
+    assert fa["text"].xor_hash != fb["text"].xor_hash
+
+
+def test_fingerprint_detects_duplicate_swap(spark):
+    # duplicate-row multiplicity changes that leave the SET of values
+    # intact: xor alone is blind (x ^ x = 0), the modular sum is not
+    a = _docs(spark, [(1, "a"), (1, "a"), (2, "b")])
+    b = _docs(spark, [(1, "a"), (2, "b"), (2, "b")])
+    fa = {r.col_name: r for r in dataset_fingerprint(a).collect()}
+    fb = {r.col_name: r for r in dataset_fingerprint(b).collect()}
+    assert fa["doc_id"].sum_hash != fb["doc_id"].sum_hash
+
+
+def test_fingerprint_counts_nulls(spark):
+    df = _docs(spark, [(1, "x"), (2, None), (3, None)])
+    fp = {r.col_name: r for r in dataset_fingerprint(df).collect()}
+    assert fp["text"].n_nulls == 2 and fp["doc_id"].n_nulls == 0
+    assert fp["text"].n_rows == 3
+
+
+def test_fingerprint_single_aggregation_pass(spark):
+    # one scan, no join/window: the plan must contain exactly one
+    # aggregate exchange (SinglePartition) and no shuffle on data keys
+    df = _docs(spark, [(i, str(i)) for i in range(10)])
+    plan = (
+        dataset_fingerprint(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
