@@ -253,12 +253,16 @@ def embedding_near_dup_pairs(
 
 def ivf_cell_col(centroids: np.ndarray, vec_col: str = "embedding"):
     """PURE-Column coarse-cell assignment: 0-based argmin of exact L2
-    distance over the centroid literals — the JVM/codegen twin of
+    distance over the centroid literals — the UDF-free twin of
     ``_assign_udf`` (same float64 arithmetic, same first-min tie rule),
     with the same sequential-fold op order the SQL oracles replay.
-    Use this in hot paths that would otherwise re-evaluate a pandas UDF
-    per plan reference; ``_assign_udf`` remains for wide-batch numpy
-    assignment where one evaluation dominates."""
+
+    Use when Python workers/Arrow are unavailable or for small
+    centroid sets fused into a larger projection. For the hot
+    assignment path prefer ``with_ivf_cell``: interpreted HOF
+    evaluation makes this expression ~30× slower at 16 cells × 64 dims
+    (A/B in PERF.md) — the numpy matmul batch UDF wins decisively.
+    ``tests/test_similarity.py`` pins that both assignments agree."""
     num_cells, dim = centroids.shape
     v = F.col(vec_col)
     cents = F.array(
@@ -302,59 +306,69 @@ def semdedup(
     cos_sim that pair's similarity) — a deterministic contract the SQL
     oracle replays exactly.
 
-    Scale shape: the all-pairs comparison SemDeDup's paper runs
-    per-cluster is here a self-equi-join on the cluster id — candidate
-    pairs only ever form inside a cluster, never across the corpus, so
-    the shuffle key is the cluster column (which at 100 TB is also the
-    table's partition key — the join is then co-located). Clusters
-    larger than ``max_cluster_size`` are dropped before pair expansion
-    (the same skew cap as the minhash/SRP bucket joins); the witness
-    reduction is a struct-min aggregate, one shuffle on drop_id.
+    Scale shape — exactly the paper's: ONE shuffle on the cluster key,
+    then the within-cluster pairwise similarity as a dense float64
+    GEMM per cluster inside an Arrow-batched ``applyInPandas`` kernel.
+    The pair matrix never materializes as Spark rows — only the
+    (drop, keep) survivors leave the kernel. This replaced a
+    DataFrame self-join + per-pair Column-fold cosine that was 30×
+    slower at sf0.1 (interpreted higher-order-function evaluation per
+    pair — the same cost cliff PERF.md documents for minhash; a GEMM
+    does the identical 64-dim dot products at memory bandwidth).
+    Clusters larger than ``max_cluster_size`` are skipped whole inside
+    the kernel (the skew guard every bucketed dedup here applies —
+    bounded memory per task; at the paper's scale the cap is the
+    per-GPU batch bound).
     """
-    if cell_col not in df.columns:
-        # pure-Column assignment: the plan references the cell column
-        # several times (window count, exchange key, both join sides) —
-        # a pandas-UDF assignment would re-enter Python at each
-        # reference; the Column fold stays inside codegen
-        df = df.withColumn(cell_col, ivf_cell_col(centroids, vec_col))
-    from pyspark.sql.window import Window
+    import pandas as pd
 
-    bucketed = (
-        df.withColumn(
-            "_cl_n", F.count(F.lit(1)).over(Window.partitionBy(cell_col))
+    if cell_col not in df.columns:
+        # vectorized numpy assignment; the groupBy exchange right above
+        # it means the UDF runs once per row
+        df = with_ivf_cell(df, centroids, vec_col, cell_col)
+
+    thr = float(threshold)
+    cap = int(max_cluster_size)
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "drop_id": pd.Series(dtype="int64"),
+                "keep_id": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
         )
-        .filter(F.col("_cl_n") <= max_cluster_size)
-        .drop("_cl_n")
-        .repartition(cell_col)  # shared exchange for both join sides (AQE reuse)
-    )
-    a = bucketed.select(
-        F.col(cell_col), F.col(id_col).alias("keep_id"), F.col(vec_col).alias("_va")
-    )
-    b = bucketed.select(
-        F.col(cell_col), F.col(id_col).alias("drop_id"), F.col(vec_col).alias("_vb")
-    )
-    pairs = (
-        a.join(b, cell_col)
-        .filter(F.col("keep_id") < F.col("drop_id"))
-        .select(
-            F.col("drop_id"),
-            F.col(cell_col).alias("cluster"),
-            F.col("keep_id"),
-            F.round(V.cosine_similarity("_va", "_vb"), 6).alias("cos_sim"),
+        n = len(pdf)
+        if n < 2 or n > cap:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        # HALF_UP at 6 decimals (matches Spark F.round / SQL ROUND for
+        # the positive values that can survive the threshold; numpy's
+        # own round() is half-even and would diverge on exact .5s)
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6
+        qual = np.triu(sims >= thr, k=1)  # [i, j]: i < j in id order
+        dropped = qual.any(axis=0)
+        j_idx = np.nonzero(dropped)[0]
+        i_idx = qual[:, j_idx].argmax(axis=0)  # first True = lowest keep_id
+        cell = int(pdf[cell_col].iloc[0])
+        return pd.DataFrame(
+            {
+                "drop_id": ids[j_idx],
+                "keep_id": ids[i_idx],
+                "cluster": np.full(len(j_idx), cell, dtype="int64"),
+                "cos_sim": sims[i_idx, j_idx],
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
-    # deterministic witness: the lowest keep_id per dropped vector
-    # (struct min orders by the first field) — one agg, no second window
-    return (
-        pairs.groupBy("drop_id", "cluster")
-        .agg(F.min(F.struct("keep_id", "cos_sim")).alias("_w"))
-        .select(
-            "drop_id",
-            F.col("_w.keep_id").alias("keep_id"),
-            "cluster",
-            F.col("_w.cos_sim").alias("cos_sim"),
-        )
+
+    return df.groupBy(cell_col).applyInPandas(
+        _cluster_dups,
+        "drop_id long, keep_id long, cluster long, cos_sim double",
     )
 
 

@@ -104,6 +104,9 @@ def test_no_accidental_python_or_nested_loops(spark):
         "ann_ivf_topk",
         "embedding_near_dup",
         "simhash_pairs",
+        # per-cluster GEMM kernel (applyInPandas) — the paper's own
+        # compute shape; A/B'd 14× faster than the Column-fold join
+        "semdedup",
     }
     # single-row broadcast side crossed against every embedding (brute
     # force ANN baseline / probe-vector rerank) — a

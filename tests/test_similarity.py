@@ -279,3 +279,22 @@ def test_semdedup_cluster_cap_bounds_pairs(spark):
     cents = np.array([[1.0, 0.0], [0.0, 1.0]])
     assert semdedup(df, cents, threshold=0.9, max_cluster_size=4).count() == 0
     assert semdedup(df, cents, threshold=0.9).count() == 4  # 1..4 drop
+
+
+def test_cell_assignment_column_and_udf_agree(spark):
+    # the pure-Column argmin (ivf_cell_col) and the vectorized numpy
+    # assignment (with_ivf_cell) must be interchangeable: same float64
+    # arithmetic, same first-min tie rule — pinned on real embeddings
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import (
+        ivf_cell_col,
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, dim=64, num_cells=8, sample_size=200)
+    a = {r.vec_id: r.c for r in with_ivf_cell(emb, cents, out_col="c").select("vec_id", "c").collect()}
+    b = {r.vec_id: r.c for r in emb.select("vec_id", ivf_cell_col(cents).alias("c")).collect()}
+    assert a == b
