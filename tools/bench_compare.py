@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from bench import BENCH_QUERIES
+from bench import _EXTRA_OPS, BENCH_QUERIES
 from stac_fastapi_duckdb_spark.plans import entry_queries as eq
 from stac_fastapi_duckdb_spark.session import get_spark
 
@@ -72,7 +72,7 @@ def main() -> None:
 
     total_s = total_d = 0.0
     print(f"{'query':26s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + _EXTRA_OPS:
         fn = eq.QUERIES[name]
         _force(fn(spark, sf_dir))  # warm
         best_s = min(
