@@ -132,6 +132,10 @@ _EXTRA_OPS = [
     "containment_dedup",
     "quality_classifier",
     "dataset_fingerprint",
+    "cluster_representatives",
+    "split_leakage",
+    "shuffle_shards",
+    "distribution_drift",
 ]
 
 

@@ -89,3 +89,71 @@ def contamination_overlap(
             F.round(ratio, 6).alias("ratio"),
         )
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "corpus-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that straddle a
+    dataset split. A hash-based split is clean at the row level but
+    says nothing about near-duplicates — if doc A lands in train and
+    its paraphrase B in test, the eval is contaminated even though no
+    row leaked. This screens the split the same way the corpus is
+    screened against external benchmarks (same family as
+    ``contamination_check``), but WITHIN the corpus across the split
+    boundary.
+
+    Composition: deterministic split assignment
+    (``sampling.dataset_split`` — md5-bucket, engine-portable) +
+    deterministic anchor-window blocking
+    (``dedup.anchor_window_candidates`` — shared 8-token run ⇒
+    candidate, no LSH miss probability) + exact shingle-Jaccard verify
+    (``dedup.ngram_jaccard_pairs``), keeping pairs whose members fall
+    in different splits.
+
+    → (id_a, split_a, id_b, split_b, jaccard).
+
+    Scale shape: blocking is one fingerprint-keyed shuffle with the
+    bucket-size cap; verification touches candidate pairs only; the
+    split columns attach via two id-keyed joins against the (narrow)
+    split assignment — every stage is bounded by candidates, never
+    pairs².
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        anchor_window_candidates,
+        ngram_jaccard_pairs,
+    )
+    from stac_fastapi_duckdb_spark.pipeline.sampling import dataset_split
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    splits = dataset_split(
+        df.select(F.col(id_col)), id_col, weights, salt
+    ).select(F.col(id_col).alias("_sid"), F.col("split"))
+    cand = anchor_window_candidates(
+        df, window_tokens=window_tokens, text_col=text_col, id_col=id_col
+    )
+    pairs = ngram_jaccard_pairs(
+        df, cand, text_col=text_col, id_col=id_col, threshold=threshold
+    )
+    return (
+        pairs.join(
+            splits.select(
+                F.col("_sid").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("_sid").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard")
+    )

@@ -770,3 +770,59 @@ def anchor_window_candidates(
         .select(F.col(id_col).alias("_id"), F.explode(wins).alias("fp"))
     )
     return _bucket_pairs(ex, ["fp"], "_id", max_bucket_size).distinct()
+
+
+def cluster_representatives(
+    df: DataFrame,
+    score_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    score_col: str = "qc_score",
+    bands: int = 16,
+) -> DataFrame:
+    """Keep-BEST dedup: the production follow-on to the near-dup map.
+    A min-id canonical map answers "which docs are duplicates"; what a
+    curation pipeline actually ships is ONE representative per cluster,
+    and "first by id" is the wrong pick when a quality model is
+    available — the highest-scoring member should represent the
+    cluster (arXiv:2107.06499 §4 observes the kept member matters).
+
+    Composition: transitive minhash dedup map (``minhash_dedup``) ⋈
+    per-doc quality score (``quality_classifier`` unless ``score_df``
+    with (id_col, score_col) is supplied) → per-cluster argmax by
+    (score DESC, id ASC).
+
+    → (canonical_id, rep_id, rep_score, n_members), one row per
+    cluster (singletons included — every kept doc appears).
+
+    Scale shape: the dedup map is the dominant cost (banded LSH, see
+    ``minhash_dedup``); scoring is map-only; the representative choice
+    is ONE shuffle on the cluster id, with the member count taken from
+    the same window partitioning (shared exchange, no second shuffle).
+    """
+    from pyspark.sql.window import Window
+
+    if score_df is None:
+        from stac_fastapi_duckdb_spark.pipeline.text import quality_classifier
+
+        score_df = quality_classifier(df, text_col=text_col, id_col=id_col)
+    cmap = minhash_dedup(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, bands=bands
+    )
+    scored = cmap.join(
+        score_df.select(F.col(id_col).alias("doc_id"), score_col), "doc_id"
+    )
+    w = Window.partitionBy("canonical_id")
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(
+            w.orderBy(F.col(score_col).desc(), F.col("doc_id").asc())
+        ),
+    ).withColumn("n_members", F.count(F.lit(1)).over(w))
+    return ranked.filter(F.col("_rn") == 1).select(
+        "canonical_id",
+        F.col("doc_id").alias("rep_id"),
+        F.col(score_col).alias("rep_score"),
+        "n_members",
+    )

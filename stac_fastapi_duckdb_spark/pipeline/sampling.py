@@ -193,3 +193,51 @@ def label_balance(
             "fraction"
         ),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int = 8,
+    seed: str = "shuf-v1",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a shard id
+    and a position within its shard from a seeded hash of its key —
+    the reshuffle a pretraining run needs before sharded sequential
+    reads. Hash-derived order is reproducible across runs, input
+    partitionings, and cluster sizes (an ``ORDER BY rand()`` is none
+    of those), and changing ``seed`` is a fresh epoch-level permutation
+    with zero extra state.
+
+    → input columns + (shard, shard_pos). Write with
+    ``partitionBy("shard")`` and readers stream each shard in
+    ``shard_pos`` order.
+
+    Scale shape: ONE shuffle, on the (uniform, hash-derived) shard key;
+    the within-shard position is a window over that same partitioning —
+    no global sort, no skew (hashes are uniform by construction). The
+    hash is md5-derived, so external readers and the SQL oracle can
+    recompute the exact permutation.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}:"), F.col(key_col).cast("string")
+                )
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(int(num_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return out.withColumn(
+        "shard_pos", F.row_number().over(w).cast("bigint")
+    ).drop("_h")

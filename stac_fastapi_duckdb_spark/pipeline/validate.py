@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # sums of (h % _SUM_MOD) stay far below 2^63 for any realistic row
 # count (9.2e18 / 1e9 ≈ 9.2e9 rows per partition-free overflow bound)
@@ -81,3 +82,68 @@ def fingerprints_match(a: DataFrame, b: DataFrame) -> bool:
     ra = {tuple(r) for r in a.collect()}
     rb = {tuple(r) for r in b.collect()}
     return ra == rb
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: float,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population-stability drift between two snapshots of a numeric
+    column: fixed-width binning, then the per-bin PSI term
+    ``(p_a - p_b) * ln((p_a + ε)/(p_b + ε))`` — the standard
+    data-validation check that a pipeline stage (or a new ingest
+    batch) did not shift a distribution it should have preserved.
+    Interpretation is the usual PSI rule of thumb (Σ < 0.1 stable,
+    > 0.25 shifted); ε-smoothing keeps bins present on only one side
+    finite.
+
+    → one row per occupied bin: (bin, n_a, n_b, p_a, p_b, psi_term);
+    Σ psi_term is the PSI. Per-bin output (not just the scalar) is
+    deliberate: the actionable artifact is WHICH bins moved.
+
+    Scale shape: one partial-aggregated groupBy per snapshot (map-side
+    combine reduces each partition to ≤ #bins rows), then a full-outer
+    join of two bin-count tables whose size is #bins — the 100 TB
+    inputs are each scanned once and never joined row-to-row. Bin
+    edges are FIXED (caller-supplied width), not data-derived: a
+    quantile-based binning would need an extra pass and make the two
+    sides' bins incomparable.
+    """
+    def binned(df: DataFrame, n_col: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.floor(F.col(value_col) / F.lit(float(bin_width)))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    ca, cb = binned(a, "n_a"), binned(b, "n_b")
+    joined = (
+        ca.join(cb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    ta = F.sum("n_a").over(Window.partitionBy())
+    tb = F.sum("n_b").over(Window.partitionBy())
+    pa = F.col("n_a") / ta
+    pb = F.col("n_b") / tb
+    eps = F.lit(float(epsilon))
+    return joined.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        # + 0.0 normalizes IEEE negative zero (a tiny negative term
+        # rounds to -0.0, which value-hash comparison renders signed)
+        (F.round((pa - pb) * F.log((pa + eps) / (pb + eps)), 6) + F.lit(0.0))
+        .alias("psi_term"),
+    )

@@ -1871,6 +1871,53 @@ def q_dataset_fingerprint(spark, sf):
     )
 
 
+def q_distribution_drift(spark, sf):
+    """PSI drift between two corpus snapshots (odd/even doc ids) over
+    the n_chars distribution: fixed-width bins, one partial-agg scan
+    per side, #bins-sized full-outer join. The oracle replays the same
+    bins, totals, and ε-smoothed log terms."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import distribution_drift
+
+    d = _t(spark, sf, "documents")
+    return distribution_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        100.0,
+    )
+
+
+def q_cluster_representatives(spark, sf):
+    """Keep-best dedup: transitive minhash cluster map ⋈ frozen quality
+    scores → highest-scoring member represents each cluster (id-asc
+    tiebreak). bands=32 closes the LSH-vs-exhaustive-oracle gap the
+    same way minhash_dedup_map does."""
+    return P_dedup.cluster_representatives(
+        _t(spark, sf, "documents"), bands=32
+    )
+
+
+def q_split_leakage(spark, sf):
+    """Cross-split near-dup leakage audit: hash split (same rule as
+    dataset_split) + deterministic anchor-window blocking + exact
+    Jaccard, keeping pairs that straddle the split boundary. Every
+    stage is deterministic, so the oracle replays it end to end."""
+    from stac_fastapi_duckdb_spark.pipeline.contamination import split_leakage
+
+    return split_leakage(_t(spark, sf, "documents"))
+
+
+def q_shuffle_shards(spark, sf):
+    """Deterministic global training shuffle: seeded md5 hash → shard +
+    within-shard position; one uniform shuffle, no global sort. The
+    oracle recomputes the identical permutation."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf, "documents").select("doc_id"), num_shards=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1985,6 +2032,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_dedup": q_containment_dedup,
     "quality_classifier": q_quality_classifier,
     "dataset_fingerprint": q_dataset_fingerprint,
+    "cluster_representatives": q_cluster_representatives,
+    "split_leakage": q_split_leakage,
+    "shuffle_shards": q_shuffle_shards,
+    "distribution_drift": q_distribution_drift,
 }
 
 
@@ -2096,6 +2147,25 @@ def _qc_weights_sql() -> str:
     from stac_fastapi_duckdb_spark.plans.qc_index import QC_WEIGHTS
 
     return "[" + ", ".join(repr(float(x)) for x in QC_WEIGHTS) + "]::DOUBLE[]"
+
+
+def _qc_scores_sql() -> str:
+    """(doc_id, n_tokens, qc_score) — replicates
+    pipeline.text.quality_classifier: same frozen weight literals, same
+    md5 low-60-bit bucket, same bias + mean-of-weights fold. Shared by
+    the quality_classifier and cluster_representatives oracles."""
+    return f"""
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(0.05 + list_sum(list_transform(toks,
+                   tok -> ({_qc_weights_sql()})[
+                       CAST(CAST('0x' || substr(md5(tok), 18, 15) AS UBIGINT)
+                            % 64 AS INTEGER) + 1]))
+                   / len(toks), 6) AS qc_score
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+    """
 
 
 def _ivf_centroids_values_sql() -> str:
@@ -3519,18 +3589,114 @@ ORACLE_SQL: dict[str, str] = {
     # bias + mean-of-weights fold as pipeline.text.quality_classifier
     "quality_classifier": f"""
         SELECT doc_id, n_tokens, qc_score, qc_score >= 0 AS qc_keep
-        FROM (
+        FROM ({_qc_scores_sql()})
+    """,
+    # transitive dedup map (min-label propagation unrolled) ⋈ frozen
+    # quality scores → same (score DESC, id ASC) representative rule as
+    # pipeline.dedup.cluster_representatives
+    "cluster_representatives": f"""
+        WITH j AS (
+            SELECT cc.doc_id, cc.component AS canonical_id, qs.qc_score
+            FROM ({_cc_unrolled_sql()}) cc
+            JOIN ({_qc_scores_sql()}) qs ON cc.doc_id = qs.doc_id
+        ), r AS (
+            SELECT canonical_id, doc_id AS rep_id, qc_score AS rep_score,
+                   CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+                       AS n_members,
+                   row_number() OVER (PARTITION BY canonical_id
+                                      ORDER BY qc_score DESC, doc_id ASC) AS rn
+            FROM j
+        )
+        SELECT canonical_id, rep_id, rep_score, n_members FROM r WHERE rn = 1
+    """,
+    # same md5-bucket split rule as dataset_split, same anchor-window
+    # blocking as containment_dedup, same exact shingle Jaccard — the
+    # whole chain replayed, as pipeline.contamination.split_leakage runs it
+    "split_leakage": rf"""
+        WITH t AS (
             SELECT doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                   ROUND(0.05 + list_sum(list_transform(toks,
-                       tok -> ({_qc_weights_sql()})[
-                           CAST(CAST('0x' || substr(md5(tok), 18, 15) AS UBIGINT)
-                                % 64 AS INTEGER) + 1]))
-                       / len(toks), 6) AS qc_score
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM documents
+        ), wf AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       i -> substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)))) AS fp
+            FROM t WHERE len(toks) >= 8
+        ), ok_fp AS (
+            SELECT fp FROM wf GROUP BY fp
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            WHERE a.fp IN (SELECT fp FROM ok_fp)
+        ), pairs AS (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard
+            FROM cand c JOIN ({_SHINGLES_SQL}) a ON c.id_a = a.doc_id
+                        JOIN ({_SHINGLES_SQL}) b ON c.id_b = b.doc_id
+        ), sp AS (
+            SELECT doc_id,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
             FROM (SELECT doc_id,
-                         string_split_regex(lower(trim(text)), '\\s+') AS toks
+                         CAST(('0x' || substring(
+                             md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 10000 AS bucket
                   FROM documents)
         )
+        SELECT p.id_a, sa.split AS split_a, p.id_b, sb.split AS split_b,
+               p.jaccard
+        FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+                     JOIN sp sb ON p.id_b = sb.doc_id
+        WHERE p.jaccard >= 0.8 AND sa.split <> sb.split
+    """,
+    # same fixed-width bins, totals, and eps-smoothed log terms as
+    # pipeline.validate.distribution_drift (+0.0 pins the zero sign)
+    "distribution_drift": """
+        WITH a AS (
+            SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n_a
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        ), b AS (
+            SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n_b
+            FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+        ), j AS (
+            SELECT COALESCE(a.bin, b.bin) AS bin,
+                   CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+            FROM a FULL OUTER JOIN b ON a.bin = b.bin
+        ), p AS (
+            SELECT bin, n_a, n_b,
+                   n_a / (SUM(n_a) OVER ()) AS p_a,
+                   n_b / (SUM(n_b) OVER ()) AS p_b
+            FROM j
+        )
+        SELECT bin, n_a, n_b,
+               ROUND(p_a, 6) AS p_a, ROUND(p_b, 6) AS p_b,
+               ROUND((p_a - p_b) * ln((p_a + 1e-6) / (p_b + 1e-6)), 6) + 0.0
+                   AS psi_term
+        FROM p
+    """,
+    # same seeded md5 hash, same (hash, id) within-shard order as
+    # pipeline.sampling.shuffle_shards
+    "shuffle_shards": """
+        WITH h AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('shuf-v1:' || CAST(doc_id AS VARCHAR)),
+                                       18, 15) AS BIGINT) AS _h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(_h % 8 AS INTEGER) AS shard,
+               CAST(row_number() OVER (PARTITION BY _h % 8
+                                       ORDER BY _h ASC, doc_id ASC) AS BIGINT)
+                   AS shard_pos
+        FROM h
     """,
     # same md5-low-60-bit row hashes, same commutative aggregates as
     # pipeline.validate.dataset_fingerprint

@@ -76,3 +76,44 @@ def test_bench_side_is_broadcast(spark):
     # a sort-merge join here would shuffle the full corpus at scale
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_split_leakage_flags_cross_split_near_dups(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.contamination import split_leakage
+    from stac_fastapi_duckdb_spark.pipeline.sampling import dataset_split
+
+    # find two ids that land in different splits under the real rule
+    ids = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    sp = {
+        r.doc_id: r.split
+        for r in dataset_split(
+            ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, "corpus-v1"
+        ).collect()
+    }
+    train_id = next(i for i in sp if sp[i] == "train")
+    other_id = next(i for i in sp if sp[i] != "train")
+    same_id = next(i for i in sp if sp[i] == "train" and i != train_id)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (train_id, base),
+            (other_id, base + " tail"),  # near-dup ACROSS the split
+            (same_id, base + " end"),    # near-dup INSIDE train: no leak
+        ],
+        "doc_id long, text string",
+    )
+    got = split_leakage(docs, threshold=0.5)
+    rows = got.collect()
+    flagged = {(r.id_a, r.id_b) for r in rows}
+    lo, hi = sorted((train_id, other_id))
+    assert (lo, hi) in flagged
+    # the within-train pair must NOT be flagged
+    lo2, hi2 = sorted((train_id, same_id))
+    assert (lo2, hi2) not in flagged
+    for r in rows:
+        assert r.split_a != r.split_b

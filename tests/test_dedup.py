@@ -266,3 +266,49 @@ def test_containment_is_direction_free(spark):
     # small-in-big both directions of id order, and small==small
     assert set(got) == {(1, 2), (1, 3), (2, 3)}
     assert all(v == 1.0 for v in got.values())
+
+
+def test_cluster_representatives_picks_best_scored(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        cluster_representatives,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),   # near-dup of 1
+            (3, "completely unrelated text about spark physical plans ok"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5)], "doc_id long, qc_score double"
+    )
+    got = {r.canonical_id: r for r in cluster_representatives(
+        docs, score_df=scores, threshold=0.5
+    ).collect()}
+    # cluster {1,2}: doc 2 has the higher score -> representative,
+    # even though 1 is the canonical (min-id) label
+    assert got[1].rep_id == 2 and got[1].n_members == 2
+    assert got[1].rep_score == 0.9
+    # singleton keeps itself
+    assert got[3].rep_id == 3 and got[3].n_members == 1
+
+
+def test_cluster_representatives_tiebreak_is_min_id(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        cluster_representatives,
+    )
+
+    txt = "one two three four five six seven eight nine ten eleven"
+    docs = spark.createDataFrame(
+        [(5, txt), (9, txt)], "doc_id long, text string"
+    )
+    scores = spark.createDataFrame(
+        [(5, 0.7), (9, 0.7)], "doc_id long, qc_score double"
+    )
+    rows = cluster_representatives(docs, score_df=scores).collect()
+    assert len(rows) == 1 and rows[0].rep_id == 5

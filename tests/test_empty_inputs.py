@@ -119,3 +119,31 @@ def test_stream_join_builders_on_empty_batch(empty_events):
 
     v, p = SJ.split_by_type(empty_events, "view", "purchase")
     assert SJ.view_purchase_pairs(v, p).count() == 0
+
+
+def test_new_curation_ops_on_empty(empty_docs, spark):
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline import dedup as D
+    from stac_fastapi_duckdb_spark.pipeline.contamination import split_leakage
+    from stac_fastapi_duckdb_spark.pipeline.sampling import shuffle_shards
+    from stac_fastapi_duckdb_spark.pipeline.similarity import semdedup
+    from stac_fastapi_duckdb_spark.pipeline.text import quality_classifier
+    from stac_fastapi_duckdb_spark.pipeline.validate import dataset_fingerprint
+
+    assert D.duplicate_spans(empty_docs).count() == 0
+    assert D.anchor_window_candidates(empty_docs).count() == 0
+    assert D.shingle_containment_pairs(empty_docs).count() == 0
+    assert D.cluster_representatives(empty_docs).count() == 0
+    assert quality_classifier(empty_docs).count() == 0
+    assert split_leakage(empty_docs).count() == 0
+    assert shuffle_shards(empty_docs.select("doc_id")).count() == 0
+
+    empty_emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.lit(False))
+    cents = np.zeros((2, 64)) + np.eye(2, 64)
+    assert semdedup(empty_emb, cents).count() == 0
+
+    # fingerprint of an empty table: one row per column, zero counts,
+    # NULL hash aggregates (no rows to hash) — not a crash
+    fp = {r.col_name: r for r in dataset_fingerprint(empty_docs).collect()}
+    assert all(r.n_rows == 0 for r in fp.values())

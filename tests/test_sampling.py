@@ -127,3 +127,36 @@ def test_stratified_sample_matches_hash_sample_per_stratum(spark):
     )
     plain = hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", 0.3, "x")
     assert {r.doc_id for r in strat.collect()} == {r.doc_id for r in plain.collect()}
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shuffle_shards(df, num_shards=4).collect()
+    b = shuffle_shards(df.repartition(7), num_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partitioning-invariant
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        # positions are dense 1..n within each shard
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed is a different permutation
+    c = shuffle_shards(df, num_shards=4, seed="shuf-v2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_shuffle_shards_is_actually_shuffled(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = shuffle_shards(df, num_shards=1).collect()
+    order = [r.doc_id for r in sorted(rows, key=lambda r: r.shard_pos)]
+    # the permutation must not be the identity or a near-sorted order:
+    # count positions where consecutive output ids are consecutive inputs
+    runs = sum(1 for x, y in zip(order, order[1:]) if y == x + 1)
+    assert runs < 25  # random permutation: expected ~1

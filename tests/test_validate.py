@@ -65,3 +65,32 @@ def test_fingerprint_single_aggregation_pass(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_distribution_drift_detects_shift(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import distribution_drift
+
+    a = spark.createDataFrame([(float(v),) for v in [5, 15, 15, 25]], "v double")
+    b_same = spark.createDataFrame([(float(v),) for v in [7, 12, 18, 22]], "v double")
+    b_shift = spark.createDataFrame([(float(v),) for v in [45, 55, 55, 65]], "v double")
+
+    def psi(x, y):
+        return sum(r.psi_term for r in distribution_drift(x, y, "v", 10.0).collect())
+
+    assert psi(a, b_same) < 0.1           # same bins, same proportions
+    assert psi(a, b_shift) > 0.25          # fully disjoint bins
+    # identical snapshots: exactly zero drift, positive zero
+    rows = distribution_drift(a, a, "v", 10.0).collect()
+    assert all(r.psi_term == 0.0 and str(r.psi_term) != "-0.0" for r in rows)
+    assert all(r.n_a == r.n_b for r in rows)
+
+
+def test_distribution_drift_handles_one_sided_bins(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import distribution_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(100.0,)], "v double")
+    rows = {r.bin: r for r in distribution_drift(a, b, "v", 10.0).collect()}
+    assert rows[0].n_b == 0 and rows[10].n_a == 0
+    for r in rows.values():
+        assert r.psi_term == r.psi_term  # finite, not NaN

@@ -40,7 +40,13 @@ TABLES = [
 # oracles that are deliberately brute-force (O(n²) all-pairs checks of
 # an LSH operator): minutes-to-hours in DuckDB at sf0.1 — this is where
 # the Spark-side algorithm wins outright, not a timing comparison
-QUADRATIC_ORACLES = {"minhash_near_dup", "embedding_near_dup", "ngram_jaccard"}
+QUADRATIC_ORACLES = {
+    "minhash_near_dup",
+    "embedding_near_dup",
+    "ngram_jaccard",
+    # embeds the all-pairs Jaccard + unrolled label propagation replay
+    "cluster_representatives",
+}
 
 # full Structured-Streaming engine runs whose oracle is a batch SQL
 # restatement: the Spark time is dominated by per-run stream startup
