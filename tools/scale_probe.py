@@ -36,6 +36,14 @@ PROBES = [
     "repetition_stats",
     "curation_pipeline",
     "gap_fill",
+    # round-5 additions: GEMM-kernel semdedup, window-fingerprint spans,
+    # anchor-window containment, map-only scoring, single-agg fingerprint
+    "semdedup",
+    "duplicate_spans",
+    "containment_dedup",
+    "quality_classifier",
+    "dataset_fingerprint",
+    "shuffle_shards",
 ]
 
 
