@@ -136,6 +136,7 @@ _EXTRA_OPS = [
     "split_leakage",
     "shuffle_shards",
     "distribution_drift",
+    "profile_table",
 ]
 
 

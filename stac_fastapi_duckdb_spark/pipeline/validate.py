@@ -147,3 +147,47 @@ def distribution_drift(
         (F.round((pa - pb) * F.log((pa + eps) / (pb + eps)), 6) + F.lit(0.0))
         .alias("psi_term"),
     )
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: row/null/distinct counts and
+    lexicographic min/max of the canonical string — the quick-look
+    companion to ``dataset_fingerprint`` (fingerprints answer "did it
+    change", the profile answers "what does it look like" after every
+    pipeline stage).
+
+    → one row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_str, max_str).
+
+    Scale shape: ONE scan. The multiple COUNT(DISTINCT)s compile to a
+    single Expand-based aggregate (each input row fans out to
+    #cols rows of (gid, value) — the standard Spark multi-distinct
+    plan), so cost is #cols × scan, partial-aggregated map-side; no
+    joins, no windows. For columns where an exact distinct is too hot
+    at full scale, swap in approx_count_distinct — kept exact here
+    because the oracle compares values.
+    """
+    cols = list(cols) if cols else df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n__{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn__{c}"),
+            F.countDistinct(s).alias(f"__nd__{c}"),
+            F.min(s).alias(f"__mn__{c}"),
+            F.max(s).alias(f"__mx__{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__n__{c}`, `__nn__{c}`, `__nd__{c}`, `__mn__{c}`, `__mx__{c}`"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )

@@ -1887,6 +1887,17 @@ def q_distribution_drift(spark, sf):
     )
 
 
+def q_profile_table(spark, sf):
+    """Per-column data profile (count / nulls / exact distinct /
+    lexicographic min-max of the canonical string) in ONE Expand-based
+    aggregate pass — the data-quality quick look."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import profile_table
+
+    return profile_table(
+        _t(spark, sf, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def q_cluster_representatives(spark, sf):
     """Keep-best dedup: transitive minhash cluster map ⋈ frozen quality
     scores → highest-scoring member represents each cluster (id-asc
@@ -2036,6 +2047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "shuffle_shards": q_shuffle_shards,
     "distribution_drift": q_distribution_drift,
+    "profile_table": q_profile_table,
 }
 
 
@@ -3697,6 +3709,62 @@ ORACLE_SQL: dict[str, str] = {
                                        ORDER BY _h ASC, doc_id ASC) AS BIGINT)
                    AS shard_pos
         FROM h
+    """,
+    # same canonical-string casts, counts, and lexicographic min/max as
+    # pipeline.validate.profile_table
+    "profile_table": """
+        SELECT 'doc_id' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT CAST(doc_id AS VARCHAR)) AS n_distinct,
+               min(CAST(doc_id AS VARCHAR)) AS min_str,
+               max(CAST(doc_id AS VARCHAR)) AS max_str
+        FROM documents
+    
+UNION ALL
+
+        SELECT 'text' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT CAST(text AS VARCHAR)) AS n_distinct,
+               min(CAST(text AS VARCHAR)) AS min_str,
+               max(CAST(text AS VARCHAR)) AS max_str
+        FROM documents
+    
+UNION ALL
+
+        SELECT 'lang' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT CAST(lang AS VARCHAR)) AS n_distinct,
+               min(CAST(lang AS VARCHAR)) AS min_str,
+               max(CAST(lang AS VARCHAR)) AS max_str
+        FROM documents
+    
+UNION ALL
+
+        SELECT 'source' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT CAST(source AS VARCHAR)) AS n_distinct,
+               min(CAST(source AS VARCHAR)) AS min_str,
+               max(CAST(source AS VARCHAR)) AS max_str
+        FROM documents
+    
+UNION ALL
+
+        SELECT 'n_chars' AS col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT CAST(n_chars AS VARCHAR)) AS n_distinct,
+               min(CAST(n_chars AS VARCHAR)) AS min_str,
+               max(CAST(n_chars AS VARCHAR)) AS max_str
+        FROM documents
     """,
     # same md5-low-60-bit row hashes, same commutative aggregates as
     # pipeline.validate.dataset_fingerprint

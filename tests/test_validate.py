@@ -94,3 +94,25 @@ def test_distribution_drift_handles_one_sided_bins(spark):
     assert rows[0].n_b == 0 and rows[10].n_a == 0
     for r in rows.values():
         assert r.psi_term == r.psi_term  # finite, not NaN
+
+
+def test_profile_table_counts_and_minmax(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (3, "a"), (3, "a")],
+        "doc_id long, text string",
+    )
+    p = {r.col_name: r for r in profile_table(df).collect()}
+    assert p["doc_id"].n_rows == 4 and p["doc_id"].n_distinct == 3
+    assert p["text"].n_nulls == 1 and p["text"].n_distinct == 2
+    assert p["text"].min_str == "a" and p["text"].max_str == "b"
+    assert p["doc_id"].min_str == "1" and p["doc_id"].max_str == "3"
+
+
+def test_profile_table_single_pass_no_joins(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import profile_table
+
+    df = spark.createDataFrame([(i, str(i)) for i in range(10)], "a long, b string")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "EvalPython" not in plan
