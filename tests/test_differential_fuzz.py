@@ -104,3 +104,72 @@ def test_spark_and_duckdb_agree_on_random_corpora(spark, fuzz_dir, texts):
             f"{name} diverged on corpus {texts!r}"
         )
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# events-table differential fuzz: timestamps are the riskiest parity
+# area (precision, tz, window bucketing, ordering ties)
+# ---------------------------------------------------------------------------
+
+EVENTS_QUERIES = [
+    "events_hourly_rollup",
+    "user_stats",
+    "sessionize",
+    "funnel_steps",
+    "first_last_window",
+    "datetime_range",
+    "pivot_events",
+    "gap_fill",
+]
+
+_etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
+_event = st.tuples(
+    st.integers(min_value=0, max_value=2 * 24 * 3600),  # seconds offset, 2 days
+    st.integers(min_value=0, max_value=9),  # user
+    _etypes,
+    st.integers(min_value=0, max_value=400),  # value in quarter-units
+)
+_events_corpus = st.lists(_event, min_size=1, max_size=60)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_events_corpus)
+def test_spark_and_duckdb_agree_on_random_events(spark, fuzz_dir, evs):
+    import datetime as dt
+
+    _COUNTER[0] += 1
+    d = fuzz_dir / f"events{_COUNTER[0]}"
+    d.mkdir()
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i, (sec, uid, etype, qv) in enumerate(evs):
+        # event_id µs component makes every ts unique: ordering ties
+        # between engines are then impossible by construction
+        ts = base + dt.timedelta(seconds=sec, microseconds=i)
+        # quarter-unit values are exactly representable doubles: sums
+        # agree in ANY accumulation order, so the fuzz tests semantics,
+        # not float-reduction order
+        rows.append((i, ts, uid, etype, qv * 0.25, '{"k": %d}' % (i % 100)))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    for name in EVENTS_QUERIES:
+        sdf = eq.QUERIES[name](spark, str(d)).toPandas()
+        odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        a, b = _norm(sdf), _norm(odf)
+        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+    con.close()
