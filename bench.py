@@ -137,6 +137,7 @@ _EXTRA_OPS = [
     "shuffle_shards",
     "distribution_drift",
     "profile_table",
+    "remove_duplicate_spans",
 ]
 
 

@@ -826,3 +826,105 @@ def cluster_representatives(
         F.col(score_col).alias("rep_score"),
         "n_members",
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CLEANING consumer of ``duplicate_spans``: rebuild each
+    document with its cross-document duplicated runs removed, keeping
+    exactly ONE occurrence per run corpus-wide (Lee et al. 2022's
+    keep-one semantics — deleting every copy would erase shared
+    content from the corpus entirely).
+
+    Ownership rule (deterministic): for each duplicated window
+    fingerprint, the LOWEST doc_id containing it owns it; every other
+    document's tokens covered by that window are removed. Overlapping
+    foreign windows merge into maximal removal intervals
+    (gaps-and-islands, as in ``duplicate_spans``).
+
+    → (doc_id, clean_text, n_tokens, n_removed): every input document
+    appears (documents with nothing to remove pass through with
+    ``n_removed = 0``).
+
+    Scale shape: same two bounded shuffles as ``duplicate_spans`` (one
+    on the 16-hex window fingerprint, one per-doc islands pass over
+    only the foreign-duplicated positions), then ONE left join of the
+    corpus against the per-doc removal-interval arrays (grouped —
+    intervals per doc are few) and a map-side JVM rebuild: tokens are
+    filtered by a fold over the interval array and re-joined — no
+    token-level explode of the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    k = window_tokens
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
+        ),
+    )
+    ex = (
+        ensure_parallelism(df)
+        .filter(n >= k)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp"))
+    )
+    wfp = Window.partitionBy("fp")
+    marked = (
+        ex.withColumn(
+            "_docs", F.size(F.collect_set("doc_id").over(wfp))
+        )
+        .withColumn("_owner", F.min("doc_id").over(wfp))
+        .filter((F.col("_docs") >= 2) & (F.col("doc_id") != F.col("_owner")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    ws = Window.partitionBy("doc_id").orderBy("pos")
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    intervals = (
+        marked.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos", 1, -(k + 1)).over(ws) > k, 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(run))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("lo"),
+            (F.max("pos") + k - 1).alias("hi"),  # inclusive token bounds
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("lo", "hi")).alias("_rm")
+        )
+    )
+    joined = df.join(
+        intervals, df[id_col] == intervals["doc_id"], "left"
+    ).select(df[id_col].alias("doc_id"), F.col(text_col), "_rm")
+    # JVM rebuild: keep token i unless some [lo,hi] interval covers it
+    t2 = tokens_col(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(t2) - 1)
+    removed = F.when(F.col("_rm").isNull(), F.array().cast("array<int>")).otherwise(
+        F.filter(
+            idx,
+            lambda i: F.exists(
+                F.col("_rm"), lambda r: (i >= r["lo"]) & (i <= r["hi"])
+            ),
+        ).cast("array<int>")
+    )
+    kept = F.filter(
+        t2,
+        lambda tok, i: ~F.array_contains(removed, i.cast("int")),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(t2).cast("bigint").alias("n_tokens"),
+        F.size(removed).cast("bigint").alias("n_removed"),
+    )

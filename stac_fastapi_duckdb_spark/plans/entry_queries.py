@@ -1887,6 +1887,21 @@ def q_distribution_drift(spark, sf):
     )
 
 
+def q_remove_duplicate_spans(spark, sf):
+    """Keep-one substring dedup: rebuild every document with its
+    cross-document duplicated 8-token runs removed, except in the
+    lowest-id owner of each run (pipeline.dedup.remove_duplicate_spans
+    — the cleaning consumer of duplicate_spans). Planted duplication
+    via the id-shifted copy: every copy is fully cleaned, every
+    original keeps its text. The oracle replays ownership, interval
+    merge, and the token-level rebuild exactly."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return P_dedup.remove_duplicate_spans(
+        docs.unionByName(shifted), window_tokens=8
+    )
+
+
 def q_profile_table(spark, sf):
     """Per-column data profile (count / nulls / exact distinct /
     lexicographic min-max of the canonical string) in ONE Expand-based
@@ -2048,6 +2063,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "distribution_drift": q_distribution_drift,
     "profile_table": q_profile_table,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
 }
 
 
@@ -3709,6 +3725,73 @@ ORACLE_SQL: dict[str, str] = {
                                        ORDER BY _h ASC, doc_id ASC) AS BIGINT)
                    AS shard_pos
         FROM h
+    """,
+
+    # same ownership rule (lowest doc_id per fingerprint), same interval
+    # merge, same token rebuild as pipeline.dedup.remove_duplicate_spans
+    "remove_duplicate_spans": r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text FROM documents
+        ), t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks
+            FROM corpus
+        ), w AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(toks) - 7)) AS i, toks
+            FROM t WHERE len(toks) >= 8
+        ), fps AS (
+            SELECT doc_id, i - 1 AS pos,
+                   substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS fp
+            FROM w
+        ), stats AS (
+            SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+            FROM fps GROUP BY fp
+        ), marked AS (
+            SELECT DISTINCT f.doc_id, f.pos
+            FROM fps f JOIN stats s ON f.fp = s.fp
+            WHERE s.nd >= 2 AND f.doc_id <> s.owner
+        ), mk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos, 1, -9) OVER
+                                (PARTITION BY doc_id ORDER BY pos) > 8
+                        THEN 1 ELSE 0 END AS nw
+            FROM marked
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+            FROM mk
+        ), iv AS (
+            SELECT doc_id, min(pos) AS lo, max(pos) + 8 - 1 AS hi
+            FROM isl GROUP BY doc_id, isl
+        ), tok AS (
+            SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
+                   toks
+            FROM t
+        ), tk AS (
+            SELECT doc_id, p, toks[p + 1] AS tk FROM tok
+        ), rm AS (
+            SELECT DISTINCT k.doc_id, k.p
+            FROM tk k JOIN iv ON k.doc_id = iv.doc_id
+                            AND k.p BETWEEN iv.lo AND iv.hi
+        ), kept AS (
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.tk, ' ' ORDER BY tk.p), '')
+                       AS clean_text
+            FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p
+            WHERE rm.p IS NULL
+            GROUP BY tk.doc_id
+        ), rmn AS (
+            SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+               LEFT JOIN rmn ON t.doc_id = rmn.doc_id
     """,
     # same canonical-string casts, counts, and lexicographic min/max as
     # pipeline.validate.profile_table

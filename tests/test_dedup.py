@@ -312,3 +312,51 @@ def test_cluster_representatives_tiebreak_is_min_id(spark):
     )
     rows = cluster_representatives(docs, score_df=scores).collect()
     assert len(rows) == 1 and rows[0].rep_id == 5
+
+
+def test_remove_duplicate_spans_keep_one_semantics(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one"),
+            (2, f"pre fix {shared} post"),
+            (3, "totally different words here to stay safe now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, 8).collect()}
+    # owner (lowest id) keeps the run untouched
+    assert got[1].clean_text == f"{shared} unique one"
+    assert got[1].n_removed == 0
+    # the other occurrence is excised, surrounding text preserved
+    assert got[2].clean_text == "pre fix post"
+    assert got[2].n_removed == 8
+    # untouched doc passes through
+    assert got[3].n_removed == 0 and got[3].clean_text == docs.collect()[2].text
+    # every input doc appears
+    assert set(got) == {1, 2, 3}
+
+
+def test_remove_duplicate_spans_cleaned_corpus_has_no_dups(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    corpus = docs.unionByName(shifted)
+    cleaned = remove_duplicate_spans(corpus, 8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    # fixpoint: after keep-one cleaning, re-detection finds spans ONLY
+    # inside owner docs' kept copies paired with... nothing: every
+    # non-owner copy is gone, so no window occurs in >= 2 docs
+    assert duplicate_spans(cleaned, 8).count() == 0
