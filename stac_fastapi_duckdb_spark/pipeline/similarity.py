@@ -526,8 +526,17 @@ def pq_adc_topk(
             F.element_at(lut_lit, j), F.element_at(F.col(code_col), j)
         ),
     )
+    # floor-based half-up rounding, NOT F.round: Spark's ROUND rounds
+    # the exact decimal expansion (BigDecimal HALF_UP) while DuckDB's
+    # rounds in floating point — the same double can land on opposite
+    # sides of a 6th-decimal boundary (caught by the embeddings
+    # differential fuzzer). floor(x·1e6 + 0.5)/1e6 is pure IEEE
+    # arithmetic, so with bit-identical distances (this operator's
+    # design invariant) the rounded value is bit-identical too.
+    # adc_dist >= 0 always, so floor-half-up == half-up.
+    rounded = F.floor(dist * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return (
-        df.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+        df.select(F.col(id_col), rounded.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -620,7 +620,17 @@ def _pq_oracle_sql() -> str:
         return "[" + ", ".join(repr(float(x)) for x in v) + "]"
 
     def cb_lit(j):
-        return "[" + ", ".join(lst(c) for c in PQ_CODEBOOKS[j]) + "]"
+        # ::DOUBLE[][] is LOAD-BEARING: DuckDB types a bare
+        # 17-fractional-digit literal as DECIMAL(18,17), which silently
+        # runs the whole distance computation in decimal arithmetic
+        # (~1e-7 off the IEEE result — caught by the embeddings
+        # differential fuzzer; the fixed testdata never crossed a
+        # rounding boundary)
+        return (
+            "["
+            + ", ".join(lst(c) for c in PQ_CODEBOOKS[j])
+            + "]::DOUBLE[][]"
+        )
 
     def dists(j, vec):
         off = j * dsub
@@ -636,14 +646,17 @@ def _pq_oracle_sql() -> str:
         lut = dists(j, "p.pe")
         terms.append(f"({lut})[(list_position({d_row}, list_min({d_row})))]")
     dist = " + ".join(terms)
+    # floor-based half-up rounding mirrors the Spark side exactly (both
+    # engines' ROUND() disagree at decimal boundaries; floor(x*1e6+0.5)
+    # is pure IEEE arithmetic on the bit-identical distance)
     return f"""
-        SELECT vec_id, ROUND(dist, 6) AS adc_dist FROM (
+        SELECT vec_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist FROM (
             SELECT e.vec_id AS vec_id, {dist} AS dist
             FROM embeddings e,
                  (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
             WHERE e.vec_id <> 0
         )
-        ORDER BY ROUND(dist, 6) ASC, vec_id ASC
+        ORDER BY floor(dist * 1e6 + 0.5) / 1e6 ASC, vec_id ASC
         LIMIT 10
     """
 

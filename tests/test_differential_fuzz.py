@@ -173,3 +173,162 @@ def test_spark_and_duckdb_agree_on_random_events(spark, fuzz_dir, evs):
         a, b = _norm(sdf), _norm(odf)
         assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# relational/money differential fuzz: decimal money paths, joins,
+# percentiles, histograms over generated TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+RELATIONAL_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "topk",
+    "histogram",
+    "percentile_agg",
+    "distinct_count",
+    "scalar_subquery",
+    "semi_join",
+    "stats_agg",
+]
+
+_li = st.tuples(
+    st.integers(min_value=1, max_value=20),    # orderkey (may dangle)
+    st.integers(min_value=1, max_value=50),    # quantity
+    st.integers(min_value=100, max_value=99999),  # price cents
+    st.integers(min_value=0, max_value=10),    # discount %
+    st.integers(min_value=0, max_value=8),     # tax %
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["O", "F"]),
+    st.integers(min_value=0, max_value=364),   # shipdate offset days
+)
+_ord = st.tuples(
+    st.integers(min_value=1, max_value=5),     # custkey
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=1000, max_value=999999),  # totalprice cents
+    st.integers(min_value=0, max_value=364),
+    st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lis=st.lists(_li, min_size=1, max_size=40),
+    ords=st.lists(_ord, min_size=1, max_size=15),
+)
+def test_spark_and_duckdb_agree_on_random_relational(spark, fuzz_dir, lis, ords):
+    import datetime as dt
+
+    _COUNTER[0] += 1
+    d = fuzz_dir / f"rel{_COUNTER[0]}"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    li_rows = [
+        (
+            ok, ok * 100 + i, ok * 10 + i, i,
+            float(q), cents / 100.0, disc / 100.0, tax / 100.0,
+            rf, ls, base + dt.timedelta(days=sd),
+        )
+        for i, (ok, q, cents, disc, tax, rf, ls, sd) in enumerate(lis)
+    ]
+    ord_rows = [
+        (
+            i + 1, ck, status, cents / 100.0,
+            base + dt.timedelta(days=od), prio,
+        )
+        for i, (ck, status, cents, od, prio) in enumerate(ords)
+    ]
+    cust_rows = [
+        (k, f"Customer#{k}", k % 3, 1000.0 + k, ["BUILDING", "AUTOMOBILE", "MACHINERY"][k % 3])
+        for k in range(1, 6)
+    ]
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        ord_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        cust_rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    for name in RELATIONAL_QUERIES:
+        sdf = eq.QUERIES[name](spark, str(d)).toPandas()
+        odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        a, b = _norm(sdf), _norm(odf)
+        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# embeddings differential fuzz: vector math (cosine folds, frozen-index
+# replays, centroid z-scores) on random vectors
+# ---------------------------------------------------------------------------
+
+EMBEDDING_QUERIES = [
+    "embedding_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "embedding_outliers",
+    "semdedup",
+]
+
+# eighth-unit components are exactly representable: vector arithmetic
+# divergence (if any) is then structural, not accumulation noise
+_vec = st.lists(
+    st.integers(min_value=-16, max_value=16), min_size=64, max_size=64
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(_vec, min_size=3, max_size=25))
+def test_spark_and_duckdb_agree_on_random_embeddings(spark, fuzz_dir, vecs):
+    _COUNTER[0] += 1
+    d = fuzz_dir / f"emb{_COUNTER[0]}"
+    d.mkdir()
+    rows = []
+    for i, v in enumerate(vecs):
+        fv = [x / 8.0 for x in v]
+        if all(x == 0.0 for x in fv):
+            fv[i % 64] = 1.0  # avoid zero vectors (cosine undefined)
+        rows.append((i, fv, i % 4))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    for name in EMBEDDING_QUERIES:
+        sdf = eq.QUERIES[name](spark, str(d)).toPandas()
+        odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
+        assert sorted(sdf.columns) == sorted(odf.columns), name
+        a, b = _norm(sdf), _norm(odf)
+        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+    con.close()
