@@ -603,3 +603,117 @@ def embedding_outliers(
         zr.alias("z"),
         (zr > z_thresh).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm over the FULL table)
+# ---------------------------------------------------------------------------
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, argmin ties → lowest
+    cell index) against a broadcast centroid matrix — the map-only half
+    of a Lloyd round. Vectorized pandas UDF: one Arrow batch → one
+    (batch × k) GEMM-shaped distance computation."""
+    return df.withColumn(out_col, _assign_udf(centroids)(F.col(vec_col)))
+
+
+def lloyd_round(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, float]:
+    """ONE distributed Lloyd iteration over the FULL table (unlike
+    ``train_ivf_centroids``, which iterates on a driver sample):
+    → (updated centroids, total within-cluster SSE before the update).
+
+    Scale shape: assignment is map-only; the centroid update is a
+    single ``groupBy cell`` with ``dim`` avg aggregates + count + SSE
+    sum — partial aggregation reduces every partition to at most
+    ``k × (dim+2)`` cells before the one narrow shuffle, and the driver
+    receives exactly ``k`` rows regardless of table size. Empty cells
+    keep their previous centroid (the standard Lloyd convention).
+    """
+    k, dim = centroids.shape
+    assigned = kmeans_assign(df, centroids, vec_col, "_cell")
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in centroids[c]])
+            for c in range(k)
+        ]
+    )
+    own = F.element_at(cent_lit, F.col("_cell").cast("int") + 1)
+    sse = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            own,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = (
+        assigned.groupBy("_cell")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(sse).alias("_sse"),
+            *[
+                F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                    f"_m{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    out = centroids.astype(np.float64).copy()
+    total_sse = 0.0
+    for r in rows:
+        total_sse += r["_sse"]
+        out[int(r["_cell"])] = [r[f"_m{i}"] for i in range(dim)]
+    return out, total_sse
+
+
+def train_kmeans(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, list[float]]:
+    """Full-table distributed k-means: scan-order-invariant seeded init
+    (the ``k`` rows with smallest ``xxhash64(id, seed)`` — same draw as
+    IVF training) then up to ``iters`` Lloyd rounds with early stop on
+    relative SSE improvement < ``tol``. → (centroids, SSE-per-round).
+
+    Each round is one map-only assignment + one k-row shuffle; total
+    driver traffic is ``iters × k × dim`` doubles. This is the
+    cluster-scale trainer behind semdedup/IVF when a driver sample
+    isn't representative (multi-tenant corpora, heavy label skew).
+    """
+    init_rows = (
+        df.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+        .toPandas()[vec_col]
+    )
+    if len(init_rows) == 0:
+        raise ValueError("train_kmeans: empty input")
+    cent = np.stack(init_rows.to_numpy()).astype(np.float64)
+    if len(cent) < k:
+        cent = np.resize(cent, (k, dim))
+    history: list[float] = []
+    for _ in range(iters):
+        cent, sse = lloyd_round(df, cent, vec_col)
+        history.append(sse)
+        if len(history) >= 2 and history[-2] > 0:
+            if (history[-2] - history[-1]) / history[-2] < tol:
+                break
+    return cent, history

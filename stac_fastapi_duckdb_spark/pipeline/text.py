@@ -831,3 +831,148 @@ def quality_classifier(
         score.alias("qc_score"),
         (score >= 0).alias("qc_keep"),
     )
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Corpus unigram language model: → (token, logprob) over the
+    ``vocab_size`` most frequent tokens, add-one smoothed, plus ONE
+    extra row with ``token IS NULL`` holding the out-of-vocabulary
+    logprob. The CCNet-style perplexity filter's model half (CCNet
+    trains KenLM 5-grams; the unigram form keeps the same filtering
+    semantics in closed form and is what the smoothing math below
+    implements exactly):
+
+        p(tok in vocab)  = (count + 1) / (total + |kept vocab| + 1)
+        p(OOV)           = 1 / (total + |kept vocab| + 1)
+
+    Scale shape: one explode + one partial-aggregated ``groupBy token``
+    shuffle over the corpus; the top-``vocab_size`` cut compiles to
+    TakeOrderedAndProject (count DESC, token ASC — a total order, so
+    the boundary is deterministic); the two corpus scalars (total token
+    count, kept-vocab size) ride broadcast 1-row aggregates. The result
+    is a small artifact (≤ vocab_size+1 rows) meant to be persisted
+    once and broadcast into every scoring pass.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    toks = ensure_parallelism(df).select(
+        F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))  # ALL tokens, not just kept
+    top = counts.orderBy(F.col("_n").desc(), F.col("token")).limit(vocab_size)
+    kept = top.agg(F.count(F.lit(1)).alias("_vocab"))
+    denom = (F.col("_total") + F.col("_vocab") + 1).cast("double")
+    vocab_rows = (
+        top.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            "token",
+            F.log((F.col("_n") + 1).cast("double") / denom).alias("logprob"),
+        )
+    )
+    oov_row = (
+        total.crossJoin(F.broadcast(kept))
+        .select(F.lit(None).cast("string").alias("token"), (-F.log(denom)).alias("logprob"))
+    )
+    return vocab_rows.unionByName(oov_row)
+
+
+def perplexity_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a ``train_unigram_lm`` artifact:
+    → (doc_id, n_tokens, avg_nll) where ``avg_nll`` is the mean
+    negative log-probability per token (perplexity = e^avg_nll; the
+    monotone form is returned so threshold filters compare exactly).
+    High avg_nll = far from the LM's training distribution — the CCNet
+    head/middle/tail quality-partition signal.
+
+    Scale shape: explode tokens, LEFT broadcast-join the vocab
+    (≤ vocab_size rows — kilobytes against a 100 TB corpus), coalesce
+    misses to the broadcast OOV scalar, one partial-aggregated
+    ``groupBy doc_id``. Two shuffles total across train+score; the
+    scoring pass itself shuffles only the per-doc aggregate.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    oov = lm.filter(F.col("token").isNull()).select(
+        F.col("logprob").alias("_oov")
+    )
+    vocab = lm.filter(F.col("token").isNotNull())
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.avg(-F.coalesce(F.col("logprob"), F.col("_oov"))).alias("avg_nll"),
+        )
+    )
+
+
+def corpus_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """All positional word n-grams (NOT per-doc distinct — corpus
+    frequency semantics) → (gram, cnt). Documents shorter than ``n``
+    tokens contribute nothing. The n-gram expansion is JVM array
+    algebra (sequence + slice + concat_ws inside codegen) followed by
+    one explode — no Python, and the only shuffle is the
+    partial-aggregated ``groupBy gram``."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    toks = tokens_col(F.col(text_col))
+    count = F.size(toks)
+    grams = F.when(
+        count >= n,
+        F.transform(
+            F.sequence(F.lit(1), count - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus n-gram heavy hitters: the ``k`` most frequent word
+    n-grams (boilerplate detection, contamination fingerprints, stop
+    phrase mining). (cnt DESC, gram ASC) is a total order, so the
+    rank-``k`` boundary is deterministic; the cut compiles to
+    TakeOrderedAndProject — per-partition top-k then a single merge,
+    never a global sort."""
+    return corpus_ngrams(df, n, text_col).orderBy(
+        F.col("cnt").desc(), F.col("gram")
+    ).limit(k)

@@ -1957,6 +1957,68 @@ def q_shuffle_shards(spark, sf):
     )
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style unigram-LM perplexity filter: train the add-one
+    smoothed top-300 vocab LM on the corpus itself (one token-count
+    shuffle + TakeOrdered cut), then score every doc by mean negative
+    log-prob with a broadcast vocab join + broadcast OOV scalar. The
+    oracle replays the identical smoothing closed form in SQL."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lm = train_unigram_lm(docs, vocab_size=300)
+    return perplexity_score(docs, lm).select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
+    )
+
+
+def q_top_bigrams(spark, sf):
+    """Corpus bigram heavy hitters (boilerplate / stop-phrase mining):
+    positional word bigrams via JVM array algebra, one partial-agg
+    count shuffle, deterministic (cnt DESC, gram ASC) top-100 compiled
+    to TakeOrderedAndProject."""
+    from stac_fastapi_duckdb_spark.pipeline.text import top_ngrams
+
+    return top_ngrams(_t(spark, sf, "documents"), n=2, k=100)
+
+
+def q_kmeans_round(spark, sf):
+    """One distributed Lloyd round, declaratively: deterministic init
+    (the k=8 vectors with vec_id < 8 — SQL-replayable), broadcast
+    nearest-centroid assignment (vectorized pandas UDF), then the
+    centroid update as a posexplode (cell, pos) partial aggregate —
+    the same k×dim-bounded shuffle ``pipeline.similarity.lloyd_round``
+    uses. Output: per-(cell, dim) member count + updated mean."""
+    import numpy as np
+
+    emb = _t(spark, sf, "embeddings")
+    cent_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centroids = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    assigned = P_sim.kmeans_assign(emb, centroids, out_col="cell")
+    return (
+        assigned.select(
+            "cell",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("val"), 6).alias("m"),
+        )
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "n",
+            "m",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2077,6 +2139,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distribution_drift": q_distribution_drift,
     "profile_table": q_profile_table,
     "remove_duplicate_spans": q_remove_duplicate_spans,
+    "lm_perplexity": q_lm_perplexity,
+    "top_bigrams": q_top_bigrams,
+    "kmeans_round": q_kmeans_round,
 }
 
 
@@ -3878,4 +3943,77 @@ UNION ALL
         """
         for c in ["doc_id", "text", "lang", "source", "n_chars"]
     ),
+    # identical add-one smoothing closed form as pipeline.text
+    # train_unigram_lm + perplexity_score: top-300 vocab by
+    # (count DESC, token ASC) — a total order, so the cut is
+    # deterministic in both engines
+    "lm_perplexity": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), total AS (
+            SELECT sum(n) AS t FROM counts
+        ), top AS (
+            SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 300
+        ), kept AS (
+            SELECT count(*) AS v FROM top
+        ), lm AS (
+            SELECT token, ln((n + 1.0) / (t + v + 1)) AS logprob
+            FROM top, total, kept
+        ), oov AS (
+            SELECT -ln(CAST(t + v + 1 AS DOUBLE)) AS o FROM total, kept
+        )
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               ROUND(avg(-coalesce(lm.logprob, oov.o)), 6) AS avg_nll
+        FROM tok LEFT JOIN lm USING (token), oov
+        GROUP BY tok.doc_id
+    """,
+    # positional (non-distinct) word bigrams; (cnt DESC, gram ASC) is a
+    # total order so the top-100 boundary matches exactly
+    "top_bigrams": r"""
+        WITH t AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents
+        ), g AS (
+            SELECT array_to_string(w[i:i+1], ' ') AS gram
+            FROM t, unnest(range(1, len(w))) AS u(i)
+            WHERE len(w) >= 2
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY gram
+        ORDER BY cnt DESC, gram ASC
+        LIMIT 100
+    """,
+    # one Lloyd round from the deterministic vec_id<8 init: nearest
+    # centroid by squared L2 (ties → lowest cell, same as numpy argmin)
+    # then per-(cell, dim) count + mean — replicates
+    # pipeline.similarity.kmeans_assign + the lloyd_round update
+    "kmeans_round": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < 8
+        ), dists AS (
+            SELECT b.vec_id, b.v, c.cell,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> (b.v[i] - c.cv[i]) ** 2)) AS dsq
+            FROM base b CROSS JOIN cent c
+        ), assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT vec_id, v, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists) WHERE rn = 1
+        )
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(i AS BIGINT) AS pos,
+               CAST(count(*) AS BIGINT) AS n,
+               ROUND(avg(v[i + 1]), 6) AS m
+        FROM assigned, unnest(range(0, 64)) AS u(i)
+        GROUP BY cell, i
+    """,
 }

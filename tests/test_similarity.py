@@ -298,3 +298,50 @@ def test_cell_assignment_column_and_udf_agree(spark):
     a = {r.vec_id: r.c for r in with_ivf_cell(emb, cents, out_col="c").select("vec_id", "c").collect()}
     b = {r.vec_id: r.c for r in emb.select("vec_id", ivf_cell_col(cents).alias("c")).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-table Lloyd)
+# ---------------------------------------------------------------------------
+
+def test_lloyd_round_moves_centroids_to_cluster_means(vectors, spark):
+    # init from one member of each true cluster: one round should land
+    # each centroid on (approximately) its cluster's mean
+    init = np.array(
+        [r.embedding for r in vectors.filter(F.col("vec_id").isin(0, 15)).orderBy("vec_id").collect()]
+    )
+    cent, sse = sim.lloyd_round(vectors, init)
+    assert cent.shape == init.shape
+    assert sse > 0
+    # cluster A centered near +e0, B near -e0
+    assert cent[0][0] > 0.9 and cent[1][0] < -0.9
+
+
+def test_train_kmeans_sse_monotone_and_converges(vectors):
+    cent, history = sim.train_kmeans(vectors, k=2, dim=DIM, iters=8, seed=3)
+    assert len(history) >= 1
+    # Lloyd's invariant: SSE never increases round over round
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+    # the two learned centroids separate the planted clusters
+    signs = sorted(np.sign(cent[:, 0]))
+    assert signs == [-1.0, 1.0]
+
+
+def test_kmeans_assign_matches_numpy_argmin(vectors):
+    init = np.array(
+        [r.embedding for r in vectors.filter(F.col("vec_id").isin(0, 15)).orderBy("vec_id").collect()]
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in sim.kmeans_assign(vectors, init).select("vec_id", "cell").collect()
+    }
+    rows = vectors.collect()
+    for r in rows:
+        d = ((np.asarray(r.embedding)[None, :] - init) ** 2).sum(axis=1)
+        assert got[r.vec_id] == int(d.argmin())
+
+
+def test_train_kmeans_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        sim.train_kmeans(empty, k=2, dim=DIM)

@@ -445,3 +445,70 @@ def test_quality_classifier_stays_jvm_side(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = quality_classifier(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram LM perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def test_train_unigram_lm_smoothing_math(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    lm = {r.token: r.logprob for r in T.train_unigram_lm(df, vocab_size=2).collect()}
+    # corpus: a×3, b×1, c×1 → total=5; top-2 vocab = {a, b} (count desc,
+    # token asc tiebreak keeps b over c); denom = 5 + 2 + 1 = 8
+    import math
+
+    assert set(lm) == {"a", "b", None}
+    assert lm["a"] == pytest.approx(math.log(4 / 8))
+    assert lm["b"] == pytest.approx(math.log(2 / 8))
+    assert lm[None] == pytest.approx(math.log(1 / 8))  # OOV row
+
+
+def test_perplexity_score_in_vocab_vs_oov(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    lm = T.train_unigram_lm(df, vocab_size=2)
+    out = {r.doc_id: r for r in T.perplexity_score(df, lm).collect()}
+    import math
+
+    # doc 1 is fully in-vocab: avg of -log p(a),-log p(a),-log p(b)
+    exp1 = -(2 * math.log(4 / 8) + math.log(2 / 8)) / 3
+    assert out[1].avg_nll == pytest.approx(exp1)
+    assert out[1].n_tokens == 3
+    # doc 2 has the OOV token c → its nll uses the OOV bucket
+    exp2 = -(math.log(4 / 8) + math.log(1 / 8)) / 2
+    assert out[2].avg_nll == pytest.approx(exp2)
+    # OOV-heavy doc scores strictly worse (higher avg_nll)
+    assert out[2].avg_nll > out[1].avg_nll
+
+
+def test_perplexity_score_broadcasts_the_lm(spark):
+    df = spark.createDataFrame(
+        [(i, "w%d common" % i) for i in range(50)], "doc_id long, text string"
+    )
+    lm = T.train_unigram_lm(df, vocab_size=10)
+    plan = T.perplexity_score(df, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # vocab join never shuffles the corpus
+
+
+def test_corpus_ngrams_positional_not_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y"), (3, "solo")], "doc_id long, text string"
+    )
+    got = {r.gram: r.cnt for r in T.corpus_ngrams(df, n=2).collect()}
+    # doc 1 contributes x y, y x, x y (positional — "x y" counted twice)
+    assert got == {"x y": 3, "y x": 1}
+    top = T.top_ngrams(df, n=2, k=1).collect()
+    assert [(r.gram, r.cnt) for r in top] == [("x y", 3)]
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b b"), (2, "a a")], "doc_id long, text string"
+    )
+    top = T.top_ngrams(df, n=2, k=1).collect()
+    # equal counts → lexicographically first gram wins
+    assert [(r.gram, r.cnt) for r in top] == [("a a", 1)]
