@@ -104,6 +104,8 @@ def test_no_accidental_python_or_nested_loops(spark):
         "ann_ivf_topk",
         "embedding_near_dup",
         "simhash_pairs",
+        # broadcast nearest-centroid assignment (vectorized pandas UDF)
+        "kmeans_round",
         # per-cluster GEMM kernel (applyInPandas) — the paper's own
         # compute shape; A/B'd 14× faster than the Column-fold join
         "semdedup",
@@ -111,7 +113,10 @@ def test_no_accidental_python_or_nested_loops(spark):
     # single-row broadcast side crossed against every embedding (brute
     # force ANN baseline / probe-vector rerank) — a
     # BroadcastNestedLoopJoin over ONE row, not a data×data cartesian
-    nlj_ok = {"embedding_topk", "hybrid_search"}
+    # lm_perplexity: its 4 NLJs are 1-row broadcast aggregates (corpus
+    # total, kept-vocab size, OOV logprob) crossed in as scalars — the
+    # same shape, never data×data
+    nlj_ok = {"embedding_topk", "hybrid_search", "lm_perplexity"}
     got = _capture(spark)
     for name, sig in got.items():
         if name not in python_ok:
