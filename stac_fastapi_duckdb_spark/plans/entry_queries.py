@@ -2019,6 +2019,46 @@ def q_kmeans_round(spark, sf):
     )
 
 
+def q_global_row_ids(spark, sf):
+    """Contiguous 0-based global row IDs in (n_chars, doc_id) order
+    WITHOUT the single-reducer global sort (pipeline/ids.py): quantile
+    range-buckets on the leading key, per-bucket counts → broadcast
+    cumulative offsets, then row_number partitioned BY BUCKET — one
+    data shuffle, parallel across 256 buckets. The oracle is the
+    plain ROW_NUMBER total order the construction reproduces."""
+    from stac_fastapi_duckdb_spark.pipeline.ids import assign_row_ids
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return assign_row_ids(d, ["n_chars", "doc_id"]).select(
+        "doc_id", "n_chars", "row_id"
+    )
+
+
+def q_kmv_distinct(spark, sf):
+    """Per-language approximate distinct-text count via a KMV
+    k-minimum-values sketch (pipeline/sketch.py): md5-low-60-bit
+    hashes, TWO-LEVEL k-min aggregation (salted cells bound every agg
+    state to ~distinct/64 hashes; the merge level to 64·64 longs per
+    group — the same merge that rolls up per-shard sketches), then the
+    (k-1)/U_(k) estimator. Unlike HLL++ the sketch is an open
+    deterministic function of the value set, so DuckDB replays the
+    identical k smallest hashes and the ESTIMATE value-matches."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "documents"), "lang", "text")
+
+
+def q_streaming_dedup(spark, sf):
+    """Exactly-once streaming ingest dedup (streaming/events.py
+    streaming_dedup): watermark-bounded dropDuplicates state on
+    (event_id, ts) — ids older than the watermark are forgotten, so
+    state is bounded by event-time width, not stream length. Oracle is
+    the batch DISTINCT the stream must converge to."""
+    ev = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    out = P_stream.streaming_dedup(ev).select("event_id", "ts")
+    return P_stream.run_to_memory(out, spark, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2142,6 +2182,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "top_bigrams": q_top_bigrams,
     "kmeans_round": q_kmeans_round,
+    "global_row_ids": q_global_row_ids,
+    "kmv_distinct": q_kmv_distinct,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 
@@ -4015,5 +4058,41 @@ UNION ALL
                ROUND(avg(v[i + 1]), 6) AS m
         FROM assigned, unnest(range(0, 64)) AS u(i)
         GROUP BY cell, i
+    """,
+    # the bucketed two-level construction reproduces the plain total
+    # order exactly, so the oracle IS the naive form the Spark plan
+    # deliberately avoids
+    "global_row_ids": """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                    AS BIGINT) AS row_id
+        FROM documents
+    """,
+    # replay the KMV sketch: same 60-bit md5 hash, k=64 smallest
+    # distinct values per group, same (k-1)/U_(k) estimator arithmetic
+    # (exact-int → double conversions are IEEE-identical in both
+    # engines)
+    "kmv_distinct": """
+        WITH hv AS (
+            SELECT DISTINCT lang,
+                   CAST(CAST('0x' || substr(md5(text), 18, 15) AS UBIGINT)
+                        AS BIGINT) AS h
+            FROM documents
+        ), r AS (
+            SELECT lang, h,
+                   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM hv
+        ), s AS (
+            SELECT lang, count(*) AS n_sk, max(h) AS kth
+            FROM r WHERE rn <= 64 GROUP BY lang
+        )
+        SELECT lang, CAST(n_sk AS INT) AS sketch_size,
+               ROUND(CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+                          ELSE 63.0 * 1152921504606846976.0
+                               / CAST(kth AS DOUBLE) END, 4) AS est_distinct
+        FROM s
+    """,
+    "streaming_dedup": f"""
+        SELECT event_id, ts FROM {_EVENTS_SQL} GROUP BY event_id, ts
     """,
 }

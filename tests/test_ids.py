@@ -1,0 +1,68 @@
+"""pipeline/ids.py: contiguous global row IDs must exactly reproduce
+the single-reducer ROW_NUMBER total order — without planning one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.ids import assign_row_ids
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_row_ids_are_contiguous_and_order_correct(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    rows = assign_row_ids(docs, ["n_chars", "doc_id"]).collect()
+    n = docs.count()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(n))
+    by_id = sorted(rows, key=lambda r: r["row_id"])
+    keys = [(r["n_chars"], r["doc_id"]) for r in by_id]
+    assert keys == sorted(keys)
+
+
+def test_row_ids_invariant_to_partitioning_and_bucket_count(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    base = {
+        r["doc_id"]: r["row_id"]
+        for r in assign_row_ids(docs, ["n_chars", "doc_id"]).collect()
+    }
+    for variant in (
+        assign_row_ids(docs.repartition(13), ["n_chars", "doc_id"]),
+        assign_row_ids(docs, ["n_chars", "doc_id"], num_buckets=7),
+        assign_row_ids(docs, ["n_chars", "doc_id"], num_buckets=1),
+    ):
+        got = {r["doc_id"]: r["row_id"] for r in variant.collect()}
+        assert got == base
+
+
+def test_row_ids_skewed_key_ties_rank_together(spark):
+    # a single key value carrying most of the mass cannot be split
+    # across buckets — ties must still rank contiguously by tiebreak
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, F.lit(5)).otherwise(F.col("id")).alias("k"),
+    )
+    rows = assign_row_ids(df, ["k", "doc_id"], num_buckets=16).collect()
+    by_id = sorted(rows, key=lambda r: r["row_id"])
+    assert [r["row_id"] for r in by_id] == list(range(1000))
+    keys = [(r["k"], r["doc_id"]) for r in by_id]
+    assert keys == sorted(keys)
+
+
+def test_row_ids_plan_has_no_single_partition_window(spark):
+    # the entire point: no empty-frame Window over unpartitioned data
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = (
+        assign_row_ids(docs, ["n_chars", "doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

@@ -33,6 +33,7 @@ SKIP = {
     "stateful_sessions",
     "stream_stream_join",
     "stream_enrich",
+    "streaming_dedup",
 }
 
 _MARKERS = {

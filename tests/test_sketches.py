@@ -38,3 +38,62 @@ def test_percentile_approx_groupwise(spark):
     )
     for r in out.collect():
         assert r.mn <= r.p50 <= r.mx
+
+
+# ---------------------------------------------------------------------------
+# KMV k-minimum-values sketch (pipeline/sketch.py) — unlike HLL its
+# construction is deterministic and engine-replayable (oracle-checked in
+# the registry); here: accuracy, exact-below-k, mergeability, and
+# partitioning invariance
+# ---------------------------------------------------------------------------
+
+def test_kmv_estimate_within_error_bound(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        r["event_type"]: (r["sketch_size"], r["est_distinct"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=256).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, (sk_size, est) in got.items():
+        if sk_size < 256:  # below k the sketch IS the value set
+            assert est == exact[t]
+        else:  # 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+            assert abs(est - exact[t]) / exact[t] < 0.25
+
+
+def test_kmv_sketch_deterministic_and_partitioning_invariant(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["lang"]: r["sk"] for r in kmv_sketch(docs, "lang", "text").collect()}
+    b = {
+        r["lang"]: r["sk"]
+        for r in kmv_sketch(docs.repartition(17), "lang", "text").collect()
+    }
+    assert a == b
+    for sk in a.values():
+        assert sk == sorted(sk) and len(sk) == len(set(sk)) <= 64
+
+
+def test_kmv_sketches_merge_to_the_union_sketch(spark):
+    # sketch(A ∪ B) == k-min(merge(sketch(A), sketch(B))) — the roll-up
+    # contract that lets per-shard sketches combine without raw data
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_sketch
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    whole = {r["lang"]: r["sk"] for r in kmv_sketch(docs, "lang", "text").collect()}
+    sa = {r["lang"]: r["sk"] for r in kmv_sketch(half_a, "lang", "text").collect()}
+    sb = {r["lang"]: r["sk"] for r in kmv_sketch(half_b, "lang", "text").collect()}
+    for lang, sk in whole.items():
+        merged = sorted(set(sa.get(lang, [])) | set(sb.get(lang, [])))[:64]
+        assert merged == sk
