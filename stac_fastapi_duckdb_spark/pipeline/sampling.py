@@ -241,3 +241,91 @@ def shuffle_shards(
     return out.withColumn(
         "shard_pos", F.row_number().over(w).cast("bigint")
     ).drop("_h")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "ws-v1",
+    race_col: str = "race_key",
+) -> DataFrame:
+    """Weighted k-sample WITHOUT replacement via the exponential race
+    (Efraimidis–Spirakis, Inf. Process. Lett. 97(5), 2006, in its
+    -ln(u)/w form): each row draws u ~ U(0,1] from md5(salt+key) and
+    races with key Exp(weight); the k smallest race keys win, which
+    realizes exactly the sequential weighted-without-replacement
+    distribution. Training-data use: quality- or domain-weighted corpus
+    subsetting that is reproducible across reruns, partitionings, and
+    engines (u is a content hash, not a seed stream).
+
+    Rows with NULL or non-positive weight are excluded (they'd race at
+    infinity anyway). Grouped: one shuffle on ``group_col``, per-group
+    top-k by window rank. Ungrouped: TakeOrderedAndProject — per-
+    partition top-k then a single merge, never a global sort.
+
+    Cross-engine caveat (documented, not hidden): the race key goes
+    through libm ``ln`` — engines agree to ~1 ulp, so two rows whose
+    keys collide within ~1e-15 relative could rank differently across
+    engines. With 60-bit hash entropy the collision probability is
+    negligible; the value oracles at three SFs back that up.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                18,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    race = -F.log(u) / F.col(weight_col).cast("double")
+    out = df.filter(F.col(weight_col) > 0).withColumn(race_col, race)
+    if group_col is None:
+        return out.orderBy(F.col(race_col).asc(), F.col(key_col).asc()).limit(k)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(race_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    fraction: float = 0.1,
+    key_col: str = "event_id",
+    group_col: str | None = None,
+    salt: str = "sq-v1",
+) -> DataFrame:
+    """Exact interpolated quantiles of a DETERMINISTIC hash sample —
+    the honest scalable quantile path. A full-data exact percentile
+    sorts every group; ``approx_percentile`` is cheap but its sketch is
+    engine-private. This takes the third road: keep the ~``fraction``
+    hash-sample (a pure per-row filter that pushes into the scan — the
+    sample is reproducible, auditable, and engine-replayable), then
+    compute EXACT linear-interpolation percentiles on it. Sampling
+    error ~ O(1/sqrt(fraction·n)) per group; at 100 TB a 1% sample is
+    still ~10^9 rows of support, far tighter than any sketch bound.
+
+    → per group: n_sample + one ``q<p>`` column per requested prob.
+    """
+    sample = hash_sample(df, key_col, fraction, salt)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_sample")] + [
+        F.round(F.percentile(F.col(value_col).cast("double"), p), 6).alias(
+            f"q{round(p * 100)}"
+        )
+        for p in probs
+    ]
+    if group_col is None:
+        return sample.agg(*aggs)
+    return sample.groupBy(group_col).agg(*aggs)

@@ -2048,6 +2048,40 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"), "lang", "text")
 
 
+def q_weighted_sample(spark, sf):
+    """Weighted k-per-group sample without replacement via the
+    Efraimidis–Spirakis exponential race (pipeline/sampling.py):
+    u = md5-content-hash → race key Exp(weight); 20 longest docs win
+    per language — reproducible across reruns/partitionings/engines
+    because u is a hash, not a seed stream. One shuffle on the group;
+    the oracle replays the identical race."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents")
+    return weighted_sample(
+        d, "n_chars", k=20, group_col="lang"
+    ).select("lang", "doc_id", "n_chars", F.round("race_key", 6).alias("race_key"))
+
+
+def q_sampled_quantiles(spark, sf):
+    """Exact interpolated quantiles over a deterministic 10% hash
+    sample (pipeline/sampling.py sampled_quantiles): the sample filter
+    is pure per-row Column algebra that pushes into the scan, then
+    exact percentiles on the kept rows — the scalable quantile path
+    whose sample (and therefore answer) any engine can replay, unlike
+    an approx sketch's private registers."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import sampled_quantiles
+
+    return sampled_quantiles(
+        _t(spark, sf, "events"),
+        "value",
+        [0.5, 0.9, 0.99],
+        fraction=0.1,
+        key_col="event_id",
+        group_col="event_type",
+    )
+
+
 def q_streaming_dedup(spark, sf):
     """Exactly-once streaming ingest dedup (streaming/events.py
     streaming_dedup): watermark-bounded dropDuplicates state on
@@ -2184,6 +2218,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_round": q_kmeans_round,
     "global_row_ids": q_global_row_ids,
     "kmv_distinct": q_kmv_distinct,
+    "weighted_sample": q_weighted_sample,
+    "sampled_quantiles": q_sampled_quantiles,
     "streaming_dedup": q_streaming_dedup,
 }
 
@@ -4094,5 +4130,39 @@ UNION ALL
     """,
     "streaming_dedup": f"""
         SELECT event_id, ts FROM {_EVENTS_SQL} GROUP BY event_id, ts
+    """,
+    # replay the exponential race: identical md5-derived u, -ln(u)/w
+    # race key, (race ASC, doc_id ASC) rank per language
+    "weighted_sample": """
+        WITH r AS (
+            SELECT lang, doc_id, n_chars,
+                   -ln((CAST(CAST('0x' || substr(
+                            md5('ws-v1:' || CAST(doc_id AS VARCHAR)), 18, 15)
+                            AS UBIGINT) AS DOUBLE) + 1.0)
+                        / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS race_key
+            FROM documents WHERE n_chars > 0
+        ), k AS (
+            SELECT lang, doc_id, n_chars, race_key,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY race_key ASC, doc_id ASC) AS rn
+            FROM r
+        )
+        SELECT lang, doc_id, n_chars, ROUND(race_key, 6) AS race_key
+        FROM k WHERE rn <= 20
+    """,
+    # same deterministic 10% hash sample (first-8-hex md5 bucket rule
+    # of pipeline.sampling.hash_bucket), then exact linear-interpolation
+    # quantiles on the kept rows
+    "sampled_quantiles": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               ROUND(quantile_cont(value, 0.5), 6) AS q50,
+               ROUND(quantile_cont(value, 0.9), 6) AS q90,
+               ROUND(quantile_cont(value, 0.99), 6) AS q99
+        FROM events
+        WHERE CAST('0x' || substr(md5('sq-v1' || CAST(event_id AS VARCHAR)),
+                                  1, 8) AS UBIGINT) % 10000 < 1000
+        GROUP BY event_type
     """,
 }

@@ -160,3 +160,87 @@ def test_shuffle_shards_is_actually_shuffled(spark):
     # count positions where consecutive output ids are consecutive inputs
     runs = sum(1 for x, y in zip(order, order[1:]) if y == x + 1)
     assert runs < 25  # random permutation: expected ~1
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis–Spirakis race) + sampled_quantiles
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_k_per_group(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = weighted_sample(docs, "n_chars", k=10, group_col="lang")
+    b = weighted_sample(docs.repartition(11), "n_chars", k=10, group_col="lang")
+    rows_a = {(r["lang"], r["doc_id"]) for r in a.collect()}
+    rows_b = {(r["lang"], r["doc_id"]) for r in b.collect()}
+    assert rows_a == rows_b
+    per_group = {}
+    for lang, _ in rows_a:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    n_langs = docs.select("lang").distinct().count()
+    assert all(v <= 10 for v in per_group.values()) and len(per_group) == n_langs
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    # two weight classes 100:1 — the heavy class must dominate the
+    # sample far beyond its 50% population share
+    from stac_fastapi_duckdb_spark.pipeline.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(100.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    got = weighted_sample(df, "w", k=200)
+    heavy = got.filter(F.col("w") == 100.0).count()
+    assert heavy > 160  # E[heavy] ≈ 198; <=160 is ~impossible
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    got = weighted_sample(df, "w", k=100).collect()
+    assert len(got) == 50 and all(r["w"] > 0 for r in got)
+
+
+def test_sampled_quantiles_close_to_exact(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import sampled_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        r["event_type"]: r["q50"]
+        for r in sampled_quantiles(
+            ev, "value", [0.5], fraction=0.2, key_col="event_id",
+            group_col="event_type",
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["q"]
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile(F.col("value").cast("double"), 0.5).alias("q"))
+        .collect()
+    }
+    for t, q in got.items():
+        spread = abs(exact[t]) + 1e-9
+        assert abs(q - exact[t]) / spread < 0.25
+
+
+def test_sampled_quantiles_filter_pushes_into_scan(spark):
+    # the sample predicate must reach the parquet scan as a residual
+    # filter (no shuffle, no Python) — check there's exactly the one
+    # groupBy exchange in the plan
+    from stac_fastapi_duckdb_spark.pipeline.sampling import sampled_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    plan = (
+        sampled_quantiles(ev, "value", [0.5], group_col="event_type")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
