@@ -138,6 +138,13 @@ _EXTRA_OPS = [
     "distribution_drift",
     "profile_table",
     "remove_duplicate_spans",
+    "lm_perplexity",
+    "top_bigrams",
+    "kmeans_round",
+    "global_row_ids",
+    "kmv_distinct",
+    "weighted_sample",
+    "sampled_quantiles",
 ]
 
 

@@ -33,6 +33,11 @@ FUZZED_QUERIES = [
     "shuffle_shards",
     "dataset_fingerprint",
     "profile_table",
+    # hash-deterministic scale operators: the bucketed row-id
+    # construction and the KMV sketch must replay on ANY corpus shape
+    "global_row_ids",
+    "kmv_distinct",
+    "weighted_sample",
 ]
 
 word = st.sampled_from(
@@ -120,6 +125,7 @@ EVENTS_QUERIES = [
     "datetime_range",
     "pivot_events",
     "gap_fill",
+    "sampled_quantiles",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
