@@ -145,6 +145,8 @@ _EXTRA_OPS = [
     "kmv_distinct",
     "weighted_sample",
     "sampled_quantiles",
+    "edit_distance_pairs",
+    "trend_fit",
 ]
 
 

@@ -929,3 +929,71 @@ def remove_duplicate_spans(
         F.size(t2).cast("bigint").alias("n_tokens"),
         (F.size(t2) - F.size(kept)).cast("bigint").alias("n_removed"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Typo-level near-identical pairs: documents whose texts are a few
+    character edits apart (template instantiations, OCR noise, version
+    bumps — deltas too small for shingle-Jaccard banding to gain
+    signal-to-noise on, and exactly what boilerplate variants look
+    like).
+
+    Candidate blocking is the DELETION NEIGHBORHOOD at token level
+    (the SymSpell/FastSS construction, word-granular): each document
+    emits md5 signatures of its token sequence and of every
+    single-token deletion — n+1 signatures per doc, shuffled as 16-hex
+    fingerprints. Two docs share a signature iff one token deletion
+    (or none) aligns them, which guarantees recall for token edit
+    distance ≤ 2 of indel/substitution type (sub = one deletion from
+    EACH side meeting at the same signature). Deterministic — no hash
+    family miss probability — and replayable in SQL. Verification is
+    exact character-level Levenshtein (JVM built-in) on the candidate
+    pairs only, never all pairs; the usual ``max_bucket_size`` cap
+    bounds boilerplate-bucket blowup before pair expansion.
+
+    → (id_a, id_b, dist) with ``dist ≤ max_dist`` chars, id_a < id_b.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    # signature 0 = the full sequence; i>0 = sequence minus token i
+    sigs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.when(i == 0, toks).otherwise(
+                            F.concat(
+                                F.slice(toks, 1, i - 1),
+                                F.slice(toks, i + 1, n - i),
+                            )
+                        ),
+                    )
+                ),
+                1,
+                16,
+            ),
+        )
+    )
+    ex = (
+        ensure_parallelism(df)
+        .filter(n >= 1)
+        .select(F.col(id_col).alias("_id"), F.explode(sigs).alias("sig"))
+    )
+    cand = _bucket_pairs(ex, ["sig"], "_id", max_bucket_size).distinct()
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("dist", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

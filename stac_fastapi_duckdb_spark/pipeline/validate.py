@@ -191,3 +191,66 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
         )
     )
+
+
+def trend_fit(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line in closed form:
+    slope = cov(x,y)/var(x), intercept = ȳ − slope·x̄, r² = corr² — the
+    metric-drift primitive behind "is quality decaying over time"
+    dashboards: ONE partial-aggregated scan, a group's aggregate state
+    is five sums (bytes), no window, no sort, any data volume.
+
+    Numeric contract: ``x`` must be integer-valued (e.g. epoch seconds
+    — cast to long here) and ``y`` is accumulated as DECIMAL(18,6)
+    (i.e. fitted at 1e-6 granularity). That makes every moment an
+    EXACT, accumulation-order-independent sum — the result is
+    bit-stable under repartitioning and engine-identical (float
+    co-moment merges differ in the last ulp per accumulation order;
+    exact sums cannot). The closed form is then evaluated once in
+    doubles on identical inputs. Center x near zero before calling:
+    Sxx for epoch-scale x overflows even wide decimals, and the final
+    double closed form cancels catastrophically.
+
+    → (group?, n, slope, intercept, r2); degenerate groups (constant x
+    or constant y, or < 2 rows) report NULLs rather than ±inf.
+    """
+    xi = x.cast("long")
+    yi = y.cast("decimal(18,6)")
+    base = df.select(
+        *([group_col] if group_col else []), xi.alias("_x"), yi.alias("_y")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sx"),
+        # x*x stays exact in long for |x| < 3e9 (the center-x contract);
+        # the decimal cast only protects the SUM from overflow
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum(F.col("_y")).alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_y")).alias("_sxy"),
+    ]
+    g = base.groupBy(group_col).agg(*aggs) if group_col else base.agg(*aggs)
+    # identical double closed form over exact sums (cast once)
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    dx = n * sxx - sx * sx  # n²·var_pop(x)
+    dy = n * syy - sy * sy
+    cov_n = n * sxy - sx * sy
+    slope = F.when(dx > 0, cov_n / dx)
+    r2 = F.when((dx > 0) & (dy > 0), (cov_n * cov_n) / (dx * dy))
+    return g.select(
+        *([group_col] if group_col else []),
+        "n",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -2082,6 +2082,35 @@ def q_sampled_quantiles(spark, sf):
     )
 
 
+def q_edit_distance_pairs(spark, sf):
+    """Typo-level near-identical pairs (pipeline/dedup.py
+    edit_distance_pairs): token-level deletion-neighborhood blocking
+    (SymSpell/FastSS construction — deterministic, no hash-family miss
+    probability) + exact character Levenshtein verification on the
+    candidates only. The cap is lifted here (same convention as
+    incremental_dedup) so the exhaustive-on-candidates oracle replays
+    the identical blocking and distance."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf, "documents"), max_dist=50, max_bucket_size=1_000_000
+    )
+
+
+def q_trend_fit(spark, sf):
+    """Per-event-type OLS value-over-time trend in closed form
+    (pipeline/validate.py trend_fit): five EXACT decimal/integer moment
+    sums in ONE partial-aggregated scan, then the double closed form —
+    accumulation-order independent, so bit-stable under repartitioning
+    and engine-identical (float covar_samp merges diverge in the last
+    ulp). x = seconds since 2024-01-01 per the center-x contract."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import trend_fit
+
+    ev = _events(spark, sf)
+    x = F.unix_timestamp("ts") - F.lit(1704067200)
+    return trend_fit(ev, x, F.col("value"), group_col="event_type")
+
+
 def q_streaming_dedup(spark, sf):
     """Exactly-once streaming ingest dedup (streaming/events.py
     streaming_dedup): watermark-bounded dropDuplicates state on
@@ -2220,6 +2249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "weighted_sample": q_weighted_sample,
     "sampled_quantiles": q_sampled_quantiles,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "trend_fit": q_trend_fit,
     "streaming_dedup": q_streaming_dedup,
 }
 
@@ -4164,5 +4195,73 @@ UNION ALL
         WHERE CAST('0x' || substr(md5('sq-v1' || CAST(event_id AS VARCHAR)),
                                   1, 8) AS UBIGINT) % 10000 < 1000
         GROUP BY event_type
+    """,
+    # replay the deletion-neighborhood blocking (full-sequence signature
+    # + every single-token-deletion signature) and the exact Levenshtein
+    # verification on the shared-signature candidates
+    "edit_distance_pairs": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks,
+                   text
+            FROM documents
+        ), sigs AS (
+            SELECT DISTINCT doc_id, unnest(list_distinct(list_prepend(
+                       substr(md5(array_to_string(toks, ' ')), 1, 16),
+                       -- coalesce: array_to_string([]) is NULL in
+                       -- DuckDB but concat_ws over [] is '' in Spark
+                       list_transform(range(1, len(toks) + 1),
+                           i -> substr(md5(coalesce(array_to_string(
+                                    list_concat(toks[1:i-1],
+                                                toks[i+1:len(toks)]),
+                                    ' '), '')), 1, 16))
+                   ))) AS sig
+            FROM t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b USING (sig)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        FROM cand
+        JOIN t ta ON ta.doc_id = id_a
+        JOIN t tb ON tb.doc_id = id_b
+        WHERE levenshtein(ta.text, tb.text) <= 50
+    """,
+    # replay the exact-sum construction: integer x, DECIMAL(18,6) y,
+    # exact moment sums, then the identical double closed form — no
+    # float accumulation anywhere, so no merge-order divergence
+    "trend_fit": f"""
+        WITH b AS (
+            -- floor, not CAST: epoch() carries fractional seconds and a
+            -- bigint cast would round them, while Spark's
+            -- unix_timestamp truncates
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+                   CAST(value AS DECIMAL(18,6)) AS y
+            FROM {_EVENTS_SQL}
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(y * y) AS DOUBLE) AS syy,
+                   CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy
+            FROM b GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CASE WHEN n * sxx - sx * sx > 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     END, 6) + 0.0 AS slope,
+               ROUND((sy - CASE WHEN n * sxx - sx * sx > 0
+                                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           END * sx) / n, 6) + 0.0 AS intercept,
+               ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                          THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                     END, 6) + 0.0 AS r2
+        FROM s
     """,
 }

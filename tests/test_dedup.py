@@ -360,3 +360,45 @@ def test_remove_duplicate_spans_cleaned_corpus_has_no_dups(spark):
     # inside owner docs' kept copies paired with... nothing: every
     # non-owner copy is gone, so no window occurs in >= 2 docs
     assert duplicate_spans(cleaned, 8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs: deletion-neighborhood blocking + exact Levenshtein
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_pairs_catches_planted_typos(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # 1 sub
+        (3, "the quick brown fox jumps over the dog"),        # 1 del
+        (4, "completely different content about spark plans"),
+        (5, "the quick brown fox jumps over the lazy dog"),   # exact dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=10).collect()
+    }
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 3      # dog -> cat
+    assert got[(1, 3)] == 5      # "lazy " removed
+    assert not any(4 in p for p in got)
+
+
+def test_edit_distance_pairs_respects_max_dist_and_cap(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma deltaxxxxxxxxxxxx"),  # shares deletion sig? no — but shares no sig
+        (3, "alpha beta gamma"),                    # deletion of delta
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in edit_distance_pairs(df, max_dist=6).collect()}
+    assert (1, 3) in got and got[(1, 3)] == 6
+    # a tight max_dist filters verified pairs out
+    assert edit_distance_pairs(df, max_dist=3).count() == 0
+    # cap of 1 drops every bucket with >=2 members -> no candidates
+    assert edit_distance_pairs(df, max_bucket_size=1).count() == 0

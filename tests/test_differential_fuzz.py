@@ -38,6 +38,7 @@ FUZZED_QUERIES = [
     "global_row_ids",
     "kmv_distinct",
     "weighted_sample",
+    "edit_distance_pairs",
 ]
 
 word = st.sampled_from(
@@ -126,6 +127,7 @@ EVENTS_QUERIES = [
     "pivot_events",
     "gap_fill",
     "sampled_quantiles",
+    "trend_fit",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])

@@ -147,3 +147,27 @@ def test_new_curation_ops_on_empty(empty_docs, spark):
     # NULL hash aggregates (no rows to hash) — not a crash
     fp = {r.col_name: r for r in dataset_fingerprint(empty_docs).collect()}
     assert all(r.n_rows == 0 for r in fp.values())
+
+
+def test_ids_sketch_and_sampling_additions_on_empty(empty_docs, empty_events):
+    from stac_fastapi_duckdb_spark.pipeline.ids import assign_row_ids
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        sampled_quantiles,
+        weighted_sample,
+    )
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_distinct
+
+    assert assign_row_ids(
+        empty_docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"]
+    ).count() == 0
+    assert kmv_distinct(empty_docs, "lang", "text").count() == 0
+    assert weighted_sample(empty_docs, "n_chars", k=5, group_col="lang").count() == 0
+    assert weighted_sample(empty_docs, "n_chars", k=5).count() == 0
+    assert sampled_quantiles(
+        empty_events, "value", [0.5], key_col="event_id", group_col="event_type"
+    ).count() == 0
+    # ungrouped quantiles over zero rows: one row of NULLs, n_sample=0
+    row = sampled_quantiles(
+        empty_events, "value", [0.5], key_col="event_id"
+    ).collect()[0]
+    assert row["n_sample"] == 0 and row["q50"] is None

@@ -116,3 +116,48 @@ def test_profile_table_single_pass_no_joins(spark):
     df = spark.createDataFrame([(i, str(i)) for i in range(10)], "a long, b string")
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# trend_fit: exact-moment OLS
+# ---------------------------------------------------------------------------
+
+def test_trend_fit_recovers_a_perfect_line(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import trend_fit
+    from pyspark.sql import functions as F
+
+    # y = 2x + 5 exactly, x = 0..99
+    df = spark.range(100).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("x"),
+        (F.col("id") * 2 + 5).cast("double").alias("y"),
+    )
+    r = trend_fit(df, F.col("x"), F.col("y"), group_col="g").collect()[0]
+    assert r["n"] == 100 and r["slope"] == 2.0
+    assert r["intercept"] == 5.0 and r["r2"] == 1.0
+
+
+def test_trend_fit_degenerate_groups_yield_nulls(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import trend_fit
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"),
+        F.lit(7).alias("x"),  # constant x: var = 0
+        F.col("id").cast("double").alias("y"),
+    )
+    r = trend_fit(df, F.col("x"), F.col("y"), group_col="g").collect()[0]
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_trend_fit_partition_order_invariant(spark):
+    # the point of exact-sum accumulation: identical bits regardless of
+    # partitioning (float co-moment merges cannot promise this)
+    from stac_fastapi_duckdb_spark.pipeline.validate import trend_fit
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    x = (F.unix_timestamp(F.col("ts").cast("timestamp")) - F.lit(1704067200))
+    a = trend_fit(ev, x, F.col("value"), group_col="event_type")
+    b = trend_fit(ev.repartition(29), x, F.col("value"), group_col="event_type")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
