@@ -147,6 +147,7 @@ _EXTRA_OPS = [
     "sampled_quantiles",
     "edit_distance_pairs",
     "trend_fit",
+    "snapshot_diff",
 ]
 
 

@@ -254,3 +254,56 @@ def trend_fit(
         (F.round((sy - slope * sx) / n, 6) + F.lit(0.0)).alias("intercept"),
         (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+def snapshot_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+    summary: bool = True,
+) -> DataFrame:
+    """Row-level delta between two snapshots of a keyed dataset —
+    "what did this pipeline stage change": every key classified as
+    ``added`` (B only), ``removed`` (A only), ``changed`` (both, any
+    compared column differs) or ``unchanged``. The companion to
+    ``dataset_fingerprint``: the fingerprint says WHETHER two copies
+    differ in one scan; the diff says WHERE, with one join.
+
+    Comparison is by md5 row-hash over the canonical string forms of
+    ``compare_cols`` (NULL-tagged so NULL ≠ 'None' ≠ ''), so the join
+    carries (key, 16-byte hash) per side — never the row bodies. One
+    sort-merge (or co-partitioned, if both snapshots are bucketed by
+    the key — the layout a recurring diff job should write) full-outer
+    join on the key.
+
+    → summary=True: (status, n) — the dashboard row. summary=False:
+    (id, status) per non-unchanged key for drill-down.
+    """
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00null"))
+                .otherwise(F.col(c).cast("string"))
+            )
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.concat_ws("\x01", *parts)).alias(f"_h_{side}"),
+        )
+
+    a = hashed(df_a, "a")
+    b = hashed(df_b, "b")
+    joined = a.join(b, "_id", "full_outer")
+    status = (
+        F.when(F.col("_h_a").isNull(), F.lit("added"))
+        .when(F.col("_h_b").isNull(), F.lit("removed"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    classified = joined.select(F.col("_id").alias(id_col), status.alias("status"))
+    if summary:
+        return classified.groupBy("status").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+    return classified.filter(F.col("status") != "unchanged")

@@ -2111,6 +2111,42 @@ def q_trend_fit(spark, sf):
     return trend_fit(ev, x, F.col("value"), group_col="event_type")
 
 
+def q_snapshot_diff(spark, sf):
+    """Row-level snapshot delta (pipeline/validate.py snapshot_diff):
+    snapshot B is derived deterministically from documents (drop
+    doc_id%7, append ' v2' to text for doc_id%5, add doc_id%11 rows
+    under shifted ids), then classified added/removed/changed/unchanged
+    with ONE hash-carrying full-outer join — never the row bodies. The
+    oracle rebuilds B and classifies with IS DISTINCT FROM (the same
+    NULL semantics as the NULL-tagged hash)."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    b = d.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    b = b.unionByName(
+        d.filter(did % 11 == 0).select(
+            (did + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    return snapshot_diff(d, b, "doc_id", ["text", "lang"])
+
+
+def q_streaming_topk(spark, sf):
+    """Streaming trending top-k (streaming/events.py trending_topk):
+    watermarked hourly counts maintained by the stream (the incremental
+    half), rank-3 cut computed at serve time over the tiny aggregated
+    sink (ranking is not incremental — a late row can reorder a whole
+    window). Oracle is the batch count + QUALIFY restatement."""
+    ev = P_stream.read_events_stream(spark, f"{sf}/events.parquet")
+    return P_stream.trending_topk(ev, spark, k=3)
+
+
 def q_streaming_dedup(spark, sf):
     """Exactly-once streaming ingest dedup (streaming/events.py
     streaming_dedup): watermark-bounded dropDuplicates state on
@@ -2251,6 +2287,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampled_quantiles": q_sampled_quantiles,
     "edit_distance_pairs": q_edit_distance_pairs,
     "trend_fit": q_trend_fit,
+    "snapshot_diff": q_snapshot_diff,
+    "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
 }
 
@@ -4263,5 +4301,40 @@ UNION ALL
                                / ((n * sxx - sx * sx) * (n * syy - sy * sy))
                      END, 6) + 0.0 AS r2
         FROM s
+    """,
+    # rebuild the derived snapshot and classify with IS DISTINCT FROM —
+    # the same NULL semantics as the engine's NULL-tagged row hashes
+    "snapshot_diff": """
+        WITH a AS (SELECT doc_id, text, lang FROM documents),
+        b AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                       AS text,
+                   lang
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text, lang FROM documents
+            WHERE doc_id % 11 = 0
+        ), j AS (
+            SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.text IS DISTINCT FROM b.text
+                             OR a.lang IS DISTINCT FROM b.lang THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
+    """,
+    "streaming_topk": f"""
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {_EVENTS_SQL} GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n,
+               CAST(row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n DESC, event_type)
+                    AS BIGINT) AS rnk
+        FROM c QUALIFY rnk <= 3
     """,
 }

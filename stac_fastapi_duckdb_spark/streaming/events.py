@@ -291,3 +291,41 @@ def run_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
+
+
+def trending_topk(
+    events: DataFrame,
+    spark: SparkSession,
+    k: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming "trending now": per tumbling hour, the k most frequent
+    event types. The continuously-maintained half is the watermarked
+    windowed count (per-(window, type) state, exactly ``hourly_rollup``'s
+    shape); the RANK half runs at serve time over the sink — ranking is
+    not an incremental operator (a late row can reorder every rank in
+    its window), so recomputing it over the tiny aggregated table on
+    read is the standard decomposition, not a concession. One stateful
+    shuffle in the stream; the serve-side window sorts k·windows rows.
+
+    → (window_start, event_type, n, rnk), rnk ≤ k, deterministic
+    (n DESC, event_type ASC) tiebreak so the cut is total-order stable.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sink = run_to_memory(counts, spark)
+    rank_w = Window.partitionBy("w").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "rnk"
+        )
+    )

@@ -39,6 +39,7 @@ FUZZED_QUERIES = [
     "kmv_distinct",
     "weighted_sample",
     "edit_distance_pairs",
+    "snapshot_diff",
 ]
 
 word = st.sampled_from(

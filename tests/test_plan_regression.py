@@ -34,6 +34,7 @@ SKIP = {
     "stream_stream_join",
     "stream_enrich",
     "streaming_dedup",
+    "streaming_topk",
 }
 
 _MARKERS = {

@@ -484,3 +484,29 @@ def test_streaming_dedup_ingest_admits_only_novel_docs(spark, tmp_path):
     run_dedup_ingest(spark, stream3, corpus, ckpt)
     got3 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert got3 == got2
+
+
+def test_trending_topk_matches_batch_rank(spark):
+    from stac_fastapi_duckdb_spark.streaming import events as SE
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    stream = SE.read_events_stream(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    got = SE.trending_topk(stream, spark, k=3)
+    batch = SE.normalize_event_ts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    counts = batch.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    want = counts.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= 3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    per_window = got.groupBy("window_start").count().collect()
+    assert all(r["count"] <= 3 for r in per_window)

@@ -161,3 +161,42 @@ def test_trend_fit_partition_order_invariant(spark):
     a = trend_fit(ev, x, F.col("value"), group_col="event_type")
     b = trend_fit(ev.repartition(29), x, F.col("value"), group_col="event_type")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", "en"), (3, "z", "de"), (4, "w", "fr")],
+        "id long, text string, lang string",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y2", "en"), (4, "w", "fr"), (5, "new", "en")],
+        "id long, text string, lang string",
+    )
+    summary = {
+        r["status"]: r["n"]
+        for r in snapshot_diff(a, b, "id", ["text", "lang"]).collect()
+    }
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+    detail = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(a, b, "id", ["text", "lang"], summary=False).collect()
+    }
+    assert detail == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_is_a_value_not_a_wildcard(spark):
+    from stac_fastapi_duckdb_spark.pipeline.validate import snapshot_diff
+
+    a = spark.createDataFrame([(1, None), (2, "None")], "id long, v string")
+    b = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    got = {
+        r["status"]: r["n"] for r in snapshot_diff(a, b, "id", ["v"]).collect()
+    }
+    # NULL == NULL (unchanged); the string 'None' != NULL (changed)
+    assert got == {"unchanged": 1, "changed": 1}
