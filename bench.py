@@ -148,6 +148,7 @@ _EXTRA_OPS = [
     "edit_distance_pairs",
     "trend_fit",
     "snapshot_diff",
+    "quality_tiers",
 ]
 
 

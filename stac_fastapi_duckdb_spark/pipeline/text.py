@@ -976,3 +976,54 @@ def top_ngrams(
     return corpus_ngrams(df, n, text_col).orderBy(
         F.col("cnt").desc(), F.col("gram")
     ).limit(k)
+
+
+def quality_tiers(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    tiers: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020, §4.3):
+    score every document against the LM (``perplexity_score``) and cut
+    each ``group_col`` population into ``tiers`` equal-depth buckets by
+    perplexity — tier 1 ("head") is the closest-to-the-LM third that
+    CCNet keeps preferentially. Per-group equal-depth cutting is the
+    point: absolute perplexity is not comparable across languages.
+
+    Determinism: ntile runs over (ROUNDED avg_nll, doc_id) — a total
+    order on engine-stable values, so bucket boundaries replay exactly
+    in the oracle. One scoring pass + one window shuffle on the group.
+
+    → (doc_id, group, n_tokens, avg_nll, tier, tier_label); labels are
+    head/middle/tail when tiers=3, else "t<k>".
+    """
+    scored = perplexity_score(df, lm, text_col, id_col).withColumn(
+        "avg_nll", F.round("avg_nll", 6)
+    )
+    meta = df.select(F.col(id_col).alias("doc_id"), group_col)
+    j = scored.join(meta, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_nll").asc(), F.col("doc_id").asc()
+    )
+    tier = F.ntile(tiers).over(w)
+    if tiers == 3:
+        label = (
+            F.when(tier == 1, F.lit("head"))
+            .when(tier == 3, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+        )
+    else:
+        label = F.concat(F.lit("t"), tier.cast("string"))
+    return j.select(
+        "doc_id",
+        group_col,
+        "n_tokens",
+        "avg_nll",
+        tier.cast("bigint").alias("tier"),
+        label.alias("tier_label"),
+    )

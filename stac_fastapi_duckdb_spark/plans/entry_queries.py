@@ -2147,6 +2147,20 @@ def q_streaming_topk(spark, sf):
     return P_stream.trending_topk(ev, spark, k=3)
 
 
+def q_quality_tiers(spark, sf):
+    """CCNet head/middle/tail (pipeline/text.py quality_tiers):
+    per-language equal-depth perplexity tertiles over the unigram-LM
+    scores — ntile on (rounded avg_nll, doc_id), a total order on
+    engine-stable values, so the oracle replays the exact buckets."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        quality_tiers,
+        train_unigram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return quality_tiers(docs, train_unigram_lm(docs, vocab_size=300))
+
+
 def q_streaming_dedup(spark, sf):
     """Exactly-once streaming ingest dedup (streaming/events.py
     streaming_dedup): watermark-bounded dropDuplicates state on
@@ -2288,6 +2302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "trend_fit": q_trend_fit,
     "snapshot_diff": q_snapshot_diff,
+    "quality_tiers": q_quality_tiers,
     "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
 }
@@ -4324,6 +4339,45 @@ UNION ALL
             FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         )
         SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status
+    """,
+    # the lm_perplexity replay + per-language ntile over the same
+    # (rounded avg_nll, doc_id) total order
+    "quality_tiers": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), total AS (
+            SELECT sum(n) AS t FROM counts
+        ), top AS (
+            SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 300
+        ), kept AS (
+            SELECT count(*) AS v FROM top
+        ), lm AS (
+            SELECT token, ln((n + 1.0) / (t + v + 1)) AS logprob
+            FROM top, total, kept
+        ), oov AS (
+            SELECT -ln(CAST(t + v + 1 AS DOUBLE)) AS o FROM total, kept
+        ), scored AS (
+            SELECT tok.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   ROUND(avg(-coalesce(lm.logprob, oov.o)), 6) AS avg_nll
+            FROM tok LEFT JOIN lm USING (token), oov
+            GROUP BY tok.doc_id
+        ), tiered AS (
+            SELECT s.doc_id, d.lang, s.n_tokens, s.avg_nll,
+                   CAST(ntile(3) OVER (PARTITION BY d.lang
+                                       ORDER BY s.avg_nll ASC, s.doc_id ASC)
+                        AS BIGINT) AS tier
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, n_tokens, avg_nll, tier,
+               CASE WHEN tier = 1 THEN 'head'
+                    WHEN tier = 3 THEN 'tail'
+                    ELSE 'middle' END AS tier_label
+        FROM tiered
     """,
     "streaming_topk": f"""
         WITH c AS (

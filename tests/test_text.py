@@ -512,3 +512,32 @@ def test_top_ngrams_deterministic_tiebreak(spark):
     top = T.top_ngrams(df, n=2, k=1).collect()
     # equal counts → lexicographically first gram wins
     assert [(r.gram, r.cnt) for r in top] == [("a a", 1)]
+
+
+def test_quality_tiers_equal_depth_and_ordered(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        quality_tiers,
+        train_unigram_lm,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    lm = train_unigram_lm(docs, vocab_size=300)
+    out = quality_tiers(docs, lm).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        tiers = {}
+        for r in rows:
+            tiers.setdefault(r["tier"], []).append(r)
+        sizes = [len(tiers[t]) for t in sorted(tiers)]
+        # equal-depth: sizes differ by at most 1, earlier tiers not smaller
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
+        # every head doc scores <= every tail doc
+        head_max = max(r["avg_nll"] for r in tiers[1])
+        tail_min = min(r["avg_nll"] for r in tiers[max(tiers)])
+        assert head_max <= tail_min
+        labels = {r["tier"]: r["tier_label"] for r in rows}
+        assert labels[1] == "head" and labels[max(tiers)] == "tail"
