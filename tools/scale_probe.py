@@ -44,6 +44,14 @@ PROBES = [
     "quality_classifier",
     "dataset_fingerprint",
     "shuffle_shards",
+    # late-round additions: bucketed row-id construction (3 bounded
+    # driver actions), deletion-neighborhood blocking + Levenshtein,
+    # LM train+score+ntile composite, exact-moment OLS, hash-diff join
+    "global_row_ids",
+    "edit_distance_pairs",
+    "quality_tiers",
+    "trend_fit",
+    "snapshot_diff",
 ]
 
 
