@@ -47,10 +47,15 @@ def assign_row_ids(
 ) -> DataFrame:
     """Add ``id_col``: 0-based contiguous IDs in ``order_cols`` order.
 
-    ``order_cols[0]`` must be numeric and non-null (it feeds
-    ``approxQuantile``); the full column list must form a total order
-    (make the last column a unique key) — otherwise ranking ties are
-    engine-arbitrary and IDs stop being reproducible.
+    ``order_cols[0]`` must be numeric (it feeds ``approxQuantile``);
+    the full column list must form a total order (make the last column
+    a unique key) — otherwise ranking ties are engine-arbitrary and IDs
+    stop being reproducible. NULL leading keys are well-defined but
+    Spark-specific: they fall into bucket 0 (every boundary comparison
+    is NULL → excluded by the fold) and sort FIRST there (Spark's
+    ascending default), i.e. NULLS FIRST overall — mirror that
+    explicitly (``ORDER BY k NULLS FIRST``) when replaying the order in
+    an engine whose default is NULLS LAST (DuckDB).
     """
     key0 = order_cols[0]
     n_b = max(1, num_buckets)

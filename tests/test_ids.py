@@ -66,3 +66,19 @@ def test_row_ids_plan_has_no_single_partition_window(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_row_ids_null_leading_keys_rank_first_and_contiguously(spark):
+    # NULL leading keys: bucket 0, NULLS FIRST (Spark ascending
+    # default) — pinned as the documented contract
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.col("id")).alias("k"),
+    )
+    rows = assign_row_ids(df, ["k", "doc_id"], num_buckets=8).collect()
+    assert sorted(r["row_id"] for r in rows) == list(range(100))
+    by_id = sorted(rows, key=lambda r: r["row_id"])
+    null_ids = [r["row_id"] for r in by_id if r["k"] is None]
+    assert null_ids == list(range(10))  # all nulls first, by doc_id
+    nonnull = [(r["k"], r["doc_id"]) for r in by_id if r["k"] is not None]
+    assert nonnull == sorted(nonnull)
