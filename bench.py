@@ -149,6 +149,8 @@ _EXTRA_OPS = [
     "trend_fit",
     "snapshot_diff",
     "quality_tiers",
+    "kcenter_select",
+    "pagerank_transitions",
 ]
 
 

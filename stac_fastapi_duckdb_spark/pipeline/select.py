@@ -1,0 +1,127 @@
+"""Diversity-driven subset selection for corpus curation.
+
+Greedy k-center (Gonzalez farthest-point traversal, the classic
+2-approximation to the k-center cover) is the standard "coreset /
+diverse subset" selector in training-data curation: pick the document
+or embedding that is farthest from everything already selected, k
+times.  The selected set is a maximally-spread sample — the opposite
+of random sampling, which oversamples dense regions.
+
+Spark shape (scale-first):
+
+- The inner loop is k rounds of **one map-only scan + TakeOrdered(1)**
+  over the candidate pool: maintain ``mind`` = each point's squared
+  distance to its nearest already-selected center as a pure Column
+  expression (``LEAST`` chain over broadcast center literals — no UDF,
+  no shuffle), and take the argmax with a deterministic
+  ``(mind DESC, id ASC)`` tie-break.  Per round the driver receives
+  exactly ONE row (the new center and its vector) — bounded like a
+  probe-vector fetch, never a data collect.
+- The candidate pool is cached once and unpersisted before returning;
+  lineage stays k-shallow (the LEAST chain), so no checkpointing is
+  needed for practical k.
+- At 100 TB you do not run farthest-point over every row: compose with
+  ``pipeline.sampling.hash_sample`` to draw a deterministic candidate
+  pool first (k-center on a uniform sample preserves the cover radius
+  up to sampling error), then run this operator over the pool.  The
+  per-round cost is then pool-sized and map-only regardless of corpus
+  size.
+
+Float contract (oracle-replayable): distances are computed in DOUBLE
+from the float vectors with a left fold, then ROUNDed to 6 decimals
+BEFORE both the ``LEAST`` update and the argmax comparison — so the
+selection sequence is identical in any engine that replays the same
+rounded arithmetic (the DuckDB oracle does), immune to last-ulp
+fold-order divergence.
+
+Reference parity note: the reference engine (stac-fastapi-duckdb) has
+no selection operators at all — this is part of the beyond-reference
+training-data surface, like `pipeline/dedup.py` and
+`pipeline/sampling.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+
+def _sq_dist(vec_col: F.Column, center: list[float]) -> F.Column:
+    """Squared L2 distance from an array<float|double> column to a
+    broadcast literal center, as a pure JVM fold (no UDF)."""
+    lit = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(
+            vec_col.cast("array<double>"), lit, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_norm(vec_col: F.Column) -> F.Column:
+    return F.aggregate(
+        vec_col.cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+
+
+def k_center_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection over an embedding
+    table.  Returns exactly ``k`` rows ``(sel_rank, <id_col>, mind)``:
+
+    - ``sel_rank`` — selection order, 0-based;
+    - ``mind`` — the point's squared distance to the nearest
+      previously-selected center AT THE MOMENT it was chosen (the
+      running cover radius; non-increasing in ``sel_rank``).  NULL for
+      the seed.
+
+    Seed = argmax of ROUND(squared norm, 6), ties to the smallest id
+    (deterministic, engine-replayable).  Empty input → 0 rows; k larger
+    than the pool → every point once.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark: SparkSession = df.sparkSession
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = base.persist()
+    out_schema = StructType(
+        [
+            StructField("sel_rank", LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("mind", DoubleType(), True),
+        ]
+    )
+    try:
+        seed = (
+            base.select("__id", "__v", F.round(_sq_norm(F.col("__v")), 6).alias("__n"))
+            .orderBy(F.col("__n").desc(), F.col("__id").asc())
+            .first()
+        )
+        if seed is None:
+            return spark.createDataFrame([], out_schema)
+        selected = [(0, seed["__id"], None)]
+        center_vec = list(seed["__v"])
+        mind: F.Column | None = None
+        for r in range(1, k):
+            d_new = F.round(_sq_dist(F.col("__v"), center_vec), 6)
+            mind = d_new if mind is None else F.least(mind, d_new)
+            nxt = (
+                base.select("__id", "__v", mind.alias("__m"))
+                .orderBy(F.col("__m").desc(), F.col("__id").asc())
+                .first()
+            )
+            if nxt is None or nxt["__m"] is None or nxt["__m"] <= 0.0:
+                break  # pool exhausted: every remaining point coincides
+            selected.append((r, nxt["__id"], float(nxt["__m"])))
+            center_vec = list(nxt["__v"])
+        return spark.createDataFrame(selected, out_schema)
+    finally:
+        base.unpersist()

@@ -2172,6 +2172,29 @@ def q_streaming_dedup(spark, sf):
     return P_stream.run_to_memory(out, spark, output_mode="append")
 
 
+def q_kcenter_select(spark, sf):
+    """Greedy k-center coreset selection over embeddings
+    (pipeline/select.py): k=5 farthest-point rounds, each ONE map-only
+    scan + TakeOrdered(1), distances as rounded JVM folds (no UDF).
+    Oracle unrolls the identical greedy as chained CTEs."""
+    from stac_fastapi_duckdb_spark.pipeline.select import k_center_select
+
+    return k_center_select(_t(spark, sf, "embeddings"), k=5)
+
+
+def q_pagerank_transitions(spark, sf):
+    """Weighted PageRank over the per-user event-type transition graph
+    (pipeline/graph.py): lead() window → bounded edge list, then 5
+    declarative join+agg iterations with dangling-mass fold-back.
+    Oracle replays the unrolled update in SQL."""
+    from stac_fastapi_duckdb_spark.pipeline.graph import (
+        pagerank,
+        transition_edges,
+    )
+
+    return pagerank(transition_edges(_events(spark, sf)), iters=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2305,6 +2328,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_tiers": q_quality_tiers,
     "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
+    "kcenter_select": q_kcenter_select,
+    "pagerank_transitions": q_pagerank_transitions,
 }
 
 
@@ -2371,6 +2396,102 @@ _TEXT_STATS_SQL = r"""
     FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS t
           FROM documents)
 """
+
+
+def _kcenter_sql(k: int = 5) -> str:
+    """Greedy k-center unrolled as chained CTEs — the SQL oracle for
+    pipeline.select.k_center_select.  Replays the identical rounded
+    arithmetic: DOUBLE distances ROUNDed to 6 decimals before both the
+    LEAST update and the (mind DESC, vec_id ASC) argmax."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            "ROUND(list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}[i] - {b}[i]) ** 2)), 6)"
+        )
+
+    ctes = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        (
+            "c0 AS (SELECT vec_id, v FROM base ORDER BY "
+            "ROUND(list_sum(list_transform(range(1, 65), i -> v[i] ** 2)), 6) "
+            "DESC, vec_id ASC LIMIT 1)"
+        ),
+    ]
+    for r in range(1, k):
+        src = "base b" if r == 1 else f"d{r - 1} b"
+        upd = (
+            dist("b.v", "c.v")
+            if r == 1
+            else f"LEAST(b.mind, {dist('b.v', 'c.v')})"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT b.vec_id, b.v, {upd} AS mind "
+            f"FROM {src} CROSS JOIN c{r - 1} c)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, v, mind FROM d{r} "
+            "ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id, "
+        "CAST(NULL AS DOUBLE) AS mind FROM c0"
+    ]
+    for r in range(1, k):
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id, mind FROM c{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Weighted PageRank unrolled as chained CTEs — the SQL oracle for
+    pipeline.graph.pagerank over transition_edges(events).  Same edge
+    extraction (lead over (ts, event_id)) and the identical per-round
+    update with uniform dangling-mass redistribution."""
+    ctes = [
+        f"ev AS (SELECT event_id, ts, user_id, event_type FROM {_EVENTS_SQL})",
+        (
+            "lead_t AS (SELECT event_type AS src, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) AS dst FROM ev)"
+        ),
+        (
+            "edges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w "
+            "FROM lead_t WHERE dst IS NOT NULL GROUP BY src, dst)"
+        ),
+        (
+            "nodes AS (SELECT DISTINCT node FROM "
+            "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))"
+        ),
+        "outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src)",
+        "ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM ncnt) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"dang{i} AS (SELECT coalesce(sum(pr), 0.0) AS dang FROM r{p} "
+            "WHERE node NOT IN (SELECT src FROM outw))"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            "sum(r.pr * e.w / o.out_w) AS contrib "
+            f"FROM edges e JOIN r{p} r ON e.src = r.node "
+            "JOIN outw o ON e.src = o.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, "
+            f"(1.0 - {damping}) / (SELECT n FROM ncnt) "
+            f"+ {damping} * (coalesce(c.contrib, 0.0) "
+            f"+ (SELECT dang FROM dang{i}) / (SELECT n FROM ncnt)) AS pr "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters}"
+    )
 
 
 def _cc_unrolled_sql(rounds: int = 6) -> str:
@@ -4391,4 +4512,6 @@ UNION ALL
                     AS BIGINT) AS rnk
         FROM c QUALIFY rnk <= 3
     """,
+    "kcenter_select": _kcenter_sql(5),
+    "pagerank_transitions": _pagerank_sql(5, 0.85),
 }
