@@ -82,6 +82,11 @@ def pagerank(
         pr'(v) = (1-d)/N + d * ( Σ_{u→v} pr(u)·w(u,v)/out_w(u)
                                  + dangling_mass/N )
     """
+    # Materialize the (small, vocabulary-bounded) edge list ONCE: every
+    # iteration re-reads it, and without this the upstream extraction —
+    # at 100 TB a full window over the events table — would be
+    # recomputed per iteration.  localCheckpoint keeps it executor-side.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
