@@ -151,6 +151,8 @@ _EXTRA_OPS = [
     "quality_tiers",
     "kcenter_select",
     "pagerank_transitions",
+    "cms_counts",
+    "jl_projection",
 ]
 
 

@@ -717,3 +717,66 @@ def train_kmeans(
             if (history[-2] - history[-1]) / history[-2] < tol:
                 break
     return cent, history
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+
+def jl_matrix(out_dim: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """The frozen Gaussian projection matrix (out_dim × dim), entries
+    drawn from N(0, 1/out_dim) with a seeded RNG and rounded to 9
+    decimals so BOTH engines inline the identical double literals —
+    the same frozen-artifact contract as the IVF centroids and PQ
+    codebooks (plans/ivf_index.py, plans/pq_index.py)."""
+    rng = np.random.RandomState(seed)
+    m = np.round(rng.normal(size=(out_dim, dim)) / np.sqrt(out_dim), 9)
+    return [[float(x) for x in row] for row in m]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss projection to ``out_dim`` dimensions, in
+    long form ``(id, pos, val)``.
+
+    JL lemma: a Gaussian random projection to O(log n / eps²) dims
+    preserves pairwise distances within (1±eps) — the standard
+    dimensionality cut BEFORE clustering / ANN / dedup when the raw
+    embedding width makes those shuffles expensive: at 100 TB,
+    projecting 768→64 dims cuts every downstream vector shuffle and
+    GEMM by 12× for a bounded, provable distortion.
+
+    Spark shape: each output dim is a pure-Column JVM fold
+    (zip_with·aggregate) against a broadcast literal matrix row — no
+    UDF, no Python, whole-stage-codegen'd, map-only (zero shuffle).
+    Output values are ROUNDed to 6 and ``+ 0.0``-normalized (IEEE
+    -0.0 → +0.0) for engine-stable comparison.
+    """
+    m = jl_matrix(out_dim, dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    outs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        + F.lit(0.0)
+        for row in m
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*outs)).alias("pos", "val")
+    )

@@ -1,4 +1,8 @@
-"""KMV (k-minimum-values) distinct sketches: mergeable approximate
+"""Mergeable frequency/distinct sketches with DETERMINISTIC,
+engine-replayable constructions: KMV (approximate COUNT DISTINCT) and
+count-min (approximate per-item frequency under a fixed memory bound).
+
+KMV (k-minimum-values) distinct sketches: mergeable approximate
 COUNT DISTINCT with a DETERMINISTIC, engine-replayable construction.
 
 Spark's built-in ``approx_count_distinct`` (HyperLogLog++) is the
@@ -99,3 +103,96 @@ def kmv_distinct(
     count of ``value_col``. Relative error ≈ 1/sqrt(k-2) (~13% at
     k=64, ~4% at k=512)."""
     return kmv_estimate(kmv_sketch(df, group_col, value_col, k, num_salts), k)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+#
+# The CMS (Cormode & Muthukrishnan, "An improved data stream summary:
+# the count-min sketch and its applications", J. Algorithms 2005)
+# answers "how often does item x occur?" in depth×width integers,
+# regardless of corpus size: d independent hash rows, each counting
+# into w cells; estimate = min over rows (always ≥ the true count —
+# one-sided error ≤ 2N/w with prob 1-2^-d).  At 100 TB this is the
+# frequency companion to KMV: per-shard sketches are built with ONE
+# partially-aggregated shuffle bounded by d·w rows per partition, then
+# merged cell-wise (``cms_merge``) without touching raw data — exact
+# token counts at that scale need a full groupBy over the corpus
+# vocabulary, while the CMS answer is a constant-size artifact.
+#
+# Hashing is md5-derived (first 8 hex of md5("{seed}:{row}:{value}"),
+# mod width) — a pure function of the value, identical in any engine
+# with md5, so the DuckDB oracle replays the SKETCH and the ESTIMATES
+# bit-for-bit (same contract as kmv_hash).
+
+
+def cms_cell(col: Column, row: int, width: int, seed: str = "cms-v1") -> Column:
+    """Row-``row`` cell index of a value: 32-bit md5-derived hash mod
+    width.  Deterministic and engine-replayable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(row)), col.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """→ (row, cell, cnt): the depth×width count table.  One
+    posexplode (d rows per input row, map-side combined immediately) +
+    one partial-aggregated shuffle carrying ≤ partitions·d·w rows."""
+    cells = F.array(
+        *[cms_cell(F.col(value_col), r, width, seed) for r in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(cells).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with identical
+    (depth, width, seed) — the union-corpus sketch."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Estimated count for each probe value: min over the d rows of the
+    probe's cell counts (an absent cell is 0).  The sketch (d·w rows)
+    is broadcast — probing never shuffles the probe side."""
+    p = probes.select(
+        F.col(value_col),
+        F.posexplode(
+            F.array(
+                *[cms_cell(F.col(value_col), r, width, seed) for r in range(depth)]
+            )
+        ).alias("row", "cell"),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_n"))
+    )

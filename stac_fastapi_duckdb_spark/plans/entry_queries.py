@@ -2195,6 +2195,47 @@ def q_pagerank_transitions(spark, sf):
     return pagerank(transition_edges(_events(spark, sf)), iters=5)
 
 
+def q_cms_counts(spark, sf):
+    """Count-min sketch frequency estimation (pipeline/sketch.py):
+    build the 4×512 count table over document tokens (one
+    partial-aggregated shuffle bounded by d·w), then estimate the top-20
+    exact tokens against it — output (token, exact_n, est_n) with the
+    one-sided est_n ≥ exact_n guarantee. md5-derived cells make the
+    sketch AND the estimates engine-replayable."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = (
+        _t(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token") != "")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    probes = exact.orderBy(F.col("exact_n").desc(), "token").limit(20)
+    sk = cms_sketch(toks, "token", depth=4, width=512)
+    est = cms_estimate(sk, probes.select("token"), "token", depth=4, width=512)
+    return probes.join(est, "token").select("token", "exact_n", "est_n")
+
+
+def q_jl_projection(spark, sf):
+    """Johnson-Lindenstrauss 64→16 projection (pipeline/similarity.py
+    jl_project): frozen seeded Gaussian matrix, each output dim a
+    pure-Column JVM fold — map-only, zero shuffle, no UDF. Long-form
+    (vec_id, pos, val) output; oracle inlines the identical matrix
+    literals."""
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
+
+    return jl_project(_t(spark, sf, "embeddings"), dim=64, out_dim=16)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2330,6 +2371,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "kcenter_select": q_kcenter_select,
     "pagerank_transitions": q_pagerank_transitions,
+    "cms_counts": q_cms_counts,
+    "jl_projection": q_jl_projection,
 }
 
 
@@ -2492,6 +2535,64 @@ def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{iters}"
     )
+
+
+def _jl_sql(out_dim: int = 16, dim: int = 64, seed: int = 7) -> str:
+    """JL projection oracle: inline the SAME frozen matrix literals
+    (similarity.jl_matrix) and replay the per-dim dot product."""
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_matrix
+
+    m = jl_matrix(out_dim, dim, seed)
+    mat = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in m
+    ) + "]"
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), mt(mat) AS (SELECT {mat})
+        SELECT vec_id, CAST(j - 1 AS INT) AS pos,
+               ROUND(list_sum(list_transform(range(1, {dim + 1}),
+                                             i -> v[i] * mat[j][i])), 6)
+                   + 0.0 AS val
+        FROM base, mt, unnest(range(1, {out_dim + 1})) AS u(j)
+    """
+
+
+# count-min sketch replay: identical md5-derived cells for the build
+# AND the probe side, min over the 4 rows (absent cell → 0)
+_CMS_SQL = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ), tok2 AS (
+        SELECT token FROM tok WHERE token <> ''
+    ), exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+        FROM tok2 GROUP BY token
+    ), probes AS (
+        SELECT token, exact_n FROM exact
+        ORDER BY exact_n DESC, token LIMIT 20
+    ), cells AS (
+        SELECT CAST(CAST('0x' || substr(md5('cms-v1:' || CAST(r AS VARCHAR)
+                                        || ':' || token), 1, 8) AS UBIGINT)
+                    % 512 AS BIGINT) AS cell,
+               r
+        FROM tok2, unnest(range(0, 4)) AS u(r)
+    ), sk AS (
+        SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, cell
+    ), pc AS (
+        SELECT p.token, p.exact_n, u.r,
+               CAST(CAST('0x' || substr(md5('cms-v1:' || CAST(u.r AS VARCHAR)
+                                        || ':' || p.token), 1, 8) AS UBIGINT)
+                    % 512 AS BIGINT) AS cell
+        FROM probes p, unnest(range(0, 4)) AS u(r)
+    )
+    SELECT token, exact_n,
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_n
+    FROM pc LEFT JOIN sk ON pc.r = sk.r AND pc.cell = sk.cell
+    GROUP BY token, exact_n
+"""
 
 
 def _cc_unrolled_sql(rounds: int = 6) -> str:
@@ -4514,4 +4615,6 @@ UNION ALL
     """,
     "kcenter_select": _kcenter_sql(5),
     "pagerank_transitions": _pagerank_sql(5, 0.85),
+    "cms_counts": _CMS_SQL,
+    "jl_projection": _jl_sql(16, 64, 7),
 }

@@ -345,3 +345,63 @@ def test_train_kmeans_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         sim.train_kmeans(empty, k=2, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_matmul(spark):
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import (
+        jl_matrix,
+        jl_project,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(20, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.pos): r.val
+        for r in jl_project(df, dim=64, out_dim=16).collect()
+    }
+    m = np.array(jl_matrix(16, 64), dtype=np.float64)
+    want = vecs.astype(np.float64) @ m.T
+    assert len(got) == 20 * 16
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 2e-6
+
+
+def test_jl_projection_preserves_distances_loosely(spark):
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_matrix
+
+    # the JL statement itself, checked directly on the frozen matrix:
+    # squared-distance ratios concentrate around 1 for random pairs
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(200, 64))
+    b = rng.normal(size=(200, 64))
+    m = np.array(jl_matrix(16, 64), dtype=np.float64)
+    orig = ((a - b) ** 2).sum(axis=1)
+    proj = (((a - b) @ m.T) ** 2).sum(axis=1)
+    ratio = proj / orig
+    assert 0.8 < np.median(ratio) < 1.25
+    assert (ratio > 0.2).all() and (ratio < 3.0).all()
+
+
+def test_jl_projection_is_map_only_jvm(spark):
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        jl_project(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas"):
+        assert bad not in plan

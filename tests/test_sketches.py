@@ -97,3 +97,92 @@ def test_kmv_sketches_merge_to_the_union_sketch(spark):
     for lang, sk in whole.items():
         merged = sorted(set(sa.get(lang, [])) | set(sb.get(lang, [])))[:64]
         assert merged == sk
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_docs_tokens(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def test_cms_estimate_overcounts_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = _cms_docs_tokens(spark)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.col("exact_n").desc(), "token").limit(30)
+    sk = cms_sketch(toks, "token", depth=4, width=512)
+    est = cms_estimate(sk, probes.select("token"), "token", depth=4, width=512)
+    rows = probes.join(est, "token").collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.est_n >= r.exact_n  # CMS error is one-sided
+    # heavy hitters dominate collisions: top tokens estimate tightly
+    total = toks.count()
+    for r in rows:
+        assert r.est_n - r.exact_n <= 2 * total / 512 * 4
+
+
+def test_cms_exact_when_width_dwarfs_vocabulary(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(f"w{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "token string")
+    sk = cms_sketch(df, "token", depth=4, width=65536)
+    est = {
+        r.token: r.est_n
+        for r in cms_estimate(
+            sk, df.distinct(), "token", depth=4, width=65536
+        ).collect()
+    }
+    assert est == {f"w{i}": 10 for i in range(7)}
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import cms_merge, cms_sketch
+
+    a = spark.createDataFrame([(f"x{i % 5}",) for i in range(40)], "v string")
+    b = spark.createDataFrame([(f"x{i % 9}",) for i in range(63)], "v string")
+    merged = {
+        (r.row, r.cell): r.cnt
+        for r in cms_merge(cms_sketch(a, "v"), cms_sketch(b, "v")).collect()
+    }
+    union = {
+        (r.row, r.cell): r.cnt
+        for r in cms_sketch(a.unionByName(b), "v").collect()
+    }
+    assert merged == union
+
+
+def test_cms_missing_probe_estimates_zero_or_collision(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("present",)] * 5, "v string")
+    sk = cms_sketch(df, "v", depth=4, width=1024)
+    probes = spark.createDataFrame([("absent",)], "v string")
+    got = cms_estimate(sk, probes, "v", depth=4, width=1024).collect()[0]
+    assert got.est_n in (0, 5)  # 0 unless all 4 rows collide

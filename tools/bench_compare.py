@@ -10,12 +10,14 @@ fiction) and the DuckDB oracle on the same parquet, and prints seconds
 + ratio. Queries without oracles (approx / Python-by-design) are timed
 Spark-only. Note the DuckDB side runs the ORACLE formulation — for
 LSH-style operators that is the O(n²) exact form, which is the point:
-the oracle checks values, not strategy. Two further classes are timed
-but excluded from the ratio total: quadratic oracles, and
+the oracle checks values, not strategy. Three further classes are timed
+but excluded from the ratio total: quadratic oracles;
 streaming-engine runs whose oracle is a batch SQL restatement (the
 Spark number there includes fixed micro-batch/state-store startup that
 a batch engine never pays and that amortizes over a stream's lifetime
-— value parity is what the oracle gate checks).
+— value parity is what the oracle gate checks); and iterative fixed
+points whose unrolled-CTE oracle re-executes the upstream per round
+(see ITERATIVE_ORACLES).
 """
 
 from __future__ import annotations
@@ -56,6 +58,15 @@ QUADRATIC_ORACLES = {
 # IS ratio-compared
 STREAMING_VS_BATCH = {"streaming_hourly_rollup"}
 
+# iterative fixed points have no native SQL form: the oracle unrolls
+# the loop as chained CTEs, and DuckDB re-executes the whole upstream
+# (here: the window-based edge extraction) once per unrolled round
+# while the Spark operator materializes it once.  Counting that replay
+# in the ratio would flatter Spark with the oracle's restatement cost,
+# symmetric to how QUADRATIC_ORACLES would flatter DuckDB — excluded
+# from the total, timed visibly
+ITERATIVE_ORACLES = {"pagerank_transitions"}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
@@ -85,11 +96,17 @@ def main() -> None:
             _timed(lambda: _force(fn(spark, sf_dir))) for _ in range(2)
         )
         osql = eq.ORACLE_SQL.get(name)
-        if osql is None or name in QUADRATIC_ORACLES or name in STREAMING_VS_BATCH:
+        if (
+            osql is None
+            or name in QUADRATIC_ORACLES
+            or name in STREAMING_VS_BATCH
+            or name in ITERATIVE_ORACLES
+        ):
             tag = (
                 "O(n²)"
                 if name in QUADRATIC_ORACLES
-                else "stream" if name in STREAMING_VS_BATCH else "—"
+                else "stream" if name in STREAMING_VS_BATCH
+                else "iter" if name in ITERATIVE_ORACLES else "—"
             )
             print(f"{name:26s} {best_s:8.3f} {tag:>8s} {'—':>7s}")
             continue
