@@ -153,6 +153,8 @@ _EXTRA_OPS = [
     "pagerank_transitions",
     "cms_counts",
     "jl_projection",
+    "top_paths",
+    "event_pairs",
 ]
 
 

@@ -177,3 +177,73 @@ def gap_fill_hourly(
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+def top_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event-type paths ("view>cart>
+    buy") across all users — the path-analysis staple.
+
+    Shape: ONE shuffle (the per-user window, which a bucketed-by-user
+    layout serves shuffle-free), ``n-1`` lead() columns over the same
+    window frame (a single Window node — Spark evaluates all leads in
+    one pass), then a partially-aggregated global count and a
+    TakeOrderedAndProject top-k: no self-joins, no explode, per-row
+    work in codegen.  Ties break on the path string for deterministic,
+    engine-stable output.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    path = F.concat_ws(">", *steps)
+    complete = F.lead(type_col, n - 1).over(w).isNotNull()
+    return (
+        events.select(path.alias("path"), complete.alias("_ok"))
+        .filter(F.col("_ok"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def cooccurring_pairs(
+    events: DataFrame,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-type pairs co-occurring for at least ``min_support``
+    users (frequent-itemset mining at itemset size 2 — the
+    market-basket staple).
+
+    Shape: reduce FIRST to the distinct (user, type) table — bounded
+    by users × type-vocabulary, far smaller than the event log — then
+    a self-equi-join on ``user_col`` with ``a < b`` ordering
+    (each pair counted once), then a partially-aggregated pair count.
+    The join fan-out per user is (distinct types)² — bounded by the
+    type vocabulary, NOT by the user's event count, which is what
+    makes this safe where a raw-event self-join is not.
+    """
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    a = ut.withColumnRenamed("t", "item_a")
+    b = ut.withColumnRenamed("t", "item_b")
+    return (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+    )

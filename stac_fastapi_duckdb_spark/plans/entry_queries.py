@@ -2236,6 +2236,26 @@ def q_jl_projection(spark, sf):
     return jl_project(_t(spark, sf, "embeddings"), dim=64, out_dim=16)
 
 
+def q_top_paths(spark, sf):
+    """Top-20 event-type trigram paths (operators/analytics.py
+    top_paths): one user-window shuffle, both leads in a single Window
+    node, partial-agg count, TakeOrderedAndProject top-k."""
+    from stac_fastapi_duckdb_spark.operators.analytics import top_paths
+
+    return top_paths(_events(spark, sf), n=3, k=20)
+
+
+def q_event_pairs(spark, sf):
+    """Frequent co-occurring event-type pairs (operators/analytics.py
+    cooccurring_pairs): distinct (user, type) reduction FIRST, then the
+    vocabulary-bounded self-join — size-2 frequent itemsets."""
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        cooccurring_pairs,
+    )
+
+    return cooccurring_pairs(_events(spark, sf), min_support=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2373,6 +2393,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_transitions": q_pagerank_transitions,
     "cms_counts": q_cms_counts,
     "jl_projection": q_jl_projection,
+    "top_paths": q_top_paths,
+    "event_pairs": q_event_pairs,
 }
 
 
@@ -4617,4 +4639,28 @@ UNION ALL
     "pagerank_transitions": _pagerank_sql(5, 0.85),
     "cms_counts": _CMS_SQL,
     "jl_projection": _jl_sql(16, 64, 7),
+    # same window (leads evaluated over (ts, event_id) order), same
+    # completeness filter (trailing windows dropped), same tie-break
+    "top_paths": f"""
+        WITH p AS (
+            SELECT concat_ws('>', event_type,
+                             lead(event_type, 1) OVER w,
+                             lead(event_type, 2) OVER w) AS path,
+                   lead(event_type, 2) OVER w AS last_step
+            FROM {_EVENTS_SQL}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE last_step IS NOT NULL
+        GROUP BY path ORDER BY n DESC, path ASC LIMIT 20
+    """,
+    "event_pairs": f"""
+        WITH ut AS (
+            SELECT DISTINCT user_id AS u, event_type AS t FROM {_EVENTS_SQL}
+        )
+        SELECT a.t AS item_a, b.t AS item_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        GROUP BY item_a, item_b HAVING count(*) >= 2
+    """,
 }

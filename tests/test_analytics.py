@@ -178,3 +178,103 @@ def test_gap_fill_hourly_locf(spark):
     assert out[(1, 3)] == (False, 8.0)   # 7 + 1 aggregated
     assert out[(2, 5)] == (False, 2.0)
     assert len(out) == 5  # spine never extends beyond each key's range
+
+
+# ---------------------------------------------------------------------------
+# path analysis + pair co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def _path_events(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_top_paths_counts_sliding_trigrams(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import top_paths
+
+    rows = [
+        # user 1: a b c d  → paths a>b>c, b>c>d
+        (1, "2024-01-01 00:00:01", 1, "a"),
+        (2, "2024-01-01 00:00:02", 1, "b"),
+        (3, "2024-01-01 00:00:03", 1, "c"),
+        (4, "2024-01-01 00:00:04", 1, "d"),
+        # user 2: a b c     → a>b>c  (a>b>c total = 2)
+        (5, "2024-01-01 00:00:01", 2, "a"),
+        (6, "2024-01-01 00:00:02", 2, "b"),
+        (7, "2024-01-01 00:00:03", 2, "c"),
+        # user 3: too short for n=3
+        (8, "2024-01-01 00:00:01", 3, "a"),
+        (9, "2024-01-01 00:00:02", 3, "b"),
+    ]
+    got = [
+        (r.path, r.n)
+        for r in top_paths(_path_events(spark, rows), n=3, k=10).collect()
+    ]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]
+
+
+def test_top_paths_orders_by_ts_then_id_and_breaks_count_ties(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import top_paths
+
+    rows = [
+        (2, "2024-01-01 00:00:01", 1, "y"),  # ts tie with id 1 → id order
+        (1, "2024-01-01 00:00:01", 1, "x"),
+        (3, "2024-01-01 00:00:02", 1, "z"),
+    ]
+    got = [(r.path, r.n) for r in top_paths(_path_events(spark, rows), n=2).collect()]
+    assert got == [("x>y", 1), ("y>z", 1)]  # count tie → path asc
+
+
+def test_cooccurring_pairs_counts_users_not_events(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        cooccurring_pairs,
+    )
+
+    rows = [
+        # user 1 sees a twice + b: pair (a,b) counted ONCE for the user
+        (1, "2024-01-01 00:00:01", 1, "a"),
+        (2, "2024-01-01 00:00:02", 1, "a"),
+        (3, "2024-01-01 00:00:03", 1, "b"),
+        # user 2: a, b, c
+        (4, "2024-01-01 00:00:01", 2, "a"),
+        (5, "2024-01-01 00:00:02", 2, "b"),
+        (6, "2024-01-01 00:00:03", 2, "c"),
+        # user 3: only c
+        (7, "2024-01-01 00:00:01", 3, "c"),
+    ]
+    got = {
+        (r.item_a, r.item_b): r.n_users
+        for r in cooccurring_pairs(
+            _path_events(spark, rows), min_support=1
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    sup2 = {
+        (r.item_a, r.item_b): r.n_users
+        for r in cooccurring_pairs(
+            _path_events(spark, rows), min_support=2
+        ).collect()
+    }
+    assert sup2 == {("a", "b"): 2}
+
+
+def test_top_paths_empty_and_pair_plan_shape(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        cooccurring_pairs,
+        top_paths,
+    )
+
+    empty = _path_events(spark, [])
+    assert top_paths(empty).count() == 0
+    assert cooccurring_pairs(empty).count() == 0
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        top_paths(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan and plan.count("Window") == 1
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan

@@ -52,6 +52,12 @@ PROBES = [
     "quality_tiers",
     "trend_fit",
     "snapshot_diff",
+    # continuation additions: k driver-bounded selection rounds,
+    # materialized-edge fixed point, d·w-bounded sketch, map-only folds
+    "kcenter_select",
+    "pagerank_transitions",
+    "cms_counts",
+    "jl_projection",
 ]
 
 
