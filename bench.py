@@ -155,6 +155,7 @@ _EXTRA_OPS = [
     "jl_projection",
     "top_paths",
     "event_pairs",
+    "anomaly_hours",
 ]
 
 

@@ -307,3 +307,70 @@ def snapshot_diff(
             F.count(F.lit(1)).cast("bigint").alias("n")
         )
     return classified.filter(F.col("status") != "unchanged")
+
+
+def rolling_count_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    trailing: int = 24,
+    k: int = 20,
+) -> DataFrame:
+    """Hours whose per-group event count deviates most from the
+    trailing ``trailing``-hour baseline — the volume-anomaly monitor
+    every ingest pipeline runs.
+
+    Per (group, hour) counts (ONE partial-aggregated shuffle over the
+    raw events), then a per-group ordered window carrying three EXACT
+    integer sums over the trailing frame (cnt, Σn, Σn²) — the same
+    exact-moment contract as ``trend_fit``: the z-score is evaluated in
+    doubles from identical integer inputs, so it is bit-stable under
+    repartitioning and engine-identical.  Output: top-``k`` hours by
+    ROUND(|z|, 6) with (group, hour) tie-break; hours with fewer than 2
+    trailing observations are excluded.  The variance is FLOORED at 1.0
+    (count-noise floor): a deviation from a perfectly constant baseline
+    is the strongest anomaly, not an undefined one — without the floor
+    the textbook z-score silently drops exactly the spikes a constant
+    service rate makes most visible.
+
+    At 100 TB the raw-event aggregation dominates and partial-aggs to
+    (groups × hours) rows; the window runs over that reduced table,
+    never the events.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    hourly = (
+        df.select(F.col(group_col).alias("grp"), hour)
+        .groupBy("grp", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("hour").asc())
+        .rowsBetween(-trailing, -1)
+    )
+    stats = hourly.select(
+        "grp",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).cast("long").alias("m"),
+        F.sum("n").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
+    ).filter(F.col("m") >= 2)
+    mean = F.col("s1").cast("double") / F.col("m").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("m").cast("double")
+    ) / (F.col("m").cast("double") - F.lit(1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(F.greatest(var, F.lit(1.0)))
+    return (
+        stats
+        .select(
+            F.col("grp").alias("event_type"),
+            "hour",
+            "n",
+            (F.round(F.abs(z), 6) + F.lit(0.0)).alias("abs_z"),
+        )
+        .orderBy(F.col("abs_z").desc(), F.col("event_type").asc(), F.col("hour").asc())
+        .limit(k)
+    )

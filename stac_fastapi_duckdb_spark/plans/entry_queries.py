@@ -2256,6 +2256,19 @@ def q_event_pairs(spark, sf):
     return cooccurring_pairs(_events(spark, sf), min_support=2)
 
 
+def q_anomaly_hours(spark, sf):
+    """Rolling-window volume anomalies (pipeline/validate.py
+    rolling_count_anomalies): per-(type, hour) counts, exact integer
+    trailing-window moments (the trend_fit contract), floored-variance
+    z-score, top-20 by |z|. Oracle replays the identical frame and
+    double expressions."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import (
+        rolling_count_anomalies,
+    )
+
+    return rolling_count_anomalies(_events(spark, sf), trailing=24, k=20)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2395,6 +2408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_projection": q_jl_projection,
     "top_paths": q_top_paths,
     "event_pairs": q_event_pairs,
+    "anomaly_hours": q_anomaly_hours,
 }
 
 
@@ -4662,5 +4676,34 @@ UNION ALL
                CAST(count(*) AS BIGINT) AS n_users
         FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
         GROUP BY item_a, item_b HAVING count(*) >= 2
+    """,
+    # identical trailing frame, identical exact integer moments, and the
+    # identical double expression order (subtract mean, divide by
+    # sqrt(floored var)) — bit-stable cross-engine
+    "anomaly_hours": f"""
+        WITH hourly AS (
+            SELECT event_type AS grp, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {_EVENTS_SQL} GROUP BY 1, 2
+        ), stats AS (
+            SELECT grp, hour, n,
+                   CAST(count(*) OVER w AS BIGINT) AS m,
+                   CAST(sum(n) OVER w AS BIGINT) AS s1,
+                   CAST(sum(n * n) OVER w AS BIGINT) AS s2
+            FROM hourly
+            WINDOW w AS (PARTITION BY grp ORDER BY hour ASC
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT grp AS event_type, hour, n,
+               ROUND(ABS((CAST(n AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                         / sqrt(GREATEST(
+                               (CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / CAST(m AS DOUBLE))
+                               / (CAST(m AS DOUBLE) - 1.0), 1.0))), 6)
+                   + 0.0 AS abs_z
+        FROM stats WHERE m >= 2
+        ORDER BY abs_z DESC, event_type ASC, hour ASC LIMIT 20
     """,
 }

@@ -200,3 +200,72 @@ def test_snapshot_diff_null_is_a_value_not_a_wildcard(spark):
     }
     # NULL == NULL (unchanged); the string 'None' != NULL (changed)
     assert got == {"unchanged": 1, "changed": 1}
+
+
+# ---------------------------------------------------------------------------
+# rolling-count anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_anomalies_flags_planted_spike(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.validate import (
+        rolling_count_anomalies,
+    )
+
+    # type "a": 5 events/hour for 30 consecutive hours, except hour 20
+    # which spikes to 50 (day offset keeps all 30 hours distinct)
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:01", 1, "a")
+            for i, h in enumerate(
+                [h for h in range(30) for _ in range(50 if h == 20 else 5)]
+            )
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    top = rolling_count_anomalies(ev, trailing=24, k=3).collect()
+    # the spike deviates from a CONSTANT baseline: variance floor 1.0
+    # gives z = 50 - 5 = 45 — it must rank first
+    assert top[0].n == 50
+    assert top[0].abs_z > 40
+    assert top[0].abs_z > top[-1].abs_z
+
+
+def test_rolling_anomalies_needs_two_trailing_points(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.validate import (
+        rolling_count_anomalies,
+    )
+
+    # two hours only: the second has m=1 (< 2) → nothing qualifies
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:01", 1, "a"),
+            (2, "2024-01-01 01:00:01", 1, "a"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert rolling_count_anomalies(ev).count() == 0
+
+
+def test_rolling_anomalies_constant_rate_scores_zero(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.validate import (
+        rolling_count_anomalies,
+    )
+
+    # perfectly constant rate: var floors to 1.0 and n == mean → z = 0
+    ev = spark.createDataFrame(
+        [
+            (i * 10 + j, f"2024-01-01 {i:02d}:00:01", 1, "a")
+            for i in range(10)
+            for j in range(3)
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = rolling_count_anomalies(ev).collect()
+    assert out and all(r.abs_z == 0.0 for r in out)
