@@ -1027,3 +1027,95 @@ def quality_tiers(
         tier.cast("bigint").alias("tier"),
         label.alias("tier_label"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log importance ratio between a TARGET-domain language model
+    and the RAW-corpus language model,
+
+        log w(doc) = Σ_tok [ log p_target(tok) − log p_raw(tok) ]
+
+    both models being ``train_unigram_lm`` artifacts (DSIR's hashed
+    n-gram features reduce to unigram counts here; the estimator shape
+    — importance ratio of two bag-of-token models — is the paper's).
+    High log_weight = looks like the target domain; resampling keeps
+    the top of this ranking (``dsir_select``).
+
+    → (doc_id, n_tokens, log_weight).
+
+    Scale shape: the two LM artifacts merge into ONE ≤(2·vocab)-row
+    map (full outer join on token, driver-sized), so scoring is a
+    single explode + ONE broadcast join + one partial-aggregated
+    groupBy — identical cost to ``perplexity_score`` even though two
+    models are consulted. OOV on either side falls back to that
+    model's smoothed OOV scalar, exactly as in scoring.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    oov_t = target_lm.filter(F.col("token").isNull()).select(
+        F.col("logprob").alias("_oov_t")
+    )
+    oov_r = raw_lm.filter(F.col("token").isNull()).select(
+        F.col("logprob").alias("_oov_r")
+    )
+    vocab = (
+        target_lm.filter(F.col("token").isNotNull())
+        .select("token", F.col("logprob").alias("_lp_t"))
+        .join(
+            raw_lm.filter(F.col("token").isNotNull()).select(
+                "token", F.col("logprob").alias("_lp_r")
+            ),
+            "token",
+            "full",
+        )
+    )
+    tok = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(oov_t))
+        .crossJoin(F.broadcast(oov_r))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.coalesce(F.col("_lp_t"), F.col("_oov_t"))
+                - F.coalesce(F.col("_lp_r"), F.col("_oov_r"))
+            ).alias("log_weight"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DSIR selection: keep the ``k`` documents with the
+    highest importance ratio. The paper resamples with Gumbel noise;
+    the deterministic top-of-ranking form is the reproducible variant
+    (equivalent to temperature→0) and replays exactly cross-engine:
+    the sort key is the ROUNDED weight with a doc_id tiebreak, so the
+    boundary is a total order on engine-stable values. Compiles to
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    w = dsir_weights(df, target_lm, raw_lm, text_col, id_col).withColumn(
+        "log_weight", F.round("log_weight", 6)
+    )
+    return w.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(k)

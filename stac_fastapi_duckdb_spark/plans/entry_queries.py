@@ -2269,6 +2269,26 @@ def q_anomaly_hours(spark, sf):
     return rolling_count_anomalies(_events(spark, sf), trailing=24, k=20)
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): train TWO add-one
+    smoothed top-300 unigram LMs — target = the lang='en' slice, raw =
+    the whole corpus — merge them into one ≤600-row token map, and keep
+    the 200 documents with the highest rounded log importance ratio
+    Σ(log p_target − log p_raw). One explode + ONE broadcast join + one
+    partial-agg groupBy + TakeOrderedAndProject; the oracle replays the
+    identical two-LM smoothing closed form and the rounded-weight total
+    order in SQL."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        dsir_select,
+        train_unigram_lm,
+    )
+
+    docs = _t(spark, sf, "documents")
+    target_lm = train_unigram_lm(docs.filter(F.col("lang") == "en"), vocab_size=300)
+    raw_lm = train_unigram_lm(docs, vocab_size=300)
+    return dsir_select(docs, target_lm, raw_lm, k=200)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2409,6 +2429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_paths": q_top_paths,
     "event_pairs": q_event_pairs,
     "anomaly_hours": q_anomaly_hours,
+    "dsir_select": q_dsir_select,
 }
 
 
@@ -4705,5 +4726,50 @@ UNION ALL
                    + 0.0 AS abs_z
         FROM stats WHERE m >= 2
         ORDER BY abs_z DESC, event_type ASC, hour ASC LIMIT 20
+    """,
+    # DSIR: two add-one-smoothed top-300 unigram LMs (target = lang='en'
+    # slice, raw = full corpus), per-doc log importance ratio summed over
+    # tokens with each model's OOV fallback; rounded weight + doc_id is a
+    # total order so the top-200 boundary replays exactly — replicates
+    # pipeline.text.train_unigram_lm + dsir_select
+    "dsir_select": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents
+        ), ttok AS (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE lang = 'en'
+        ), rcounts AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), rtotal AS (SELECT sum(n) AS t FROM rcounts),
+        rtop AS (SELECT token, n FROM rcounts ORDER BY n DESC, token LIMIT 300),
+        rkept AS (SELECT count(*) AS v FROM rtop),
+        rlm AS (
+            SELECT token, ln((n + 1.0) / (t + v + 1)) AS lp FROM rtop, rtotal, rkept
+        ),
+        roov AS (SELECT -ln(CAST(t + v + 1 AS DOUBLE)) AS o FROM rtotal, rkept),
+        tcounts AS (
+            SELECT token, count(*) AS n FROM ttok GROUP BY token
+        ), ttotal AS (SELECT sum(n) AS t FROM tcounts),
+        ttop AS (SELECT token, n FROM tcounts ORDER BY n DESC, token LIMIT 300),
+        tkept AS (SELECT count(*) AS v FROM ttop),
+        tlm AS (
+            SELECT token, ln((n + 1.0) / (t + v + 1)) AS lp FROM ttop, ttotal, tkept
+        ),
+        toov AS (SELECT -ln(CAST(t + v + 1 AS DOUBLE)) AS o FROM ttotal, tkept),
+        vocab AS (
+            SELECT coalesce(tlm.token, rlm.token) AS token,
+                   tlm.lp AS lp_t, rlm.lp AS lp_r
+            FROM tlm FULL OUTER JOIN rlm ON tlm.token = rlm.token
+        )
+        SELECT tok.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               ROUND(sum(coalesce(vocab.lp_t, toov.o)
+                         - coalesce(vocab.lp_r, roov.o)), 6) AS log_weight
+        FROM tok LEFT JOIN vocab USING (token), toov, roov
+        GROUP BY tok.doc_id
+        ORDER BY log_weight DESC, doc_id ASC
+        LIMIT 200
     """,
 }

@@ -118,7 +118,15 @@ def test_no_accidental_python_or_nested_loops(spark):
     # lm_perplexity: its 4 NLJs are 1-row broadcast aggregates (corpus
     # total, kept-vocab size, OOV logprob) crossed in as scalars — the
     # same shape, never data×data
-    nlj_ok = {"embedding_topk", "hybrid_search", "lm_perplexity", "quality_tiers"}
+    # dsir_select: 8 NLJs of the same kind — two LMs × (total, kept,
+    # OOV) 1-row aggregates crossed in as scalars
+    nlj_ok = {
+        "embedding_topk",
+        "hybrid_search",
+        "lm_perplexity",
+        "quality_tiers",
+        "dsir_select",
+    }
     got = _capture(spark)
     for name, sig in got.items():
         if name not in python_ok:

@@ -541,3 +541,92 @@ def test_quality_tiers_equal_depth_and_ordered(spark):
         assert head_max <= tail_min
         labels = {r["tier"]: r["tier_label"] for r in rows}
         assert labels[1] == "head" and labels[max(tiers)] == "tail"
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_corpus(spark):
+    # target domain = "science"-flavored docs; raw corpus mixes domains
+    rows = [
+        (1, "the electron and the proton form the atom", "sci"),
+        (2, "quantum energy levels of the electron orbit", "sci"),
+        (3, "buy cheap shoes online free shipping deals", "web"),
+        (4, "click here for the best discount offers now", "web"),
+        (5, "the electron microscope resolves the atom lattice", "sci"),
+        (6, "limited time offers buy now cheap deals", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, domain string")
+
+
+def test_dsir_weights_rank_target_domain_higher(dsir_corpus):
+    target_lm = T.train_unigram_lm(
+        dsir_corpus.filter(F.col("domain") == "sci"), vocab_size=100
+    )
+    raw_lm = T.train_unigram_lm(dsir_corpus, vocab_size=100)
+    w = {
+        r.doc_id: r.log_weight
+        for r in T.dsir_weights(dsir_corpus, target_lm, raw_lm).collect()
+    }
+    sci = [w[1], w[2], w[5]]
+    web = [w[3], w[4], w[6]]
+    assert min(sci) > max(web), f"sci docs must outweigh web docs: {w}"
+
+
+def test_dsir_weights_numpy_replay(dsir_corpus):
+    # replay the closed form: two add-one smoothed LMs, per-token
+    # log-ratio sum with OOV fallbacks
+    import math
+    from collections import Counter
+
+    rows = dsir_corpus.collect()
+    toks = {r.doc_id: r.text.lower().strip().split() for r in rows}
+
+    def lm(ids):
+        c = Counter(t for i in ids for t in toks[i])
+        total = sum(c.values())
+        v = len(c)  # vocab_size=100 keeps everything here
+        probs = {t: math.log((n + 1) / (total + v + 1)) for t, n in c.items()}
+        return probs, -math.log(total + v + 1)
+
+    tgt, tgt_oov = lm([1, 2, 5])
+    raw, raw_oov = lm([1, 2, 3, 4, 5, 6])
+    target_lm = T.train_unigram_lm(
+        dsir_corpus.filter(F.col("domain") == "sci"), vocab_size=100
+    )
+    raw_lm = T.train_unigram_lm(dsir_corpus, vocab_size=100)
+    got = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in T.dsir_weights(dsir_corpus, target_lm, raw_lm).collect()
+    }
+    for i, ts in toks.items():
+        want = sum(tgt.get(t, tgt_oov) - raw.get(t, raw_oov) for t in ts)
+        n, lw = got[i]
+        assert n == len(ts)
+        assert abs(lw - want) < 1e-9, f"doc {i}: {lw} vs {want}"
+
+
+def test_dsir_select_topk_deterministic(dsir_corpus):
+    target_lm = T.train_unigram_lm(
+        dsir_corpus.filter(F.col("domain") == "sci"), vocab_size=100
+    )
+    raw_lm = T.train_unigram_lm(dsir_corpus, vocab_size=100)
+    kept = T.dsir_select(dsir_corpus, target_lm, raw_lm, k=3)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 5]
+    assert [f.name for f in kept.schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+    ]
+
+
+def test_dsir_empty_corpus(spark, dsir_corpus):
+    empty = spark.createDataFrame([], "doc_id long, text string, domain string")
+    target_lm = T.train_unigram_lm(
+        dsir_corpus.filter(F.col("domain") == "sci"), vocab_size=100
+    )
+    raw_lm = T.train_unigram_lm(dsir_corpus, vocab_size=100)
+    assert T.dsir_weights(empty, target_lm, raw_lm).count() == 0
