@@ -61,6 +61,7 @@ CONFORMANCE_CLASSES = [
     "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/core",
     "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/geojson",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
     "http://www.opengis.net/spec/cql2/1.0/conf/basic-cql2",
     "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
 ]
@@ -101,6 +102,33 @@ def _parse_json_param(raw: str | None, name: str) -> Any:
         return json.loads(raw)
     except ValueError:
         raise InvalidQueryError(f"Invalid JSON in {name!r}")
+
+
+def _parse_filter(raw: str | None, lang: str | None) -> dict | None:
+    """Filter-extension GET param: ``filter-lang`` selects the encoding.
+
+    Per the STAC API Filter extension, the GET default encoding is
+    cql2-text; JSON is accepted when ``filter-lang=cql2-json`` (and,
+    for backward compatibility with clients that sent JSON without a
+    lang, when the value parses as a JSON object). Both encodings land
+    on the same dict AST → one Column compiler (operators/cql2.py).
+    """
+    if raw is None:
+        return None
+    from stac_fastapi_duckdb_spark.operators.cql2_text import parse_cql2_text
+
+    if lang == "cql2-json":
+        return _parse_json_param(raw, "filter")
+    if lang not in (None, "cql2-text"):
+        raise InvalidQueryError(f"Unsupported filter-lang {lang!r}")
+    if lang is None:
+        try:
+            parsed = json.loads(raw)
+        except ValueError:
+            parsed = None
+        if isinstance(parsed, dict):
+            return parsed
+    return parse_cql2_text(raw)
 
 
 def _parse_fields(raw: str | None) -> dict | None:
@@ -283,7 +311,9 @@ def create_app(
             bbox=_parse_bbox(request.args.get("bbox")),
             intersects=_parse_json_param(request.args.get("intersects"), "intersects"),
             datetime_interval=request.args.get("datetime"),
-            cql2_filter=_parse_json_param(request.args.get("filter"), "filter"),
+            cql2_filter=_parse_filter(
+                request.args.get("filter"), request.args.get("filter-lang")
+            ),
             query=_parse_json_param(request.args.get("query"), "query"),
             sortby=_parse_csv(request.args.get("sortby")),
             fields=_parse_fields(request.args.get("fields")),
@@ -307,6 +337,18 @@ def create_app(
         bbox = body.get("bbox")
         if bbox is not None and not isinstance(bbox, (list, tuple)):
             raise InvalidQueryError(f"Invalid bbox {bbox!r}")
+        flt = body.get("filter")
+        flt_lang = body.get("filter-lang")
+        if flt_lang == "cql2-text" or (flt_lang is None and isinstance(flt, str)):
+            from stac_fastapi_duckdb_spark.operators.cql2_text import (
+                parse_cql2_text,
+            )
+
+            if not isinstance(flt, str):
+                raise InvalidQueryError("cql2-text filter must be a string")
+            flt = parse_cql2_text(flt)
+        elif flt_lang not in (None, "cql2-json"):
+            raise InvalidQueryError(f"Unsupported filter-lang {flt_lang!r}")
         items, matched, next_token = execute_search(
             catalog,
             collection_ids=body.get("collections"),
@@ -314,7 +356,7 @@ def create_app(
             bbox=bbox,
             intersects=body.get("intersects"),
             datetime_interval=body.get("datetime"),
-            cql2_filter=body.get("filter"),
+            cql2_filter=flt,
             query=body.get("query"),
             sortby=body.get("sortby"),
             fields=body.get("fields"),

@@ -258,6 +258,27 @@ def q_cql2_ilike(spark, sf):  # C12: advertised-but-missing in reference
     return df.filter(cql2_to_column(expr, df.columns)).select("p_partkey", "p_type")
 
 
+def q_cql2_text(spark, sf):
+    """CQL2-TEXT encoding (upstream Filter-extension GET default): the
+    text grammar parses to the SAME dict AST the JSON path compiles
+    (operators/cql2_text.py), so one Column compiler serves both. The
+    reference only ever sees pre-parsed JSON (database_logic.py:488-521);
+    text support is what its conformance advertisement implies."""
+    from stac_fastapi_duckdb_spark.operators.cql2_text import parse_cql2_text
+
+    df = _t(spark, sf, "orders")
+    text = (
+        "(o_totalprice BETWEEN 1000.0 AND 50000.0"
+        " OR o_orderpriority IN ('1-URGENT', '2-HIGH'))"
+        " AND o_orderpriority NOT LIKE '%LOW%'"
+        " AND o_orderstatus <> 'P'"
+        " AND o_orderdate >= DATE('1995-01-01')"
+    )
+    return df.filter(cql2_to_column(parse_cql2_text(text), df.columns)).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
 def q_stacql_query(spark, sf):  # P12: query extension (stubbed in reference)
     df = _t(spark, sf, "supplier")
     q = {"s_acctbal": {"gte": 1000, "lt": 6000}, "s_name": {"startsWith": "Supplier#00000000"}}
@@ -2430,6 +2451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_pairs": q_event_pairs,
     "anomaly_hours": q_anomaly_hours,
     "dsir_select": q_dsir_select,
+    "cql2_text": q_cql2_text,
 }
 
 
@@ -4771,5 +4793,13 @@ UNION ALL
         GROUP BY tok.doc_id
         ORDER BY log_weight DESC, doc_id ASC
         LIMIT 200
+    """,
+    "cql2_text": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE (o_totalprice BETWEEN 1000.0 AND 50000.0
+               OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AND o_orderpriority NOT LIKE '%LOW%'
+          AND o_orderstatus <> 'P'
+          AND o_orderdate >= DATE '1995-01-01'
     """,
 }

@@ -259,6 +259,63 @@ def test_search_cql2_filter_post(client):
     assert props["platform"] == "sentinel-2"
 
 
+def test_search_cql2_text_get(client):
+    """GET filter in the Filter extension's default TEXT encoding —
+    equivalent to test_search_cql2_filter_post's JSON filter."""
+    data = client.get(
+        "/search?collections=col-b&limit=100"
+        "&filter-lang=cql2-text"
+        "&filter=platform = 'sentinel-2' AND gsd >= 14"
+    ).get_json()
+    assert data["numMatched"] == 4
+    assert data["features"][0]["properties"]["platform"] == "sentinel-2"
+
+
+def test_search_cql2_text_get_default_lang(client):
+    """No filter-lang: a non-JSON filter value parses as cql2-text
+    (the GET default), a JSON object still parses as cql2-json."""
+    text = client.get(
+        "/search?collections=col-b&limit=100&filter=gsd >= 14"
+    ).get_json()
+    json_form = client.get(
+        "/search?collections=col-b&limit=100"
+        '&filter={"op": ">=", "args": [{"property": "gsd"}, 14]}'
+    ).get_json()
+    assert text["numMatched"] == json_form["numMatched"] == 4
+
+
+def test_search_cql2_text_post(client):
+    data = client.post(
+        "/search",
+        json={
+            "collections": ["col-b"],
+            "filter": "platform = 'sentinel-2' AND gsd >= 14",
+            "filter-lang": "cql2-text",
+            "limit": 100,
+        },
+    ).get_json()
+    assert data["numMatched"] == 4
+
+
+def test_search_cql2_text_bad_input(client):
+    assert (
+        client.get(
+            "/search?filter-lang=cql2-text&filter=platform ~ 3"
+        ).status_code
+        in (400, 422)
+    )
+    assert (
+        client.get("/search?filter-lang=cql2-xml&filter=x = 1").status_code
+        in (400, 422)
+    )
+    assert (
+        client.post(
+            "/search", json={"filter-lang": "cql2-text", "filter": {"op": "="}}
+        ).status_code
+        in (400, 422)
+    )
+
+
 def test_search_fields_projection(client):
     data = client.get(
         "/search?collections=col-a&fields=platform&limit=2"
