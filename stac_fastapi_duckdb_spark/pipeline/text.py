@@ -1119,3 +1119,64 @@ def dsir_select(
         "log_weight", F.round("log_weight", 6)
     )
     return w.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Corpus-order n-gram novelty: for each document, the fraction of
+    its distinct word ``shingle_n``-grams whose FIRST corpus occurrence
+    (minimum ``id_col``) is this document.
+
+    → (doc_id, n_grams, n_novel, novelty_frac). A near-duplicate of
+    earlier material scores ~0; the first instance of boilerplate
+    scores high while its copies score low — the marginal-coverage
+    signal behind novelty-ordered curricula and soft dedup (weighting
+    documents by how much *new* text they contribute, SoftDedup-style,
+    as opposed to the hard keep/drop of ``minhash_dedup``). No
+    counterpart in the reference; training-data-pipeline extension.
+
+    Scale shape (100 TB): per-doc gram totals are ``F.size`` of the
+    shingle array — map-only, fused with the scan, NO explode. Only the
+    first-occurrence side explodes, and with ``hash_shingles`` each
+    gram travels as an 8-byte xxhash64, so the one wide shuffle is
+    (8 B + id) per (doc, gram) into a partially-aggregated
+    ``min(doc_id)`` per gram; the second shuffle is already collapsed
+    to one row per DISTINCT gram, and the final join is doc-keyed
+    (corpus cardinality, not gram cardinality). Nothing quadratic,
+    nothing driver-side.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shingles_col
+
+    df = ensure_parallelism(df)
+    gram = F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g")
+    key = F.xxhash64("_g") if hash_shingles else F.col("_g")
+    firsts = (
+        df.select(F.col(id_col), gram)
+        .select(F.col(id_col), key.alias("_k"))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias("_first"))
+    )
+    novel = firsts.groupBy(F.col("_first").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(shingles_col(F.col(text_col), shingle_n))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return totals.join(novel, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            6,
+        ).alias("novelty_frac"),
+    )

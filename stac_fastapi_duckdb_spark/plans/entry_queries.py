@@ -2310,6 +2310,20 @@ def q_dsir_select(spark, sf):
     return dsir_select(docs, target_lm, raw_lm, k=200)
 
 
+def q_ngram_novelty(spark, sf):
+    """Corpus-order n-gram novelty (pipeline/text.py ngram_novelty):
+    per document, the fraction of its distinct word 3-grams whose first
+    corpus occurrence (min doc_id) is that document — the marginal-
+    coverage signal behind novelty-ordered curricula / soft dedup.
+    Per-doc totals are a map-only F.size (no explode); only the
+    first-occurrence side explodes, shuffled once on the 8-byte gram
+    hash into a partial-agg min. Oracle replays the identical
+    first-occurrence definition on the string grams."""
+    from stac_fastapi_duckdb_spark.pipeline.text import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2452,6 +2466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_hours": q_anomaly_hours,
     "dsir_select": q_dsir_select,
     "cql2_text": q_cql2_text,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 
@@ -4801,5 +4816,24 @@ UNION ALL
           AND o_orderpriority NOT LIKE '%LOW%'
           AND o_orderstatus <> 'P'
           AND o_orderdate >= DATE '1995-01-01'
+    """,
+    # first-occurrence novelty replayed on the string grams (the Spark
+    # side joins on xxhash64(gram); min-per-gram is hash-invariant)
+    "ngram_novelty": f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        firsts AS (
+            SELECT g, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(s) AS g FROM sh) GROUP BY g
+        ),
+        novel AS (
+            SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+            FROM firsts GROUP BY first_doc
+        )
+        SELECT sh.doc_id,
+               CAST(len(sh.s) AS BIGINT) AS n_grams,
+               CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+               ROUND(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+                     / len(sh.s), 6) AS novelty_frac
+        FROM sh LEFT JOIN novel USING (doc_id)
     """,
 }

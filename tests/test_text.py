@@ -630,3 +630,38 @@ def test_dsir_empty_corpus(spark, dsir_corpus):
     )
     raw_lm = T.train_unigram_lm(dsir_corpus, vocab_size=100)
     assert T.dsir_weights(empty, target_lm, raw_lm).count() == 0
+
+
+@pytest.fixture(scope="module")
+def novelty_docs(spark):
+    rows = [
+        (1, "a b c d e"),          # 3 grams, all first-seen here
+        (2, "a b c d e"),          # exact dup of 1 → 0 novel
+        (3, "x y z a b c"),        # 4 grams, shares "a b c" with doc 1
+        (4, "q"),                  # short doc → whole text as 1 shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_novelty_first_occurrence(novelty_docs):
+    out = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_frac)
+        for r in T.ngram_novelty(novelty_docs).collect()
+    }
+    assert out[1] == (3, 3, 1.0)        # everything new
+    assert out[2] == (3, 0, 0.0)        # exact duplicate of doc 1
+    assert out[3] == (4, 3, 0.75)       # "a b c" already seen in doc 1
+    assert out[4] == (1, 1, 1.0)        # sub-n doc: one whole-text shingle
+
+
+def test_ngram_novelty_hash_matches_string_grams(novelty_docs):
+    hashed = T.ngram_novelty(novelty_docs, hash_shingles=True)
+    plain = T.ngram_novelty(novelty_docs, hash_shingles=False)
+    assert sorted(map(tuple, hashed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_ngram_novelty_empty(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.ngram_novelty(empty).count() == 0
