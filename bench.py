@@ -156,6 +156,9 @@ _EXTRA_OPS = [
     "top_paths",
     "event_pairs",
     "anomaly_hours",
+    "ngram_novelty",
+    "hll_distinct",
+    "kmv_overlap",
 ]
 
 

@@ -2069,6 +2069,46 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct(_t(spark, sf, "documents"), "lang", "text")
 
 
+def q_hll_distinct(spark, sf):
+    """Per-event-type approximate distinct users via an open
+    HyperLogLog (pipeline/sketch.py hll_sketch/hll_estimate, Flajolet
+    et al. 2007): md5-derived 60-bit hash → register = low 9 bits,
+    rank = leading zeros of the remaining 51-bit word via exact
+    integer bit-length (no floating log2). The register table is ONE
+    partially-aggregated shuffle bounded by groups·512 cells whatever
+    the input size, and the harmonic mean is computed as an exact
+    int64 sum (Σ 2^(52-M_j)), so the estimate — raw branch AND the
+    m·ln(m/V) linear-counting branch — replays bit-for-bit in DuckDB.
+    The artifact (512 small ints per group) merges by element-wise max
+    (hll_merge), the roll-up shape per-day/per-shard sketches need at
+    100 TB."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf, "events"), "event_type", "user_id", p=9)
+
+
+def q_kmv_overlap(spark, sf):
+    """Audience overlap (theta-sketch intersection over KMV sketches,
+    pipeline/sketch.py kmv_overlap): distinct click-users vs distinct
+    purchase-users from two k=64 KMV sketches — θ = min of the two
+    k-th minimum hashes, every retained hash below θ is a uniform
+    sample with inclusion probability θ/2^60, so |A∩B| ≈
+    n_inter·2^60/θ. θ and the retain comparisons stay in exact int64
+    (hashes overflow a double's mantissa); the only float ops are the
+    final scale division and the Jaccard ratio, which the DuckDB
+    oracle replays bit-for-bit. Each side is the bounded two-level KMV
+    aggregation; the combine is a 1-row × 1-row join."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_overlap
+
+    ev = _t(spark, sf, "events")
+    return kmv_overlap(
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        k=64,
+    )
+
+
 def q_weighted_sample(spark, sf):
     """Weighted k-per-group sample without replacement via the
     Efraimidis–Spirakis exponential race (pipeline/sampling.py):
@@ -2467,8 +2507,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "cql2_text": q_cql2_text,
     "ngram_novelty": q_ngram_novelty,
+    "hll_distinct": q_hll_distinct,
+    "kmv_overlap": q_kmv_overlap,
 }
 
+
+# HLL estimator constant alpha_512·512²·2^52 (pipeline/sketch.py
+# hll_estimate with p=9): computed ONCE here and embedded verbatim in
+# both engines' expressions so no cross-engine float arithmetic can
+# diverge before the single estimate division
+_HLL_C = (0.7213 / (1.0 + 1.079 / 512)) * 512 * 512 * float(1 << 52)
 
 # word-3-gram shingle sets per doc, replicating pipeline.dedup.shingles_col:
 # lower+trim, split \s+, 3-grams joined by ' ', distinct; <3 tokens → whole text
@@ -4835,5 +4883,87 @@ UNION ALL
                ROUND(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
                      / len(sh.s), 6) AS novelty_frac
         FROM sh LEFT JOIN novel USING (doc_id)
+    """,
+    # replay the HLL registers (same md5 hash, reg = h mod 512, rank
+    # via exact integer bit-length) and the estimator: the harmonic
+    # mean is the exact int64 sum Σ 2^(52-M_j) — zero registers
+    # contribute 2^52 each — so raw AND linear-counting branches are
+    # bit-identical; _HLL_C is alpha_512·512²·2^52 computed once in
+    # Python and embedded verbatim on both engines
+    "hll_distinct": f"""
+        WITH hv AS (
+            SELECT DISTINCT event_type,
+                   CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 18, 15)
+                        AS UBIGINT) AS BIGINT) AS h
+            FROM events
+        ), cells AS (
+            SELECT event_type, h % 512 AS reg,
+                   MAX(CASE WHEN h // 512 = 0 THEN 52
+                            ELSE 52 - length(bin(h // 512)) END) AS mx
+            FROM hv GROUP BY 1, 2
+        ), agg AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(pow(2.0, 52 - mx) AS BIGINT)) AS BIGINT) AS zi_p,
+                   COUNT(*) AS np
+            FROM cells GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(512 - np AS INT) AS zero_regs,
+               ROUND(CASE WHEN ({_HLL_C!r})
+                               / CAST(zi_p + (512 - np) * 4503599627370496
+                                      AS DOUBLE) <= 1280.0
+                           AND np < 512
+                          THEN 512.0 * ln(512.0 / CAST(512 - np AS DOUBLE))
+                          ELSE ({_HLL_C!r})
+                               / CAST(zi_p + (512 - np) * 4503599627370496
+                                      AS DOUBLE) END,
+                     4) AS est_distinct
+        FROM agg
+    """,
+    # replay the theta-sketch overlap: identical k=64 KMV sketches per
+    # side, θ = least k-th minimum (int64 comparisons — hashes
+    # overflow a double mantissa), counts below θ, then the same
+    # scale division / Jaccard ratio
+    "kmv_overlap": """
+        WITH ha AS (
+            SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 18, 15)
+                   AS UBIGINT) AS BIGINT) AS h
+            FROM events WHERE event_type = 'click'
+        ), hb AS (
+            SELECT DISTINCT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 18, 15)
+                   AS UBIGINT) AS BIGINT) AS h
+            FROM events WHERE event_type = 'purchase'
+        ), ska AS (
+            SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM ha)
+            WHERE rn <= 64
+        ), skb AS (
+            SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM hb)
+            WHERE rn <= 64
+        ), th AS (
+            SELECT LEAST(
+                CASE WHEN (SELECT count(*) FROM ska) < 64
+                     THEN 1152921504606846976 ELSE (SELECT max(h) FROM ska) END,
+                CASE WHEN (SELECT count(*) FROM skb) < 64
+                     THEN 1152921504606846976 ELSE (SELECT max(h) FROM skb) END
+            ) AS t
+        ), cnt AS (
+            SELECT
+                (SELECT count(*) FROM ska, th WHERE h < t) AS n_a,
+                (SELECT count(*) FROM skb, th WHERE h < t) AS n_b,
+                (SELECT count(*) FROM ska JOIN skb USING (h), th
+                 WHERE h < t) AS n_inter,
+                (SELECT t FROM th) AS t
+        )
+        SELECT CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b,
+               CAST(n_inter AS INT) AS n_inter,
+               ROUND(n_a * (1152921504606846976.0 / CAST(t AS DOUBLE)), 4) AS est_a,
+               ROUND(n_b * (1152921504606846976.0 / CAST(t AS DOUBLE)), 4) AS est_b,
+               ROUND(n_inter * (1152921504606846976.0 / CAST(t AS DOUBLE)), 4)
+                   AS est_intersection,
+               ROUND(CASE WHEN n_a + n_b - n_inter = 0 THEN 0.0
+                          ELSE CAST(n_inter AS DOUBLE)
+                               / CAST(n_a + n_b - n_inter AS DOUBLE) END, 6)
+                   AS est_jaccard
+        FROM cnt
     """,
 }

@@ -126,6 +126,9 @@ def test_no_accidental_python_or_nested_loops(spark):
         "lm_perplexity",
         "quality_tiers",
         "dsir_select",
+        # theta-sketch combine: ONE 64-hash sketch row per side — a
+        # 1-row × 1-row cross, never data×data
+        "kmv_overlap",
     }
     got = _capture(spark)
     for name, sig in got.items():

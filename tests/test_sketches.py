@@ -186,3 +186,121 @@ def test_cms_missing_probe_estimates_zero_or_collision(spark):
     probes = spark.createDataFrame([("absent",)], "v string")
     got = cms_estimate(sk, probes, "v", depth=4, width=1024).collect()[0]
     assert got.est_n in (0, 5)  # 0 unless all 4 rows collide
+
+
+# ---------------------------------------------------------------------------
+# open HyperLogLog (pipeline/sketch.py hll_*) — deterministic registers,
+# exact-int harmonic sum; oracle-checked in the registry. Here: accuracy
+# on a known cardinality (raw branch), small-range branch, mergeability,
+# and partitioning invariance
+# ---------------------------------------------------------------------------
+
+
+def test_hll_open_sketch_accuracy_raw_branch(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_distinct
+
+    n = 20_000  # ≫ 2.5m at p=9 → exercises the raw alpha·m²/Z branch
+    big = spark.range(0, n).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    est = hll_distinct(big, "g", "v", p=9).collect()[0]
+    assert est.zero_regs == 0 or est.est_distinct > 2.5 * 512
+    # 1.04/sqrt(512) ≈ 4.6 % std error; 3σ bound
+    assert abs(est.est_distinct - n) / n < 0.15
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_distinct
+
+    import math
+
+    small = spark.range(0, 100).selectExpr(
+        "'g' AS g", "CAST(id AS STRING) AS v"
+    )
+    est = hll_distinct(small, "g", "v", p=9).collect()[0]
+    # deterministic: estimate must equal m·ln(m/V) exactly
+    expected = round(512.0 * math.log(512.0 / est.zero_regs), 4)
+    assert est.est_distinct == expected
+    assert abs(est.est_distinct - 100) / 100 < 0.15
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    big = spark.range(0, 5_000).selectExpr(
+        "'g' AS g", "CAST(id AS STRING) AS v"
+    )
+    a = hll_sketch(big.filter("id % 2 = 0"), "g", "v", 9)
+    b = hll_sketch(big.filter("id % 3 != 0"), "g", "v", 9)  # overlapping!
+    merged = hll_merge(a, b, "g")
+    union = hll_sketch(
+        big.filter("id % 2 = 0 OR id % 3 != 0"), "g", "v", 9
+    )
+    assert merged.collect()[0].regs == union.collect()[0].regs
+    # and therefore identical estimates
+    assert (
+        hll_estimate(merged, 9).collect()[0].est_distinct
+        == hll_estimate(union, 9).collect()[0].est_distinct
+    )
+
+
+def test_hll_partitioning_invariant(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_sketch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    one = hll_sketch(ev.coalesce(1), "event_type", "user_id", 9)
+    many = hll_sketch(ev.repartition(32), "event_type", "user_id", 9)
+    assert sorted((r.event_type, r.regs) for r in one.collect()) == sorted(
+        (r.event_type, r.regs) for r in many.collect()
+    )
+
+
+def test_hll_empty_input(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_distinct
+
+    empty = spark.createDataFrame([], "g string, v string")
+    assert hll_distinct(empty, "g", "v", 9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch overlap (pipeline/sketch.py kmv_overlap)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_overlap
+
+    a = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(30, 80).selectExpr("CAST(id AS STRING) AS v")
+    r = kmv_overlap(a, b, "v", k=256).collect()[0]
+    # both sets fit the sketch → θ = full space → everything exact
+    assert (r.n_a, r.n_b, r.n_inter) == (50, 50, 20)
+    assert (r.est_a, r.est_b, r.est_intersection) == (50.0, 50.0, 20.0)
+    assert r.est_jaccard == round(20 / 80, 6)
+
+
+def test_kmv_overlap_estimates_above_k(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_overlap
+
+    a = spark.range(0, 10_000).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(5_000, 15_000).selectExpr("CAST(id AS STRING) AS v")
+    r = kmv_overlap(a, b, "v", k=512).collect()[0]
+    # true: |A|=|B|=10k, |A∩B|=5k, J=1/3; k=512 → ~4.4 % std error, 4σ
+    assert abs(r.est_a - 10_000) / 10_000 < 0.2
+    assert abs(r.est_b - 10_000) / 10_000 < 0.2
+    assert abs(r.est_intersection - 5_000) / 5_000 < 0.3
+    assert abs(r.est_jaccard - 1 / 3) < 0.1
+
+
+def test_kmv_overlap_disjoint_and_empty(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_overlap
+
+    a = spark.range(0, 40).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(1_000, 1_040).selectExpr("CAST(id AS STRING) AS v")
+    r = kmv_overlap(a, b, "v", k=64).collect()[0]
+    assert r.n_inter == 0 and r.est_intersection == 0.0
+    empty = spark.createDataFrame([], "v string")
+    r2 = kmv_overlap(a, empty, "v", k=64).collect()[0]
+    assert (r2.n_b, r2.n_inter, r2.est_jaccard) == (0, 0, 0.0)
