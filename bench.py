@@ -159,6 +159,7 @@ _EXTRA_OPS = [
     "ngram_novelty",
     "hll_distinct",
     "kmv_overlap",
+    "line_dedup",
 ]
 
 

@@ -1180,3 +1180,70 @@ def ngram_novelty(
             6,
         ).alias("novelty_frac"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet / RefinedWeb pass:
+    exact duplicate lines — boilerplate, nav chrome, cookie banners —
+    are removed corpus-wide, keeping the FIRST occurrence): a line is
+    kept iff its trimmed+lowercased form is shorter than ``min_chars``
+    (too short to be meaningful boilerplate — blank lines, bullets)
+    OR this (doc, position) is the corpus-first occurrence of that
+    form, ordered by (doc_id, pos).
+
+    → (doc_id, n_lines, n_kept, text_deduped) with surviving lines
+    rejoined in document order.
+
+    Scale shape: exactly TWO shuffles. The exploded (doc, pos, line)
+    stream is shuffled once on a 60-bit md5 line key for the
+    first-occurrence window — short lines get a per-occurrence
+    composite key (md5 of doc:pos:line) instead of sharing one hot
+    key, so a corpus with billions of blank lines has NO skewed window
+    partition and the keep decision never needs a second pass. The
+    rebuild is one groupBy(doc): totals, kept count, and the rejoined
+    text all come from a single collect_list — no join back to the
+    source. The md5 key is the engine-replayable dedup decision (the
+    DuckDB oracle replays key, window, and rebuild verbatim, including
+    any hash collision).
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    lines = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    elig = F.length(norm) >= min_chars
+    key = F.when(elig, kmv_hash(norm)).otherwise(
+        kmv_hash(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string"), norm
+            )
+        )
+    )
+    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
+    flagged = (
+        lines.withColumn("_k", key)
+        .withColumn("_keep", (~elig) | (F.row_number().over(w) == 1))
+        .drop("_k")
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),
+            lambda x: x["_keep"],
+        ),
+        lambda x: x["line"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(kept_lines, "\n").alias("text_deduped"),
+    )

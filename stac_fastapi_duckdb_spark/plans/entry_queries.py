@@ -2364,6 +2364,22 @@ def q_ngram_novelty(spark, sf):
     return ngram_novelty(_t(spark, sf, "documents"))
 
 
+def q_line_dedup(spark, sf):
+    """Corpus-level exact line dedup, keep-first (pipeline/text.py
+    line_dedup — the CCNet / RefinedWeb boilerplate-line pass): a line
+    survives iff it is shorter than 10 trimmed chars or is the
+    corpus-first occurrence of its normalized form. TWO shuffles: the
+    exploded line stream once on the 60-bit md5 line key (short lines
+    get per-occurrence composite keys, so blank lines never form a
+    skewed window partition), then one groupBy(doc) whose single
+    collect_list yields totals, kept count, and the rejoined text —
+    no join back to the source. The oracle replays key, window, and
+    rebuild verbatim."""
+    from stac_fastapi_duckdb_spark.pipeline.text import line_dedup
+
+    return line_dedup(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2509,6 +2525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "hll_distinct": q_hll_distinct,
     "kmv_overlap": q_kmv_overlap,
+    "line_dedup": q_line_dedup,
 }
 
 
@@ -4965,5 +4982,43 @@ UNION ALL
                                / CAST(n_a + n_b - n_inter AS DOUBLE) END, 6)
                    AS est_jaccard
         FROM cnt
+    """,
+    # replay the line-dedup decision exactly: same 60-bit md5 line key
+    # (composite per-occurrence key for sub-10-char lines), same
+    # first-occurrence window ordered (doc_id, pos), same rejoin —
+    # string_agg skips the dropped (NULL) lines; COALESCE matches
+    # Spark's array_join('') on a doc whose every line was dropped
+    "line_dedup": """
+        WITH ls AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(0, len(string_split(text, chr(10))))) AS pos
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, pos, line,
+                   length(lower(trim(line))) >= 10 AS elig,
+                   CAST(CAST('0x' || substr(md5(
+                       CASE WHEN length(lower(trim(line))) >= 10
+                            THEN lower(trim(line))
+                            ELSE CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(pos AS VARCHAR) || ':' ||
+                                 lower(trim(line)) END
+                   ), 18, 15) AS UBIGINT) AS BIGINT) AS k
+            FROM ls
+        ), flagged AS (
+            SELECT doc_id, pos, line,
+                   (NOT elig) OR
+                   row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1
+                       AS keep
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(
+                   string_agg(CASE WHEN keep THEN line END, chr(10)
+                              ORDER BY pos),
+                   '') AS text_deduped
+        FROM flagged GROUP BY doc_id
     """,
 }

@@ -665,3 +665,69 @@ def test_ngram_novelty_hash_matches_string_grams(novelty_docs):
 def test_ngram_novelty_empty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert T.ngram_novelty(empty).count() == 0
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    rows = [
+        (1, "unique first line here\ncommon boilerplate footer line\nx"),
+        (2, "another unique opening\ncommon boilerplate footer line"),
+        (3, "common boilerplate footer line\nlast unique content line"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_keeps_first_occurrence(line_docs):
+    out = {r.doc_id: r for r in T.line_dedup(line_docs).collect()}
+    # doc 1 saw the boilerplate first → keeps it; 2 and 3 lose it
+    assert out[1].text_deduped == (
+        "unique first line here\ncommon boilerplate footer line\nx"
+    )
+    assert out[2].text_deduped == "another unique opening"
+    assert out[3].text_deduped == "last unique content line"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert (out[3].n_lines, out[3].n_kept) == (2, 1)
+
+
+def test_line_dedup_short_lines_always_kept(line_docs):
+    out = {r.doc_id: r for r in T.line_dedup(line_docs).collect()}
+    # the 1-char line "x" in doc 1 and the empty doc-4 line are sub-10
+    # chars → never dedup candidates
+    assert out[4].text_deduped == "" and out[4].n_kept == 1
+
+    spark = line_docs.sparkSession
+    shorts = spark.createDataFrame(
+        [(1, "ok\nok\nok"), (2, "ok")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in T.line_dedup(shorts).collect()}
+    assert got[1].text_deduped == "ok\nok\nok"  # short dups survive
+    assert got[2].text_deduped == "ok"
+
+
+def test_line_dedup_normalization_is_case_and_trim_insensitive(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Common Boilerplate Footer Line"),
+            (2, "  common boilerplate footer line  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.line_dedup(docs).collect()}
+    assert out[1].n_kept == 1  # first occurrence (lowest doc_id) wins
+    assert out[2].n_kept == 0 and out[2].text_deduped == ""
+
+
+def test_line_dedup_fully_deduped_doc_yields_empty_string(spark):
+    docs = spark.createDataFrame(
+        [(1, "only one shared long line"), (2, "only one shared long line")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.line_dedup(docs).collect()}
+    assert out[2].text_deduped == "" and out[2].n_kept == 0
+
+
+def test_line_dedup_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.line_dedup(empty).count() == 0
