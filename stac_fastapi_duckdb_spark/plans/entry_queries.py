@@ -1308,8 +1308,23 @@ def q_stats_agg(spark, sf):
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         # + 0.0 pins IEEE zero sign: a corr/covar in (-5e-7, 0) would
-        # round to -0.0 and format differently across engines
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("corr_qp"),
+        # round to -0.0 and format differently across engines.
+        # corr as try_divide(covar, sd·sd) rather than F.corr: under
+        # ANSI mode F.corr THROWS on a zero-variance group where
+        # DuckDB's corr returns NULL (differential-fuzz finding); the
+        # composition is the same single-pass moments with a
+        # NULL-on-zero-denominator division
+        (
+            F.round(
+                F.try_divide(
+                    F.covar_samp("l_quantity", "l_extendedprice"),
+                    F.stddev_samp("l_quantity")
+                    * F.stddev_samp("l_extendedprice"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("corr_qp"),
         (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias("cov_qp"),
     )
 

@@ -40,6 +40,10 @@ FUZZED_QUERIES = [
     "weighted_sample",
     "edit_distance_pairs",
     "snapshot_diff",
+    # first-occurrence semantics (corpus-order sensitive) must replay
+    # on heavy-duplication / empty / whitespace-only corpora
+    "ngram_novelty",
+    "line_dedup",
 ]
 
 word = st.sampled_from(
@@ -51,6 +55,13 @@ text = st.one_of(
     st.lists(word, min_size=1, max_size=30).map(" ".join),
     # whitespace-run variant: tabs/newlines between tokens
     st.lists(word, min_size=1, max_size=10).map("\t ".join),
+    # multi-line variant: exercises line-granular operators
+    # (line_dedup) and \n-in-token handling everywhere else
+    st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ).map("\n".join),
 )
 corpus = st.lists(text, min_size=1, max_size=12)
 
@@ -129,6 +140,11 @@ EVENTS_QUERIES = [
     "gap_fill",
     "sampled_quantiles",
     "trend_fit",
+    # deterministic sketches over (event_type, user_id): register /
+    # θ replay must hold on any cardinality mix, incl. an absent
+    # 'click' or 'purchase' side (empty sketch, θ = full space)
+    "hll_distinct",
+    "kmv_overlap",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
