@@ -2248,6 +2248,26 @@ def q_streaming_dedup(spark, sf):
     return P_stream.run_to_memory(out, spark, output_mode="append")
 
 
+def q_streaming_hll(spark, sf):
+    """Continuously-maintained HLL register store
+    (streaming/sketches.py): file-source stream → per-micro-batch
+    bounded sketch merged into a standing store by element-wise max
+    (foreachBatch, atomic dir swap), estimate over the final store.
+    Max-merge is associative, commutative AND idempotent, so the
+    streamed registers are BIT-IDENTICAL to the batch sketch whatever
+    the micro-batch boundaries — the oracle is the same batch replay as
+    ``hll_distinct``, holding a genuinely streaming pipeline to the
+    value-level gate. State is 512 ints per group forever (vs
+    identity-set state that grows with cardinality)."""
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        streaming_hll_distinct,
+    )
+
+    return streaming_hll_distinct(
+        spark, f"{sf}/events.parquet", "event_type", "user_id", p=9
+    )
+
+
 def q_kcenter_select(spark, sf):
     """Greedy k-center coreset selection over embeddings
     (pipeline/select.py): k=5 farthest-point rounds, each ONE map-only
@@ -2541,6 +2561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "kmv_overlap": q_kmv_overlap,
     "line_dedup": q_line_dedup,
+    "streaming_hll": q_streaming_hll,
 }
 
 
@@ -5037,3 +5058,8 @@ UNION ALL
         FROM flagged GROUP BY doc_id
     """,
 }
+
+# the streamed register store is bit-identical to the batch sketch
+# (max-merge is associative/commutative/idempotent), so the streaming
+# query shares the batch replay verbatim
+ORACLE_SQL["streaming_hll"] = ORACLE_SQL["hll_distinct"]

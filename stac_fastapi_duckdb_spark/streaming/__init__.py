@@ -17,3 +17,7 @@ from stac_fastapi_duckdb_spark.streaming.dedup_ingest import (  # noqa: F401
     admit_batch,
     run_dedup_ingest,
 )
+from stac_fastapi_duckdb_spark.streaming.sketches import (  # noqa: F401
+    merge_sketch_batch,
+    streaming_hll_distinct,
+)

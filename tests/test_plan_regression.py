@@ -35,6 +35,7 @@ SKIP = {
     "stream_enrich",
     "streaming_dedup",
     "streaming_topk",
+    "streaming_hll",
 }
 
 _MARKERS = {

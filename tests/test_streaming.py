@@ -510,3 +510,124 @@ def test_trending_topk_matches_batch_rank(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     per_window = got.groupBy("window_start").count().collect()
     assert all(r["count"] <= 3 for r in per_window)
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL register store (streaming/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _multi_file_events(spark, tmp_path, n_files=4, users_per_file=30):
+    """n_files parquet files in one landing dir → n micro-batches at
+    maxFilesPerTrigger=1."""
+    land = str(tmp_path / "hll_land")
+    for f in range(n_files):
+        rows = [
+            _mk(
+                f * 60 + u,
+                user=f * users_per_file + u,
+                etype="click" if u % 2 == 0 else "view",
+                eid=f * 1000 + u,
+            )
+            for u in range(users_per_file)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_utc timestamp, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.unix_micros("ts_utc") * 1000).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.mode("append").parquet(land)
+    return land
+
+
+def test_streaming_hll_registers_bit_identical_to_batch(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_sketch
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        streaming_hll_distinct,
+    )
+
+    land = _multi_file_events(spark, tmp_path)
+    store = str(tmp_path / "store" / "registers")
+    ckpt = str(tmp_path / "ckpt")
+    est = streaming_hll_distinct(
+        spark,
+        land,
+        "event_type",
+        "user_id",
+        p=9,
+        store_dir=store,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,  # force one micro-batch per file
+    )
+    # the store's registers must equal the batch sketch bit-for-bit
+    batch = hll_sketch(
+        spark.read.parquet(land), "event_type", "user_id", 9
+    )
+    got = {r.event_type: r.regs for r in spark.read.parquet(store).collect()}
+    want = {r.event_type: r.regs for r in batch.collect()}
+    assert got == want
+    # ... and the estimate is within HLL error of the truth (60 users/type)
+    for r in est.collect():
+        assert abs(r.est_distinct - 60) / 60 < 0.2
+
+
+def test_streaming_hll_resume_is_noop_then_incremental(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import hll_sketch
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        streaming_hll_distinct,
+    )
+
+    land = _multi_file_events(spark, tmp_path, n_files=2)
+    store = str(tmp_path / "store2" / "registers")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run():
+        return streaming_hll_distinct(
+            spark, land, "event_type", "user_id", p=9,
+            store_dir=store, checkpoint_dir=ckpt,
+        )
+
+    run()
+    regs1 = sorted(
+        (r.event_type, r.regs) for r in spark.read.parquet(store).collect()
+    )
+    # resume with no new files: checkpoint says all consumed → no change
+    run()
+    regs2 = sorted(
+        (r.event_type, r.regs) for r in spark.read.parquet(store).collect()
+    )
+    assert regs1 == regs2
+    # a new file arrives → only it is read, store advances to full batch
+    extra = [
+        _mk(500 + u, user=10_000 + u, etype="purchase", eid=90_000 + u)
+        for u in range(20)
+    ]
+    df = spark.createDataFrame(
+        extra,
+        "event_id long, ts_utc timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.unix_micros("ts_utc") * 1000).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("append").parquet(land)
+    run()
+    got = sorted(
+        (r.event_type, r.regs) for r in spark.read.parquet(store).collect()
+    )
+    want = sorted(
+        (r.event_type, r.regs)
+        for r in hll_sketch(
+            spark.read.parquet(land), "event_type", "user_id", 9
+        ).collect()
+    )
+    assert got == want

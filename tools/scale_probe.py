@@ -58,6 +58,12 @@ PROBES = [
     "pagerank_transitions",
     "cms_counts",
     "jl_projection",
+    # round-6 additions: first-occurrence novelty (hash-shuffled min),
+    # bounded-register HLL, 1×1 theta combine, two-shuffle line dedup
+    "ngram_novelty",
+    "hll_distinct",
+    "kmv_overlap",
+    "line_dedup",
 ]
 
 
