@@ -160,6 +160,7 @@ _EXTRA_OPS = [
     "hll_distinct",
     "kmv_overlap",
     "line_dedup",
+    "decontaminate",
 ]
 
 

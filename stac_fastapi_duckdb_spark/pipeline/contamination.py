@@ -157,3 +157,59 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "split_a", "id_b", "split_b", "jaccard")
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    window_tokens: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """GPT-3-style decontamination (Brown et al. 2020, Appendix C):
+    REMOVE from every training document each ``window_tokens``-token
+    run that also appears verbatim in a benchmark/eval item, merging
+    overlapping hits into maximal removal intervals and rebuilding the
+    text — the cleaning consumer of ``contamination_overlap`` (which
+    only *reports* contaminated pairs).
+
+    → (doc_id, clean_text, n_tokens, n_removed); every input document
+    appears (nothing-to-remove docs pass through, n_removed = 0).
+    Benchmark items shorter than ``window_tokens`` tokens contribute no
+    fingerprints (the published procedure's lower bound — a 13-gram is
+    long enough that verbatim overlap is evidence, shorter matches are
+    noise).
+
+    Scale shape (the asymmetry is the point, as in
+    ``contamination_overlap``): the benchmark fingerprint set is tiny
+    and DISTINCT — it is broadcast, and the corpus window stream joins
+    it map-side (left semi), so the 100 TB corpus is never shuffled to
+    find hits. Only the matched positions (a vanishing fraction) enter
+    the per-doc interval merge, and the rebuild is the shared one-join
+    JVM token filter (``dedup.rebuild_without_spans``). Window
+    fingerprints are 16-hex md5 — deterministic and engine-replayable,
+    so the DuckDB oracle replays hits, intervals, and rebuilt text
+    verbatim.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        rebuild_without_spans,
+        window_fp_stream,
+    )
+
+    k = window_tokens
+    btc = bench_text_col or text_col
+    bench_id = next(c for c in bench.columns if c != btc)
+    bench_fps = (
+        window_fp_stream(bench, k, btc, bench_id)
+        .select("fp")
+        .distinct()
+    )
+    marked = (
+        window_fp_stream(docs, k, text_col, id_col)
+        .join(F.broadcast(bench_fps), "fp", "left_semi")
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    return rebuild_without_spans(docs, marked, k, text_col, id_col)

@@ -861,19 +861,7 @@ def remove_duplicate_spans(
     from pyspark.sql.window import Window
 
     k = window_tokens
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
-        ),
-    )
-    ex = (
-        ensure_parallelism(df)
-        .filter(n >= k)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp"))
-    )
+    ex = window_fp_stream(df, k, text_col, id_col)
     wfp = Window.partitionBy("fp")
     marked = (
         ex.withColumn(
@@ -884,6 +872,47 @@ def remove_duplicate_spans(
         .select("doc_id", "pos")
         .distinct()
     )
+    return rebuild_without_spans(df, marked, k, text_col, id_col)
+
+
+def window_fp_stream(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, fp) stream of 16-hex md5 fingerprints over every
+    k-token window (docs shorter than k contribute nothing) — the
+    shared front end of span-level dedup and decontamination."""
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
+        ),
+    )
+    return (
+        ensure_parallelism(df)
+        .filter(n >= k)
+        .select(
+            F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp")
+        )
+    )
+
+
+def rebuild_without_spans(
+    df: DataFrame,
+    marked: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shared back end of span removal: merge marked window positions
+    (doc_id, pos) into maximal [lo, hi] token intervals
+    (gaps-and-islands over only the marked positions — a tiny fraction
+    of the corpus), then ONE left join of the corpus against the
+    per-doc interval arrays and a map-side JVM token rebuild.
+    → (doc_id, clean_text, n_tokens, n_removed)."""
+    from pyspark.sql.window import Window
+
     ws = Window.partitionBy("doc_id").orderBy("pos")
     run = ws.rowsBetween(Window.unboundedPreceding, 0)
     intervals = (

@@ -1392,6 +1392,27 @@ def q_contamination(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """GPT-3-style benchmark decontamination
+    (pipeline/contamination.py decontaminate_spans): every 8-token run
+    shared with a benchmark item (every 23rd doc) is cut from the
+    corpus text, overlapping hits merged into maximal intervals,
+    documents rebuilt. The tiny DISTINCT benchmark fingerprint set is
+    broadcast and the corpus window stream joins it map-side (left
+    semi) — the corpus is never shuffled to find hits; only matched
+    positions enter the interval merge. Oracle replays fingerprints,
+    semi join, islands, and the token rebuild."""
+    from stac_fastapi_duckdb_spark.pipeline.contamination import (
+        decontaminate_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate_spans(docs, bench, window_tokens=8)
+
+
 def q_funnel(spark, sf):
     """Ordered view→click→purchase funnel (operators/analytics.py):
     scan-pushed step filter → one per-user shuffle → JVM fold over the
@@ -2562,6 +2583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_overlap": q_kmv_overlap,
     "line_dedup": q_line_dedup,
     "streaming_hll": q_streaming_hll,
+    "decontaminate": q_decontaminate,
 }
 
 
@@ -5063,3 +5085,69 @@ UNION ALL
 # (max-merge is associative/commutative/idempotent), so the streaming
 # query shares the batch replay verbatim
 ORACLE_SQL["streaming_hll"] = ORACLE_SQL["hll_distinct"]
+
+# same fingerprints, bench semi join, islands, and token rebuild as
+# pipeline.contamination.decontaminate_spans (k=8, bench = doc_id%23)
+ORACLE_SQL["decontaminate"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ), bw AS (
+        SELECT unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        FROM t WHERE doc_id % 23 = 0 AND len(toks) >= 8
+    ), bfp AS (
+        SELECT DISTINCT
+               substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS fp
+        FROM bw
+    ), w AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(toks) - 7)) AS i, toks
+        FROM t WHERE len(toks) >= 8
+    ), fps AS (
+        SELECT doc_id, i - 1 AS pos,
+               substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS fp
+        FROM w
+    ), marked AS (
+        SELECT DISTINCT f.doc_id, f.pos FROM fps f JOIN bfp USING (fp)
+    ), mk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos, 1, -9) OVER
+                            (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS nw
+        FROM marked
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS isl
+        FROM mk
+    ), iv AS (
+        SELECT doc_id, min(pos) AS lo, max(pos) + 8 - 1 AS hi
+        FROM isl GROUP BY doc_id, isl
+    ), tok AS (
+        SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
+               toks
+        FROM t
+    ), tk AS (
+        SELECT doc_id, p, toks[p + 1] AS tk FROM tok
+    ), rm AS (
+        SELECT DISTINCT k.doc_id, k.p
+        FROM tk k JOIN iv ON k.doc_id = iv.doc_id
+                        AND k.p BETWEEN iv.lo AND iv.hi
+    ), kept AS (
+        SELECT tk.doc_id,
+               coalesce(string_agg(tk.tk, ' ' ORDER BY tk.p), '')
+                   AS clean_text
+        FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p
+        WHERE rm.p IS NULL
+        GROUP BY tk.doc_id
+    ), rmn AS (
+        SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+           LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+"""

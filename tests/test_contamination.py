@@ -117,3 +117,92 @@ def test_split_leakage_flags_cross_split_near_dups(spark):
     assert (lo2, hi2) not in flagged
     for r in rows:
         assert r.split_a != r.split_b
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_spans (GPT-3-style span removal)
+# ---------------------------------------------------------------------------
+
+
+def _dc(spark, docs_rows, bench_rows, k=4):
+    from stac_fastapi_duckdb_spark.pipeline.contamination import (
+        decontaminate_spans,
+    )
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    return {
+        r.doc_id: r
+        for r in decontaminate_spans(docs, bench, window_tokens=k).collect()
+    }
+
+
+def test_decontaminate_removes_benchmark_span(spark):
+    out = _dc(
+        spark,
+        [(1, "intro words here then the secret eval answer text ends now")],
+        [(100, "the secret eval answer text")],
+        k=5,
+    )
+    assert out[1].clean_text == "intro words here then ends now"
+    assert out[1].n_removed == 5 and out[1].n_tokens == 11
+
+
+def test_decontaminate_merges_overlapping_hits(spark):
+    # two overlapping bench 4-gram hits merge into one interval
+    out = _dc(
+        spark,
+        [(1, "a b c d e f g h i")],
+        [(100, "c d e f"), (101, "d e f g")],
+        k=4,
+    )
+    assert out[1].clean_text == "a b h i"
+    assert out[1].n_removed == 5
+
+
+def test_decontaminate_untouched_docs_pass_through(spark):
+    out = _dc(
+        spark,
+        [(1, "completely clean document text"), (2, "more clean words")],
+        [(100, "benchmark only content never matching")],
+        k=4,
+    )
+    assert out[1].n_removed == 0
+    assert out[1].clean_text == "completely clean document text"
+    assert out[2].n_removed == 0
+
+
+def test_decontaminate_short_bench_items_ignored(spark):
+    # bench item shorter than the window contributes no fingerprints
+    out = _dc(
+        spark,
+        [(1, "a b c d e")],
+        [(100, "a b")],
+        k=4,
+    )
+    assert out[1].n_removed == 0
+
+
+def test_decontaminate_whole_doc_removed(spark):
+    out = _dc(
+        spark,
+        [(1, "exact benchmark item text"), (2, "unrelated words entirely here")],
+        [(100, "exact benchmark item text")],
+        k=4,
+    )
+    assert out[1].clean_text == "" and out[1].n_removed == 4
+    assert out[2].n_removed == 0
+
+
+def test_decontaminate_empty_inputs(spark):
+    from stac_fastapi_duckdb_spark.pipeline.contamination import (
+        decontaminate_spans,
+    )
+
+    docs = spark.createDataFrame([(1, "some doc words")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "bench_id long, text string")
+    out = decontaminate_spans(docs, empty, window_tokens=3).collect()
+    assert out[0].n_removed == 0
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    bench = spark.createDataFrame([(1, "a b c")], "bench_id long, text string")
+    assert decontaminate_spans(no_docs, bench, window_tokens=3).count() == 0

@@ -44,6 +44,7 @@ FUZZED_QUERIES = [
     # on heavy-duplication / empty / whitespace-only corpora
     "ngram_novelty",
     "line_dedup",
+    "decontaminate",
 ]
 
 word = st.sampled_from(

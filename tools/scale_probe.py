@@ -64,6 +64,7 @@ PROBES = [
     "hll_distinct",
     "kmv_overlap",
     "line_dedup",
+    "decontaminate",
 ]
 
 
