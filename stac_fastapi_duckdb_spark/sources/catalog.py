@@ -35,6 +35,33 @@ from stac_fastapi_duckdb_spark.errors import NotFoundError
 
 COLLECTION_COL = "collection"
 
+# item-table source formats by extension; anything else is parquet
+_FORMAT_EXTS = (
+    (".csv", "csv"),
+    (".csv.gz", "csv"),
+    (".json", "json"),
+    (".jsonl", "json"),
+    (".ndjson", "json"),
+    (".json.gz", "json"),
+)
+
+
+def _detect_format(urls: list[str]) -> str:
+    """Extension-sniffed source format; a collection must be uniform
+    (one format across its file list)."""
+    fmts = set()
+    for u in urls:
+        base = u.lower().split("?", 1)[0].rstrip("/")
+        for ext, fmt in _FORMAT_EXTS:
+            if base.endswith(ext):
+                fmts.add(fmt)
+                break
+        else:
+            fmts.add("parquet")
+    if len(fmts) > 1:
+        raise ValueError(f"collection URL list mixes formats {fmts}: {urls}")
+    return fmts.pop()
+
 _HTTP_CACHE_DIR = os.environ.get(
     "SPARK_GRAFT_HTTP_CACHE", "/tmp/spark_graft_http_cache"
 )
@@ -144,18 +171,50 @@ class CollectionCatalog:
         n_http = sum(u.startswith(("http://", "https://")) for u in urls)
         if n_http == 0:
             # native reader: local / file:// / s3a:// / hdfs:// paths,
-            # single or multi-path. Multi-file collections evolve
-            # (new proj:*/properties columns appear in newer files);
+            # single or multi-path. Format by extension — the reference
+            # is parquet-only (DuckDB read_parquet, config.py:112-121);
+            # csv/ndjson item tables are a Spark-side extension for
+            # catalogs that land raw exports before compaction.
+            fmt = _detect_format(urls)
+            reader = self.spark.read
+            if fmt == "csv":
+                # inferSchema is a convenience for small/landing tables
+                # — it costs an extra pass, so production collections
+                # should be compacted to parquet (sources/writer.py)
+                return reader.options(
+                    header=True, inferSchema=True, multiLine=False
+                ).csv(*urls)
+            if fmt == "json":
+                # NDJSON (one item per line); the json reader unions
+                # schemas across files natively
+                return reader.json(*urls)
+            # Multi-file parquet collections evolve (new
+            # proj:*/properties columns appear in newer files);
             # mergeSchema unions the footers so late-added columns
             # surface as nulls in old files instead of being silently
             # dropped by the sampled-file schema.
-            reader = self.spark.read
             if len(urls) > 1:
                 reader = reader.option("mergeSchema", "true")
             return reader.parquet(*urls)
         if n_http != len(urls):
             raise ValueError(
                 f"collection URL list mixes http(s) and native paths: {urls}"
+            )
+        # http(s) collections are parquet-only (ranged reads need footer
+        # metadata) — except *manifest.json, the object-store listing
+        # analog the http source expands itself
+        from stac_fastapi_duckdb_spark.sources.http_parquet import (
+            is_manifest_url,
+        )
+
+        bad = [
+            u
+            for u in urls
+            if _detect_format([u]) != "parquet" and not is_manifest_url(u)
+        ]
+        if bad:
+            raise ValueError(
+                f"http(s) collections are parquet-only (or *manifest.json): {bad}"
             )
         from stac_fastapi_duckdb_spark.sources import http_parquet as hp
 
