@@ -63,6 +63,7 @@ CONFORMANCE_CLASSES = [
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
     "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
     "http://www.opengis.net/spec/cql2/1.0/conf/basic-cql2",
+    "https://api.stacspec.org/v0.3.0/aggregation",
     "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
 ]
 
@@ -368,6 +369,79 @@ def create_app(
                 _serialize_items(items), matched, next_token, request.url
             )
         )
+
+    # ------------------------------------------------------------------
+    # Aggregation extension (stac-api-extensions/aggregation — absent
+    # from the reference; its users page + count client-side)
+    # ------------------------------------------------------------------
+    @app.get("/aggregations")
+    def aggregations_root() -> Response:
+        from stac_fastapi_duckdb_spark.operators.aggregate import (
+            list_aggregations,
+        )
+
+        return jsonify(list_aggregations())
+
+    @app.get("/collections/<cid>/aggregations")
+    def aggregations_collection(cid: str) -> Response:
+        from stac_fastapi_duckdb_spark.operators.aggregate import (
+            list_aggregations,
+        )
+
+        catalog.items_df(cid)  # 404 on unknown collection
+        return jsonify(list_aggregations())
+
+    def _run_aggregate(params: dict) -> Response:
+        from stac_fastapi_duckdb_spark.operators.aggregate import (
+            aggregate_search,
+        )
+
+        flt = params.get("filter")
+        if isinstance(flt, str):
+            from stac_fastapi_duckdb_spark.operators.cql2_text import (
+                parse_cql2_text,
+            )
+
+            flt = parse_cql2_text(flt)
+        return jsonify(
+            aggregate_search(
+                catalog,
+                aggregations=params.get("aggregations"),
+                collection_ids=params.get("collections"),
+                item_ids=params.get("ids"),
+                bbox=params.get("bbox"),
+                intersects=params.get("intersects"),
+                datetime_interval=params.get("datetime"),
+                cql2_filter=flt,
+                query=params.get("query"),
+                frequency_interval=params.get(
+                    "frequency_interval", "month"
+                ),
+            )
+        )
+
+    @app.get("/aggregate")
+    def aggregate_get() -> Response:
+        return _run_aggregate(
+            {
+                "aggregations": _parse_csv(request.args.get("aggregations")),
+                "collections": _parse_csv(request.args.get("collections")),
+                "ids": _parse_csv(request.args.get("ids")),
+                "bbox": _parse_bbox(request.args.get("bbox")),
+                "datetime": request.args.get("datetime"),
+                "filter": request.args.get("filter"),
+                "frequency_interval": request.args.get(
+                    "frequency_interval", "month"
+                ),
+            }
+        )
+
+    @app.post("/aggregate")
+    def aggregate_post() -> Response:
+        body = request.get_json(silent=True)
+        if not isinstance(body, dict):
+            raise InvalidQueryError("Aggregate body must be a JSON object")
+        return _run_aggregate(body)
 
     # ------------------------------------------------------------------
     # queryables (Filter extension — reference filter_client.py:15-58)

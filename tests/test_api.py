@@ -342,3 +342,74 @@ def test_post_search_invalid_body(client):
     assert (
         client.post("/search", json={"bbox": "0,0,1,1"}).status_code in (400, 422)
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extension (beyond-reference; stac-api-extensions/aggregation)
+# ---------------------------------------------------------------------------
+
+
+def test_aggregations_discovery(client):
+    resp = client.get("/aggregations")
+    assert resp.status_code == 200
+    names = {a["name"] for a in resp.get_json()["aggregations"]}
+    assert {"total_count", "datetime_frequency", "collection_frequency"} <= names
+    assert client.get("/collections/col-a/aggregations").status_code == 200
+    assert client.get("/collections/nope/aggregations").status_code == 404
+
+
+def test_aggregate_default_set(client):
+    resp = client.get("/aggregate?collections=col-a")
+    assert resp.status_code == 200
+    aggs = {a["name"]: a for a in resp.get_json()["aggregations"]}
+    assert aggs["total_count"]["value"] == 20
+    assert aggs["datetime_min"]["value"] <= aggs["datetime_max"]["value"]
+    cf = aggs["collection_frequency"]["buckets"]
+    assert cf == [{"key": "col-a", "frequency": 20}]
+    df_buckets = aggs["datetime_frequency"]["buckets"]
+    assert sum(b["frequency"] for b in df_buckets) == 20
+
+
+def test_aggregate_respects_search_filters(client):
+    resp = client.get(
+        f"/aggregate?collections=col-a&bbox={HIT_BBOX}"
+        "&aggregations=total_count"
+    )
+    assert resp.status_code == 200
+    aggs = resp.get_json()["aggregations"]
+    assert aggs == [
+        {"name": "total_count", "data_type": "integer", "value": 10}
+    ]
+
+
+def test_aggregate_post_terms_frequency(client):
+    resp = client.post(
+        "/aggregate",
+        json={
+            "collections": ["col-a"],
+            "aggregations": ["id_frequency", "total_count"],
+        },
+    )
+    assert resp.status_code == 200
+    aggs = {a["name"]: a for a in resp.get_json()["aggregations"]}
+    assert aggs["total_count"]["value"] == 20
+    assert len(aggs["id_frequency"]["buckets"]) == 20
+    assert all(b["frequency"] == 1 for b in aggs["id_frequency"]["buckets"])
+
+
+def test_aggregate_unknown_aggregation_400(client):
+    resp = client.get("/aggregate?aggregations=bogus_metric")
+    assert resp.status_code == 400
+    resp = client.get("/aggregate?aggregations=nosuchfield_frequency")
+    assert resp.status_code == 400
+    resp = client.post("/aggregate", json={"frequency_interval": "decade"})
+    assert resp.status_code == 400
+
+
+def test_aggregate_with_cql2_text_filter(client):
+    resp = client.get(
+        "/aggregate?collections=col-a&aggregations=total_count"
+        "&filter=id = 'item-a-003'"
+    )
+    assert resp.status_code == 200
+    assert resp.get_json()["aggregations"][0]["value"] == 1
