@@ -161,6 +161,7 @@ _EXTRA_OPS = [
     "kmv_overlap",
     "line_dedup",
     "decontaminate",
+    "hash_embed",
 ]
 
 

@@ -1247,3 +1247,86 @@ def line_dedup(
         F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_kept"),
         F.array_join(kept_lines, "\n").alias("text_deduped"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: str = "he-v1",
+) -> DataFrame:
+    """Feature-hashing text vectorizer — "the hashing trick"
+    (Weinberger et al., ICML 2009; the Vowpal Wabbit representation):
+    every token adds ±1 (sign from a second hash) to bucket
+    ``md5(token) mod dim``; the result is L2-normalized. No vocabulary
+    artifact, no fitting pass, collision bias cancelled in expectation
+    by the sign hash — the zero-infrastructure text vector that feeds
+    the ANN / clustering / dedup stack (``pipeline/similarity.py``)
+    when no model embedding exists.
+
+    → (doc_id, vec: array<double> length ``dim``, L2-normalized;
+    all-zero for a doc whose buckets cancel exactly).
+
+    Scale shape: ONE partially-aggregated shuffle of (doc, bucket, ±1)
+    — the map-side combine collapses each doc's token stream to ≤ dim
+    cells before the exchange — then a doc-sized densification (same
+    map→dense-array pattern as ``sketch.hll_sketch``). The norm is a
+    sum of squares of INTEGER counts (exact int64), so normalization
+    is one deterministic double division per dim and the vectors
+    replay bit-for-bit in any engine with md5.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("_t"),
+    )
+    md = F.md5(F.concat_ws(":", F.lit(seed), F.col("_t")))
+    h1 = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+    cells = ex.select(
+        "doc_id",
+        F.pmod(h1, F.lit(dim)).cast("int").alias("_b"),
+        F.when(F.pmod(h2, F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_s"),
+    )
+    raw = (
+        cells.groupBy("doc_id", "_b")
+        .agg(F.sum("_s").cast("long").alias("_v"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias(
+                "_m"
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("_raw"),
+        )
+    )
+    # exact-integer sum of squares → one sqrt, one division per dim
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("_raw"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).cast("double")
+    )
+    return raw.select(
+        "doc_id",
+        F.transform(
+            F.col("_raw"),
+            lambda x: F.when(norm > 0, F.round(x.cast("double") / norm, 6))
+            .otherwise(F.lit(0.0)),
+        ).alias("vec"),
+    )

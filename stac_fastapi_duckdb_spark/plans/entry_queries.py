@@ -2420,6 +2420,23 @@ def q_ngram_novelty(spark, sf):
     return ngram_novelty(_t(spark, sf, "documents"))
 
 
+def q_hash_embed(spark, sf):
+    """Feature-hashing text vectorizer (pipeline/text.py hash_embed,
+    the Weinberger et al. 2009 hashing trick): token → ±1 into
+    md5-bucket mod 32, L2-normalized — the zero-vocabulary text vector
+    feeding the ANN/clustering stack when no model embedding exists.
+    ONE partial-agged shuffle of (doc, bucket, ±1); the norm is an
+    exact int64 sum of squares so every value replays bit-for-bit.
+    Long-form (doc_id, pos, val) output for the value gate (same
+    convention as jl_projection)."""
+    from stac_fastapi_duckdb_spark.pipeline.text import hash_embed
+
+    v = hash_embed(_t(spark, sf, "documents"), dim=32)
+    return v.select(
+        "doc_id", F.posexplode("vec").alias("pos", "val")
+    )
+
+
 def q_line_dedup(spark, sf):
     """Corpus-level exact line dedup, keep-first (pipeline/text.py
     line_dedup — the CCNet / RefinedWeb boilerplate-line pass): a line
@@ -2584,6 +2601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "streaming_hll": q_streaming_hll,
     "decontaminate": q_decontaminate,
+    "hash_embed": q_hash_embed,
 }
 
 
@@ -5150,4 +5168,39 @@ ORACLE_SQL["decontaminate"] = r"""
            CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
     FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
            LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+"""
+
+# same md5 bucket/sign hashes, integer raw counts, exact-int norm, and
+# per-dim rounded division as pipeline.text.hash_embed (dim=32)
+ORACLE_SQL["hash_embed"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        FROM documents
+    ), cell AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('he-v1:' || tk), 1, 8)
+                    AS UBIGINT) AS BIGINT) % 32 AS b,
+               CASE WHEN CAST(CAST('0x' || substr(md5('he-v1:' || tk), 9, 8)
+                              AS UBIGINT) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM t
+    ), raw AS (
+        SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+        FROM cell GROUP BY 1, 2
+    ), nrm AS (
+        SELECT doc_id, sqrt(CAST(SUM(v * v) AS DOUBLE)) AS nm
+        FROM raw GROUP BY 1
+    ), dims AS (
+        SELECT doc_id, unnest(range(0, 32)) AS b
+        FROM (SELECT DISTINCT doc_id FROM documents)
+    )
+    SELECT d.doc_id,
+           CAST(d.b AS INT) AS pos,
+           ROUND(CASE WHEN nm > 0
+                      THEN CAST(COALESCE(raw.v, 0) AS DOUBLE) / nm
+                      ELSE 0.0 END, 6) AS val
+    FROM dims d
+    LEFT JOIN raw ON d.doc_id = raw.doc_id AND d.b = raw.b
+    JOIN nrm ON d.doc_id = nrm.doc_id
 """

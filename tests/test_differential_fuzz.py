@@ -45,6 +45,7 @@ FUZZED_QUERIES = [
     "ngram_novelty",
     "line_dedup",
     "decontaminate",
+    "hash_embed",
 ]
 
 word = st.sampled_from(

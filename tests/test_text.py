@@ -731,3 +731,49 @@ def test_line_dedup_fully_deduped_doc_yields_empty_string(spark):
 def test_line_dedup_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert T.line_dedup(empty).count() == 0
+
+
+def test_hash_embed_unit_norm_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "alpha beta gamma alpha")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.vec for r in T.hash_embed(docs, dim=16).collect()}
+    import math
+
+    for v in out.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-4
+    # identical text → identical vector (pure function of content)
+    assert out[1] == out[3]
+    # different text → different vector
+    assert out[1] != out[2]
+
+
+def test_hash_embed_partitioning_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.vec for r in T.hash_embed(docs.coalesce(1), dim=32).collect()}
+    b = {r.doc_id: r.vec for r in T.hash_embed(docs.repartition(16), dim=32).collect()}
+    assert a == b
+
+
+def test_hash_embed_cosine_reflects_token_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely unrelated vocabulary about spaceships and quasars"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.vec for r in T.hash_embed(docs, dim=64).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(out[1], out[2]) > cos(out[1], out[3])
+
+
+def test_hash_embed_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.hash_embed(empty).count() == 0

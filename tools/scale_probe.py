@@ -65,6 +65,7 @@ PROBES = [
     "kmv_overlap",
     "line_dedup",
     "decontaminate",
+    "hash_embed",
 ]
 
 
