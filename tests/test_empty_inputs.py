@@ -171,3 +171,44 @@ def test_ids_sketch_and_sampling_additions_on_empty(empty_docs, empty_events):
         empty_events, "value", [0.5], key_col="event_id"
     ).collect()[0]
     assert row["n_sample"] == 0 and row["q50"] is None
+
+
+def test_round6_ops_on_empty(empty_docs, empty_events, spark):
+    from stac_fastapi_duckdb_spark.pipeline.contamination import (
+        decontaminate_spans,
+    )
+    from stac_fastapi_duckdb_spark.pipeline.sketch import (
+        hll_distinct,
+        kmv_overlap,
+    )
+    from stac_fastapi_duckdb_spark.pipeline.text import hash_embed, line_dedup
+
+    assert hll_distinct(empty_events, "event_type", "user_id").count() == 0
+    # both-empty overlap: one row, everything zero, jaccard 0.0
+    r = kmv_overlap(
+        empty_events.select("user_id"), empty_events.select("user_id"), "user_id"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter, r.est_jaccard) == (0, 0, 0, 0.0)
+    assert line_dedup(empty_docs).count() == 0
+    assert hash_embed(empty_docs).count() == 0
+    bench = spark.createDataFrame(
+        [(1, "a b c d")], "bench_id long, text string"
+    )
+    assert decontaminate_spans(empty_docs, bench, window_tokens=3).count() == 0
+
+
+def test_pq_codebooks_sample_smaller_than_ks(spark):
+    """Fewer sampled rows than ks must still yield a full (m, ks, dsub)
+    codebook (centroids tiled), not a broadcast ValueError."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import (
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").limit(5)
+    )  # 5 rows < ks=16
+    books = train_pq_codebooks(emb, dim=64, m=8, ks=16, sample_size=5)
+    assert books.shape == (8, 16, 8)
+    assert np.isfinite(books).all()

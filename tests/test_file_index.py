@@ -136,3 +136,38 @@ def test_index_roundtrip_json(tmp_path, sorted_layout):
     assert prune_files(loaded, "o_orderkey", 100) == prune_files(
         idx, "o_orderkey", 100
     )
+
+
+def test_reregister_invalidates_df_cache_and_manifest(spark, tmp_path_factory):
+    """catalog.register() must drop BOTH the cached DataFrame and the
+    file-skipping manifest: a stale manifest holds absolute paths into
+    the OLD dataset, so point lookups would read old files or
+    incorrectly 404 after a collection is repointed."""
+    import pytest as _pytest
+
+    from stac_fastapi_duckdb_spark.errors import NotFoundError
+    from stac_fastapi_duckdb_spark.operators.search import get_one_item
+    from stac_fastapi_duckdb_spark.sources.catalog import CollectionCatalog
+
+    base = tmp_path_factory.mktemp("rereg")
+
+    def write_items(name, ids):
+        p = str(base / name)
+        spark.createDataFrame(
+            [(i, f"g-{i}") for i in ids], "id string, geometry string"
+        ).repartitionByRange(2, "id").sortWithinPartitions("id").write.parquet(p)
+        return p
+
+    v1 = write_items("v1", ["a-1", "a-2", "a-3", "a-4"])
+    v2 = write_items("v2", ["b-1", "b-2", "b-3", "b-4"])
+
+    cat = CollectionCatalog(spark, {"c": v1})
+    cat.build_item_index("c")
+    assert get_one_item(cat, "c", "a-2")["id"] == "a-2"
+
+    cat.register("c", v2)  # repoint the collection
+    # new data must be visible AND pruned via a FRESH manifest path
+    cat.build_item_index("c")
+    assert get_one_item(cat, "c", "b-3")["id"] == "b-3"
+    with _pytest.raises(NotFoundError):
+        get_one_item(cat, "c", "a-2")  # old ids are gone
