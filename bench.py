@@ -162,6 +162,7 @@ _EXTRA_OPS = [
     "line_dedup",
     "decontaminate",
     "hash_embed",
+    "hashed_text_topk",
 ]
 
 

@@ -2437,6 +2437,33 @@ def q_hash_embed(spark, sf):
     )
 
 
+def q_hashed_text_topk(spark, sf):
+    """End-to-end model-free text retrieval: hash_embed the corpus
+    (32-dim hashing-trick vectors), take doc 0's vector as the probe,
+    return the 10 nearest other docs by dot product (vectors are
+    unit-normalized, so dot IS cosine). The probe side is a 1-row
+    broadcast; scoring is a map-only JVM zip_with fold feeding
+    TakeOrderedAndProject — the corpus is never shuffled. The oracle
+    re-derives the identical vectors and replays the scoring."""
+    from stac_fastapi_duckdb_spark.functions import vectors as V
+    from stac_fastapi_duckdb_spark.pipeline.text import hash_embed
+
+    vecs = hash_embed(_t(spark, sf, "documents"), dim=32)
+    probe = vecs.filter(F.col("doc_id") == 0).select(
+        F.col("vec").alias("probe_vec")
+    )
+    return (
+        vecs.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.round(V.dot("vec", "probe_vec"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def q_line_dedup(spark, sf):
     """Corpus-level exact line dedup, keep-first (pipeline/text.py
     line_dedup — the CCNet / RefinedWeb boilerplate-line pass): a line
@@ -2602,6 +2629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hll": q_streaming_hll,
     "decontaminate": q_decontaminate,
     "hash_embed": q_hash_embed,
+    "hashed_text_topk": q_hashed_text_topk,
 }
 
 
@@ -5204,3 +5232,20 @@ ORACLE_SQL["hash_embed"] = r"""
     LEFT JOIN raw ON d.doc_id = raw.doc_id AND d.b = raw.b
     JOIN nrm ON d.doc_id = nrm.doc_id
 """
+
+# re-derive the hash_embed vectors (identical CTEs) and replay the
+# dot-product scoring against doc 0's vector; the per-dim values are
+# rounded to 6 before the dot on BOTH sides, and the final score is
+# rounded to 6 (same absorption of sum-order ulps as embedding_topk)
+ORACLE_SQL["hashed_text_topk"] = (
+    "WITH he AS (" + ORACLE_SQL["hash_embed"] + ")"
+    + r"""
+    SELECT d.doc_id,
+           ROUND(SUM(d.val * p.val), 6) AS score
+    FROM he d JOIN he p ON d.pos = p.pos AND p.doc_id = 0
+    WHERE d.doc_id <> 0
+    GROUP BY d.doc_id
+    ORDER BY score DESC, d.doc_id ASC
+    LIMIT 10
+"""
+)

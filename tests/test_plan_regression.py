@@ -123,6 +123,7 @@ def test_no_accidental_python_or_nested_loops(spark):
     # OOV) 1-row aggregates crossed in as scalars
     nlj_ok = {
         "embedding_topk",
+        "hashed_text_topk",  # 1-row hashed probe vector broadcast
         "hybrid_search",
         "lm_perplexity",
         "quality_tiers",

@@ -66,6 +66,7 @@ PROBES = [
     "line_dedup",
     "decontaminate",
     "hash_embed",
+    "hashed_text_topk",
 ]
 
 
