@@ -147,6 +147,9 @@ EVENTS_QUERIES = [
     # 'click' or 'purchase' side (empty sketch, θ = full space)
     "hll_distinct",
     "kmv_overlap",
+    # Expand CUBE + trailing-frame z-score over random event mixes
+    "cube_agg",
+    "rolling_window",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
@@ -217,6 +220,10 @@ RELATIONAL_QUERIES = [
     "scalar_subquery",
     "semi_join",
     "stats_agg",
+    # Expand-based subtotals: GROUPING-id parity and NULL-vs-subtotal
+    # disambiguation must hold on degenerate group mixes
+    "rollup_agg",
+    "grouping_sets",
 ]
 
 _li = st.tuples(
