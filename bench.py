@@ -163,6 +163,7 @@ _EXTRA_OPS = [
     "decontaminate",
     "hash_embed",
     "hashed_text_topk",
+    "incremental_line_dedup",
 ]
 
 

@@ -1330,3 +1330,102 @@ def hash_embed(
             .otherwise(F.lit(0.0)),
         ).alias("vec"),
     )
+
+
+def incremental_line_dedup(
+    new_docs: DataFrame,
+    base_lines: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest companion to ``line_dedup``: dedup an ARRIVING
+    batch's lines against a STANDING corpus-line-hash set (the CCNet
+    pass as it actually runs in production — the corpus was deduped
+    when it landed; re-running the self-dedup over corpus+batch would
+    re-shuffle the whole corpus per batch).
+
+    ``base_lines``: 1-column (``h``: long) DataFrame of the standing
+    60-bit line-key set (persist ``line_dedup``'s keys or the second
+    return value of previous calls); None → empty corpus.
+
+    → (cleaned, new_hashes):
+      - cleaned: (doc_id, n_lines, n_kept, text_deduped) — a line
+        survives iff shorter than ``min_chars``, or it is the batch's
+        first occurrence of its form AND the form is not in the
+        standing set;
+      - new_hashes: (h) — the surviving eligible line keys, i.e.
+        exactly the delta to append to the standing set for the next
+        batch.
+
+    Scale shape: the batch is windowed once on the line key (same
+    salted-short-line scheme as ``line_dedup`` — no hot blank-line
+    partition), then LEFT ANTI joined against the standing set ON THE
+    8-BYTE HASH — with the base bucketed/partitioned by ``h`` this is
+    the classic ever-growing-set membership join, and the batch side
+    is small, so AQE broadcasts it; the standing corpus is never
+    rewritten, only appended to. One groupBy(doc) rebuild as in
+    ``line_dedup``.
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    lines = ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    elig = F.length(norm) >= min_chars
+    key = F.when(elig, kmv_hash(norm)).otherwise(
+        kmv_hash(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string"), norm
+            )
+        )
+    )
+    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
+    keyed = lines.select("doc_id", "pos", "line", elig.alias("_e"), key.alias("_k"))
+    first = keyed.withColumn("_rn", F.row_number().over(w))
+    # membership as a LEFT join + null marker (not anti-then-rejoin,
+    # which would compute the windowed stream on both join sides): one
+    # pass over the batch, the standing set never carries row bodies
+    if base_lines is not None:
+        known = (
+            base_lines.select(F.col("h").alias("_k"))
+            .distinct()
+            .withColumn("_inbase", F.lit(True))
+        )
+        first = first.join(known, "_k", "left")
+    else:
+        first = first.withColumn("_inbase", F.lit(None).cast("boolean"))
+    flagged = first.select(
+        "doc_id",
+        "pos",
+        "line",
+        "_e",
+        "_k",
+        (
+            (~F.col("_e"))
+            | ((F.col("_rn") == 1) & F.col("_inbase").isNull())
+        ).alias("_keep"),
+    )
+    kept_lines = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),
+            lambda x: x["_keep"],
+        ),
+        lambda x: x["line"],
+    )
+    cleaned = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.array_join(kept_lines, "\n").alias("text_deduped"),
+    )
+    new_hashes = (
+        flagged.filter(F.col("_e") & F.col("_keep"))
+        .select(F.col("_k").alias("h"))
+        .distinct()
+    )
+    return cleaned, new_hashes

@@ -2269,6 +2269,34 @@ def q_streaming_dedup(spark, sf):
     return P_stream.run_to_memory(out, spark, output_mode="append")
 
 
+def q_incremental_line_dedup(spark, sf):
+    """Continuous-ingest line dedup (pipeline/text.py
+    incremental_line_dedup): docs ≢0 mod 7 arrive as the new batch;
+    the standing corpus-line-hash set comes from docs ≡0 mod 7. A line
+    survives iff short, or batch-first AND absent from the standing
+    set — the batch is windowed once on the salted line key then LEFT
+    ANTI joined against the standing 8-byte hash set; the corpus is
+    never re-shuffled. Oracle replays keys, window, anti filter, and
+    rebuild."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_line_dedup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 7 == 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0)
+    norm = F.lower(F.trim(F.col("line")))
+    base_lines = (
+        base.select(F.explode(F.split("text", "\n")).alias("line"))
+        .filter(F.length(norm) >= 10)
+        .select(kmv_hash(norm).alias("h"))
+        .distinct()
+    )
+    cleaned, _new_hashes = incremental_line_dedup(new, base_lines)
+    return cleaned
+
+
 def q_streaming_hll(spark, sf):
     """Continuously-maintained HLL register store
     (streaming/sketches.py): file-source stream → per-micro-batch
@@ -2630,6 +2658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "hash_embed": q_hash_embed,
     "hashed_text_topk": q_hashed_text_topk,
+    "incremental_line_dedup": q_incremental_line_dedup,
 }
 
 
@@ -5249,3 +5278,50 @@ ORACLE_SQL["hashed_text_topk"] = (
     LIMIT 10
 """
 )
+
+# same keys/window/rebuild as line_dedup, plus the standing-set anti
+# filter (base = docs ≡0 mod 7's eligible line keys)
+ORACLE_SQL["incremental_line_dedup"] = """
+    WITH ls AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        FROM documents WHERE doc_id % 7 <> 0
+    ), keyed AS (
+        SELECT doc_id, pos, line,
+               length(lower(trim(line))) >= 10 AS elig,
+               CAST(CAST('0x' || substr(md5(
+                   CASE WHEN length(lower(trim(line))) >= 10
+                        THEN lower(trim(line))
+                        ELSE CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(pos AS VARCHAR) || ':' ||
+                             lower(trim(line)) END
+               ), 18, 15) AS UBIGINT) AS BIGINT) AS k
+        FROM ls
+    ), base AS (
+        SELECT DISTINCT CAST(CAST('0x' || substr(md5(lower(trim(line))), 18, 15)
+               AS UBIGINT) AS BIGINT) AS k
+        FROM (
+            SELECT unnest(string_split(text, chr(10))) AS line
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        WHERE length(lower(trim(line))) >= 10
+    ), flagged AS (
+        SELECT doc_id, pos, line,
+               (NOT elig) OR (rn = 1 AND k NOT IN (SELECT k FROM base))
+                   AS keep
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY k
+                                         ORDER BY doc_id, pos) AS rn
+            FROM keyed
+        )
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(
+               string_agg(CASE WHEN keep THEN line END, chr(10)
+                          ORDER BY pos),
+               '') AS text_deduped
+    FROM flagged GROUP BY doc_id
+"""

@@ -46,6 +46,7 @@ FUZZED_QUERIES = [
     "line_dedup",
     "decontaminate",
     "hash_embed",
+    "incremental_line_dedup",
 ]
 
 word = st.sampled_from(

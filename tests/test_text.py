@@ -777,3 +777,80 @@ def test_hash_embed_cosine_reflects_token_overlap(spark):
 def test_hash_embed_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert T.hash_embed(empty).count() == 0
+
+
+def test_incremental_line_dedup_against_standing_set(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    base_keys = (
+        spark.createDataFrame(
+            [("common boilerplate footer line",)], "line string"
+        )
+        .select(kmv_hash(F.lower(F.trim(F.col("line")))).alias("h"))
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "fresh unique content here\ncommon boilerplate footer line"),
+            (2, "another batch duplicate line\nanother batch duplicate line"),
+        ],
+        "doc_id long, text string",
+    )
+    from stac_fastapi_duckdb_spark.pipeline.text import incremental_line_dedup
+
+    cleaned, new_hashes = incremental_line_dedup(new, base_keys)
+    out = {r.doc_id: r for r in cleaned.collect()}
+    # line known to the standing corpus is dropped
+    assert out[1].text_deduped == "fresh unique content here"
+    # within-batch duplicate: first kept, second dropped
+    assert out[2].text_deduped == "another batch duplicate line"
+    # the delta contains exactly the two surviving eligible lines
+    assert new_hashes.count() == 2
+
+
+def test_incremental_line_dedup_no_base_equals_self_dedup(spark):
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_line_dedup,
+        line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared long line of text\nunique to doc one"),
+            (2, "shared long line of text\nunique to doc two"),
+        ],
+        "doc_id long, text string",
+    )
+    inc, _ = incremental_line_dedup(docs, None)
+    batch = line_dedup(docs)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_incremental_line_dedup_delta_composes(spark):
+    """Running batch 2 against (base + batch-1 delta) must equal the
+    full-corpus line_dedup on batch 2's docs."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_line_dedup,
+        line_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta line"), (2, "second batch one line")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta line\nnovel content in batch two"),
+            (4, "second batch one line"),
+        ],
+        "doc_id long, text string",
+    )
+    _, d1 = incremental_line_dedup(b1, None)
+    inc2, _ = incremental_line_dedup(b2, d1)
+    full = {
+        r.doc_id: r.text_deduped
+        for r in line_dedup(b1.unionByName(b2)).collect()
+    }
+    got = {r.doc_id: r.text_deduped for r in inc2.collect()}
+    assert got == {k: v for k, v in full.items() if k in (3, 4)}

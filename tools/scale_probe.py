@@ -67,6 +67,7 @@ PROBES = [
     "decontaminate",
     "hash_embed",
     "hashed_text_topk",
+    "incremental_line_dedup",
 ]
 
 
