@@ -164,6 +164,7 @@ _EXTRA_OPS = [
     "hash_embed",
     "hashed_text_topk",
     "incremental_line_dedup",
+    "ann_ivfpq_topk",
 ]
 
 

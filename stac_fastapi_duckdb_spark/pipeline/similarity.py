@@ -780,3 +780,39 @@ def jl_project(
     return df.select(
         F.col(id_col), F.posexplode(F.array(*outs)).alias("pos", "val")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    probe: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ search — the FAISS IVFADC architecture (Jégou et al.,
+    "Product quantization for nearest neighbor search", TPAMI 2011;
+    Johnson et al. 2017): the coarse quantizer prunes the SCAN to
+    ``nprobe`` cells, product-quantization ADC prunes the BYTES per
+    scanned row (m small codes instead of the float vector). Together
+    they are the memory-and-I/O shape that fits billion-vector search
+    in cluster RAM: cells are the partition key, codes are the
+    columns, and the full-precision vectors never leave storage.
+
+    → (vec_id, adc_dist), k rows. Both stages reuse the frozen index
+    artifacts (IVF centroids / PQ codebooks), both are deterministic,
+    and the composed DuckDB oracle replays cell assignment, cell
+    pruning, and the LUT distance bit-for-bit.
+    """
+    pv = np.asarray(probe, dtype=np.float64)
+    order = (((centroids - pv[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
+    if cell_col not in df.columns:
+        df = with_ivf_cell(df, centroids, vec_col, cell_col)
+    candidates = df.filter(F.col(cell_col).isin([int(c) for c in order]))
+    return pq_adc_topk(
+        candidates, probe, codebooks, k, id_col, vec_col, code_col
+    )

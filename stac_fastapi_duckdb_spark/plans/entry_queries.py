@@ -628,10 +628,10 @@ def q_ann_pq_topk(spark, sf):
     )
 
 
-def _pq_oracle_sql() -> str:
-    """Generate the ann_pq_topk oracle from the frozen codebooks: the
-    SAME sequential (p-c)*(p-c) folds as the Spark Column algebra and
-    the Python LUT, so every double matches bitwise."""
+def _pq_adc_dist_sql(row_vec: str, probe_vec: str) -> str:
+    """The bitwise-replayable ADC distance expression over the frozen
+    codebooks, parameterized by the row/probe vector SQL expressions —
+    shared by the ann_pq_topk and ann_ivfpq_topk oracles."""
     from stac_fastapi_duckdb_spark.plans.pq_index import PQ_CODEBOOKS
 
     m = len(PQ_CODEBOOKS)
@@ -663,10 +663,17 @@ def _pq_oracle_sql() -> str:
 
     terms = []
     for j in range(m):
-        d_row = dists(j, "e.embedding")
-        lut = dists(j, "p.pe")
+        d_row = dists(j, row_vec)
+        lut = dists(j, probe_vec)
         terms.append(f"({lut})[(list_position({d_row}, list_min({d_row})))]")
-    dist = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _pq_oracle_sql() -> str:
+    """Generate the ann_pq_topk oracle from the frozen codebooks: the
+    SAME sequential (p-c)*(p-c) folds as the Spark Column algebra and
+    the Python LUT, so every double matches bitwise."""
+    dist = _pq_adc_dist_sql("e.embedding", "p.pe")
     # floor-based half-up rounding mirrors the Spark side exactly (both
     # engines' ROUND() disagree at decimal boundaries; floor(x*1e6+0.5)
     # is pure IEEE arithmetic on the bit-identical distance)
@@ -676,6 +683,72 @@ def _pq_oracle_sql() -> str:
             FROM embeddings e,
                  (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
             WHERE e.vec_id <> 0
+        )
+        ORDER BY floor(dist * 1e6 + 0.5) / 1e6 ASC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def q_ann_ivfpq_topk(spark, sf):
+    """IVF-PQ search — the FAISS IVFADC architecture
+    (pipeline/similarity.py ivfpq_topk): frozen coarse centroids prune
+    the SCAN to nprobe=4 cells, frozen PQ codebooks prune the BYTES
+    per scanned row (LUT distance over m codes). The billion-vector
+    memory/IO shape: cells are the partition key, codes the columns,
+    full-precision vectors never leave storage. Oracle composes the
+    two proven replays — cell assignment + pruning, then bitwise ADC —
+    so ranking matches exactly."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
+    from stac_fastapi_duckdb_spark.plans.pq_index import PQ_CODEBOOKS
+
+    emb = _t(spark, sf, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    return P_sim.ivfpq_topk(
+        rest,
+        probe,
+        np.asarray(IVF_CENTROIDS, dtype=np.float64),
+        np.asarray(PQ_CODEBOOKS, dtype=np.float64),
+        k=10,
+        nprobe=4,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Compose the two proven replays: ann_ivf_topk's cell assignment
+    + probe-cell pruning, then ann_pq_topk's bitwise ADC over the
+    surviving rows."""
+    dist = _pq_adc_dist_sql("a.embedding", "p.pe")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), dists AS (
+            SELECT b.vec_id, b.embedding, c.c AS cell,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> (b.v[i] - c.cv[i]) ** 2)) AS dsq
+            FROM base b CROSS JOIN {{cents}} AS c(c, cv)
+        ), assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists WHERE vec_id <> 0) WHERE rn = 1
+        ), probe_cells AS (
+            SELECT cell FROM (
+                SELECT cell, row_number() OVER (ORDER BY dsq ASC, cell ASC) AS rn
+                FROM dists WHERE vec_id = 0) WHERE rn <= 4
+        )
+        SELECT vec_id, floor(dist * 1e6 + 0.5) / 1e6 AS adc_dist FROM (
+            SELECT a.vec_id AS vec_id, {dist} AS dist
+            FROM assigned a,
+                 (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0) p
+            WHERE a.cell IN (SELECT cell FROM probe_cells)
         )
         ORDER BY floor(dist * 1e6 + 0.5) / 1e6 ASC, vec_id ASC
         LIMIT 10
@@ -2659,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_embed": q_hash_embed,
     "hashed_text_topk": q_hashed_text_topk,
     "incremental_line_dedup": q_incremental_line_dedup,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 
@@ -5325,3 +5399,7 @@ ORACLE_SQL["incremental_line_dedup"] = """
                '') AS text_deduped
     FROM flagged GROUP BY doc_id
 """
+
+ORACLE_SQL["ann_ivfpq_topk"] = _ivfpq_oracle_sql().format(
+    cents=_ivf_centroids_values_sql()
+)

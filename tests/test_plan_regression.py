@@ -105,6 +105,7 @@ def test_no_accidental_python_or_nested_loops(spark):
         # (declared Python per design; still no row-at-a-time UDFs)
         "ann_srp_topk",
         "ann_ivf_topk",
+        "ann_ivfpq_topk",
         "embedding_near_dup",
         "simhash_pairs",
         # broadcast nearest-centroid assignment (vectorized pandas UDF)

@@ -405,3 +405,44 @@ def test_jl_projection_is_map_only_jvm(spark):
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
                 "MapInPandas"):
         assert bad not in plan
+
+
+def test_ivfpq_composes_cell_pruning_with_adc(spark):
+    """IVF-PQ must equal PQ-ADC restricted to the nprobe nearest
+    cells — the composition introduces no new approximation beyond
+    its two stages."""
+    import numpy as np
+
+    from stac_fastapi_duckdb_spark.pipeline import similarity as sim
+    from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
+    from stac_fastapi_duckdb_spark.plans.pq_index import PQ_CODEBOOKS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents = np.asarray(IVF_CENTROIDS, dtype=np.float64)
+    books = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
+
+    got = sim.ivfpq_topk(rest, probe, cents, books, k=10, nprobe=4).collect()
+
+    pv = np.asarray(probe)
+    order = (((cents - pv[None, :]) ** 2).sum(axis=1)).argsort()[:4]
+    manual = sim.pq_adc_topk(
+        sim.with_ivf_cell(rest, cents).filter(
+            F.col("ivf_cell").isin([int(c) for c in order])
+        ),
+        probe,
+        books,
+        k=10,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in manual]
+    # and the scan actually prunes: candidate count < corpus count
+    n_cand = (
+        sim.with_ivf_cell(rest, cents)
+        .filter(F.col("ivf_cell").isin([int(c) for c in order]))
+        .count()
+    )
+    assert n_cand < rest.count()

@@ -68,6 +68,7 @@ PROBES = [
     "hash_embed",
     "hashed_text_topk",
     "incremental_line_dedup",
+    "ann_ivfpq_topk",
 ]
 
 
