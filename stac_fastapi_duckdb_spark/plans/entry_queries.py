@@ -2390,6 +2390,26 @@ def q_streaming_hll(spark, sf):
     )
 
 
+def q_streaming_cms(spark, sf):
+    """Continuously-maintained count-min sketch
+    (streaming/sketches.py streaming_cms_counts): per-micro-batch CMS
+    cell-SUM-merged into a standing store. Sum-merge is NOT idempotent
+    (unlike the HLL max-merge), so the store carries a
+    `_merged_batch_id` marker swapped atomically with the cells — a
+    replayed batch after a crash is a no-op, which is what makes the
+    final cell table identical to the batch sketch and lets the batch
+    SQL replay gate the streaming path. Probes: the 5 event types →
+    (event_type, est_n) with the one-sided est ≥ exact guarantee."""
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        streaming_cms_counts,
+    )
+
+    probes = _events(spark, sf).select("event_type").distinct()
+    return streaming_cms_counts(
+        spark, f"{sf}/events.parquet", probes, "event_type"
+    )
+
+
 def q_kcenter_select(spark, sf):
     """Greedy k-center coreset selection over embeddings
     (pipeline/select.py): k=5 farthest-point rounds, each ONE map-only
@@ -2733,6 +2753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_text_topk": q_hashed_text_topk,
     "incremental_line_dedup": q_incremental_line_dedup,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "streaming_cms": q_streaming_cms,
 }
 
 
@@ -5403,3 +5424,30 @@ ORACLE_SQL["incremental_line_dedup"] = """
 ORACLE_SQL["ann_ivfpq_topk"] = _ivfpq_oracle_sql().format(
     cents=_ivf_centroids_values_sql()
 )
+
+# the exactly-once sum-merge makes the streamed CMS cell table equal
+# the batch sketch — replay cells + probe estimates over events
+ORACLE_SQL["streaming_cms"] = f"""
+    WITH ev AS ({_EVENTS_SQL}), probes AS (
+        SELECT DISTINCT event_type FROM ev
+    ), cells AS (
+        SELECT CAST(CAST('0x' || substr(md5('cms-v1:' || CAST(r AS VARCHAR)
+                                        || ':' || event_type), 1, 8) AS UBIGINT)
+                    % 512 AS BIGINT) AS cell,
+               r
+        FROM ev, unnest(range(0, 4)) AS u(r)
+    ), sk AS (
+        SELECT r, cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, cell
+    ), pc AS (
+        SELECT p.event_type, u.r,
+               CAST(CAST('0x' || substr(md5('cms-v1:' || CAST(u.r AS VARCHAR)
+                                        || ':' || p.event_type), 1, 8) AS UBIGINT)
+                    % 512 AS BIGINT) AS cell
+        FROM probes p, unnest(range(0, 4)) AS u(r)
+    )
+    SELECT event_type,
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_n
+    FROM pc LEFT JOIN sk ON pc.r = sk.r AND pc.cell = sk.cell
+    GROUP BY event_type
+"""

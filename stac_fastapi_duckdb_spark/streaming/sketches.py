@@ -121,3 +121,105 @@ def streaming_hll_distinct(
             p,
         )
     return hll_estimate(spark.read.parquet(store_dir), p)
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch — the NON-idempotent merge case
+# ---------------------------------------------------------------------------
+#
+# HLL's max-merge is idempotent, so a crash between "store swapped" and
+# "checkpoint committed" is harmless (the replayed batch re-merges to
+# the same registers). CMS merges by cell-wise SUM — replaying a batch
+# DOUBLE-COUNTS — so the store must record which batch it has absorbed:
+# each swap writes a `_merged_batch_id` marker alongside the registers,
+# and the merge function skips any batch id ≤ the marker. That makes
+# (store + marker) transactional with respect to foreachBatch's
+# at-least-once replay contract: the pair is renamed into place
+# atomically, so a replayed batch either sees the pre-crash store
+# (marker < id → merges) or the post-swap store (marker ≥ id → no-op).
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    store_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms-v1",
+) -> None:
+    """Merge one micro-batch's CMS into the standing cell table,
+    exactly once per batch id (sum-merge is not idempotent — see
+    module notes)."""
+    import json as _json
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import cms_merge, cms_sketch
+
+    marker = os.path.join(store_dir, "_merged_batch_id")
+    if os.path.isdir(store_dir):
+        with open(marker) as fh:
+            last = _json.load(fh)["batch_id"]
+        if batch_id <= last:
+            return  # replayed batch already absorbed — exactly-once
+    new = cms_sketch(batch_df, value_col, depth, width, seed)
+    if os.path.isdir(store_dir):
+        prev = spark.read.parquet(os.path.join(store_dir, "cells"))
+        new = cms_merge(prev, new)
+    tmp = store_dir.rstrip("/") + ".swap"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
+    with open(os.path.join(tmp, "_merged_batch_id"), "w") as fh:
+        _json.dump({"batch_id": batch_id}, fh)
+    old = store_dir.rstrip("/") + ".old"
+    if os.path.isdir(store_dir):
+        os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def streaming_cms_counts(
+    spark: SparkSession,
+    source_path: str,
+    probes: DataFrame,
+    value_col: str = "event_type",
+    depth: int = 4,
+    width: int = 512,
+    store_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """Run the event stream to completion maintaining the CMS cell
+    store, then estimate the probes' frequencies from the final store
+    → (value_col, est_n). Because every batch merges exactly once, the
+    final cell table is IDENTICAL to the batch ``cms_sketch`` over all
+    data — the DuckDB batch replay holds for the streaming path."""
+    from stac_fastapi_duckdb_spark.pipeline.sketch import cms_estimate
+    from stac_fastapi_duckdb_spark.streaming.events import read_events_stream
+
+    if store_dir is None:
+        store_dir = os.path.join(tempfile.mkdtemp(prefix="cms_store_"), "s")
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="cms_ckpt_")
+
+    stream = read_events_stream(
+        spark, source_path, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cms_batch(
+            spark, store_dir, batch_df, batch_id, value_col, depth, width
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(store_dir):  # zero input files
+        cells = spark.createDataFrame([], "row int, cell long, cnt long")
+    else:
+        cells = spark.read.parquet(os.path.join(store_dir, "cells"))
+    return cms_estimate(cells, probes, value_col, depth, width)

@@ -36,6 +36,7 @@ SKIP = {
     "streaming_dedup",
     "streaming_topk",
     "streaming_hll",
+    "streaming_cms",
 }
 
 _MARKERS = {

@@ -631,3 +631,52 @@ def test_streaming_hll_resume_is_noop_then_incremental(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_cms_exactly_once_and_batch_parity(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.pipeline.sketch import cms_sketch
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        merge_cms_batch,
+        streaming_cms_counts,
+    )
+
+    land = _multi_file_events(spark, tmp_path, n_files=3)
+    store = str(tmp_path / "cms_store" / "s")
+    ckpt = str(tmp_path / "cms_ckpt")
+    probes = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], "event_type string"
+    )
+    est = {
+        r.event_type: r.est_n
+        for r in streaming_cms_counts(
+            spark, land, probes, "event_type",
+            store_dir=store, checkpoint_dir=ckpt, max_files_per_trigger=1,
+        ).collect()
+    }
+    ev = spark.read.parquet(land)
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    # streamed store == batch sketch cell-for-cell
+    import os
+
+    got_cells = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "cells")).collect())
+    )
+    want_cells = sorted(
+        map(tuple, cms_sketch(ev, "event_type").collect())
+    )
+    assert got_cells == want_cells
+    # one-sided estimate guarantee against the exact counts
+    for k, n in exact.items():
+        if k in est:
+            assert est[k] >= n
+    # a REPLAYED batch id must be a no-op (sum-merge is guarded)
+    merge_cms_batch(
+        spark, store, ev.limit(5), batch_id=0, value_col="event_type"
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "cells")).collect())
+    )
+    assert after == got_cells
