@@ -18,6 +18,8 @@ from stac_fastapi_duckdb_spark.streaming.dedup_ingest import (  # noqa: F401
     run_dedup_ingest,
 )
 from stac_fastapi_duckdb_spark.streaming.sketches import (  # noqa: F401
+    merge_cms_batch,
     merge_sketch_batch,
+    streaming_cms_counts,
     streaming_hll_distinct,
 )
