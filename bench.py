@@ -165,6 +165,9 @@ _EXTRA_OPS = [
     "hashed_text_topk",
     "incremental_line_dedup",
     "ann_ivfpq_topk",
+    "entity_match_pairs",
+    "entity_resolution",
+    "scd2_as_of",
 ]
 
 

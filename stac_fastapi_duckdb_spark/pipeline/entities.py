@@ -1,0 +1,105 @@
+"""Entity resolution over structured records: blocking → pairwise
+verify → transitive entity clusters.
+
+The reference engine has no record-linkage operator; this belongs to
+the beyond-reference training-data surface (resolving author/user
+identities before dedup and attribution — the tabular sibling of the
+document near-dup stack).
+
+Scale shape (the part that must survive 100 TB):
+
+- Candidate generation is BLOCKED (Fellegi–Sunter / Papadakis
+  blocking): records can only meet inside a blocking key, so the
+  candidate step is ONE shuffle of (block, id, name) rows — never an
+  all-pairs join. The pair blow-up happens in-array after a
+  ``max_block_size`` cap, the same skew contract as the LSH dedup
+  buckets (a single degenerate block is exactly the quadratic failure
+  mode this bounds).
+- Verification is exact character Levenshtein via the JVM built-in
+  (codegen, no Python), applied only to in-block pairs.
+- Clusters reuse the iterative min-label connected-components
+  operator (pipeline/dedup.py) — per-round shuffles keyed on the
+  record id, lineage cut by localCheckpoint, early fixpoint stop.
+
+Oracle story: every step is deterministic Column algebra, so DuckDB
+replays it exactly — blocked self-join + ``levenshtein()`` + the
+unrolled min-label propagation CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+
+
+def blocked_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 1,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Candidate+verified match pairs (id_a < id_b, dist ≤ max_dist).
+
+    One shuffle on the blocking key: groupBy block → sorted
+    collect_list(struct(id, name)) → size cap → in-array pair
+    expansion → Levenshtein verify. Carrying the name inside the
+    struct means verification needs NO join-back to the base table
+    (an id-only pair list would re-shuffle the input twice to attach
+    both names).
+    """
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(name_col).alias("s")))
+    )
+    grouped = (
+        df.groupBy(*[F.col(c) for c in block_cols])
+        .agg(items.alias("_items"))
+        .filter((F.size("_items") >= 2) & (F.size("_items") <= max_block_size))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "_items",
+            lambda a, i: F.transform(
+                F.slice("_items", i + 2, F.size("_items")),
+                lambda b: F.struct(
+                    a["i"].alias("id_a"),
+                    b["i"].alias("id_b"),
+                    a["s"].alias("name_a"),
+                    b["s"].alias("name_b"),
+                ),
+            ),
+        )
+    )
+    exploded = grouped.select(F.explode(pairs).alias("p")).select("p.*")
+    return (
+        exploded.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int = 1,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """(id, entity_id): transitive closure of verified match pairs;
+    entity_id = min record id in the cluster. Singletons map to
+    themselves (all_ids seeds every record)."""
+    pairs = blocked_match_pairs(
+        df, id_col, name_col, block_cols, max_dist, max_block_size
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), all_ids=df.select(F.col(id_col)), id_col=id_col
+    )
+    return comp.select(
+        F.col(id_col), F.col("component").alias("entity_id")
+    )

@@ -5451,3 +5451,131 @@ ORACLE_SQL["streaming_cms"] = f"""
     FROM pc LEFT JOIN sk ON pc.r = sk.r AND pc.cell = sk.cell
     GROUP BY event_type
 """
+
+
+def q_entity_match_pairs(spark, sf):
+    """Record-linkage candidate+verify pairs (pipeline/entities.py):
+    customers blocked on (nation, market segment), in-block pair
+    expansion after the skew cap, exact JVM Levenshtein verify. The
+    tabular sibling of the document near-dup stack — one shuffle on
+    the blocking key, never all-pairs. Oracle: blocked self-join +
+    DuckDB levenshtein() with the same block-size gate."""
+    from stac_fastapi_duckdb_spark.pipeline.entities import blocked_match_pairs
+
+    return blocked_match_pairs(
+        _t(spark, sf, "customer"),
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        max_dist=1,
+    )
+
+
+def q_entity_resolution(spark, sf):
+    """Entity clusters: verified match pairs → iterative min-label
+    connected components seeded with EVERY customer (singletons map to
+    themselves); entity_id = min custkey in the cluster. Oracle: the
+    same propagation unrolled as chained CTEs (8 rounds ≫ observed
+    cluster diameter; Spark side stops at fixpoint)."""
+    from stac_fastapi_duckdb_spark.pipeline.entities import resolve_entities
+
+    return resolve_entities(
+        _t(spark, sf, "customer"),
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        max_dist=1,
+    )
+
+
+QUERIES["entity_match_pairs"] = q_entity_match_pairs
+QUERIES["entity_resolution"] = q_entity_resolution
+
+_ENTITY_PAIRS_SQL = """
+    WITH blk AS (
+        SELECT c_nationkey AS bk1, c_mktsegment AS bk2,
+               c_custkey AS id, c_name AS nm
+        FROM customer
+    ), ok AS (
+        SELECT bk1, bk2 FROM blk GROUP BY bk1, bk2
+        HAVING COUNT(*) >= 2 AND COUNT(*) <= 10000
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM blk a
+    JOIN blk b ON a.bk1 = b.bk1 AND a.bk2 = b.bk2 AND a.id < b.id
+    JOIN ok ON a.bk1 = ok.bk1 AND a.bk2 = ok.bk2
+    WHERE levenshtein(a.nm, b.nm) <= 1
+"""
+
+ORACLE_SQL["entity_match_pairs"] = _ENTITY_PAIRS_SQL
+
+
+def _entity_cc_sql(rounds: int = 8) -> str:
+    """Min-label propagation over the entity match pairs, unrolled —
+    same construction as _cc_unrolled_sql but seeded from the customer
+    table and the blocked-Levenshtein edge list."""
+    ctes = [
+        f"e AS (SELECT id_a AS n, id_b AS m FROM ({_ENTITY_PAIRS_SQL})"
+        f"      UNION ALL SELECT id_b, id_a FROM ({_ENTITY_PAIRS_SQL}))",
+        "l0 AS (SELECT c_custkey AS n, c_custkey AS comp FROM customer)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"l{i + 1} AS (SELECT l.n, LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp"
+            f"  FROM l{i} l LEFT JOIN e ON l.n = e.n LEFT JOIN l{i} r ON e.m = r.n"
+            f"  GROUP BY l.n, l.comp)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n AS c_custkey, comp AS entity_id FROM l{rounds}"
+    )
+
+
+ORACLE_SQL["entity_resolution"] = _entity_cc_sql()
+
+
+def q_scd2_as_of(spark, sf):
+    """Time-travel snapshot: rebuild the SCD2 dimension from the events
+    changelog, then read every user's state as of 2024-01-15T00:00Z —
+    a map-only interval filter on top of the interval build (the
+    Delta/Iceberg AS OF access pattern over an explicit SCD2 table).
+    Oracle: the scd2_intervals SQL + the same covering-interval
+    predicate."""
+    from stac_fastapi_duckdb_spark.operators.cdc import (
+        scd2_from_changelog,
+        snapshot_as_of,
+    )
+
+    dim = scd2_from_changelog(
+        _events(spark, sf),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return snapshot_as_of(dim, "2024-01-15 00:00:00")
+
+
+QUERIES["scd2_as_of"] = q_scd2_as_of
+
+ORACLE_SQL["scd2_as_of"] = f"""
+    WITH c AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM {_EVENTS_SQL}
+    ), k AS (
+        SELECT user_id, ts, event_id, event_type FROM c
+        WHERE prev IS NULL OR prev <> event_type
+    ), iv AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM k
+    )
+    SELECT user_id, event_type, valid_from, valid_to FROM iv
+    WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+"""

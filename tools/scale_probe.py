@@ -69,6 +69,12 @@ PROBES = [
     "hashed_text_topk",
     "incremental_line_dedup",
     "ann_ivfpq_topk",
+    # round-7 additions: blocked record linkage (one shuffle on the
+    # blocking key, in-array pair expansion) and its CC closure
+    "entity_match_pairs",
+    "entity_resolution",
+    # map-only interval filter over the SCD2 window build
+    "scd2_as_of",
 ]
 
 
