@@ -194,3 +194,27 @@ def apply_cdc(
         for c in set_cols
     ]
     return merged.select(*out_key, *[snapshot[c] for c in passthrough], *out_set)
+
+
+def snapshot_as_of(
+    scd2: DataFrame,
+    ts,
+    ts_col_from: str = "valid_from",
+    ts_col_to: str = "valid_to",
+) -> DataFrame:
+    """Time-travel read over an SCD2 dimension: the state of every key
+    at instant ``ts`` — rows whose ``[valid_from, valid_to)`` interval
+    covers it (open ``valid_to`` = still current).
+
+    This is a pure partition-local filter over the interval table: no
+    shuffle, and with the dimension stored partitioned/clustered on
+    ``valid_from`` the predicate prunes files (min/max footer stats) —
+    the Iceberg/Delta time-travel access pattern re-expressed over an
+    explicit interval table. Keys born after ``ts`` simply have no
+    covering interval and drop out, matching a historical snapshot.
+    """
+    t = F.lit(ts).cast("timestamp")
+    return scd2.filter(
+        (F.col(ts_col_from) <= t)
+        & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
+    ).drop("is_current")

@@ -160,3 +160,40 @@ def test_scd2_extend_non_long_tiebreak_column(spark):
     assert rows[("bronze", _ts(1))] == (_ts(3), False)
     assert rows[("gold", _ts(3))] == (_ts(5), False)
     assert rows[("silver", _ts(5))] == (None, True)
+
+
+def test_snapshot_as_of_covering_intervals(spark):
+    from stac_fastapi_duckdb_spark.operators.cdc import snapshot_as_of
+
+    log = spark.createDataFrame(
+        [
+            (1, _ts(1), 1, "bronze"),
+            (1, _ts(3), 2, "gold"),
+            (2, _ts(5), 3, "silver"),  # born after the as-of instant
+            (3, _ts(2), 4, "iron"),
+        ],
+        "key int, ts timestamp, seq int, tier string",
+    )
+    dim = scd2_from_changelog(log, ["key"], "ts", ["tier"], ["seq"])
+    snap = {
+        (r.key): r.tier
+        for r in snapshot_as_of(dim, _ts(3)).collect()
+    }
+    # as-of day 3: key 1 just flipped to gold (valid_from <= ts is
+    # inclusive), key 2 doesn't exist yet, key 3 is iron
+    assert snap == {1: "gold", 3: "iron"}
+    # is_current is dropped — a historical snapshot has no "current"
+    cols = snapshot_as_of(dim, _ts(3)).columns
+    assert "is_current" not in cols
+
+
+def test_snapshot_as_of_boundary_is_half_open(spark):
+    from stac_fastapi_duckdb_spark.operators.cdc import snapshot_as_of
+
+    log = spark.createDataFrame(
+        [(1, _ts(1), 1, "a"), (1, _ts(2), 2, "b")],
+        "key int, ts timestamp, seq int, tier string",
+    )
+    dim = scd2_from_changelog(log, ["key"], "ts", ["tier"], ["seq"])
+    # exactly at the flip instant the NEW value holds ([from, to))
+    assert snapshot_as_of(dim, _ts(2)).collect()[0].tier == "b"
