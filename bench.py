@@ -168,6 +168,7 @@ _EXTRA_OPS = [
     "entity_match_pairs",
     "entity_resolution",
     "scd2_as_of",
+    "phash_near_dup",
 ]
 
 

@@ -294,3 +294,139 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    blocks: int = 64,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Block-average perceptual hash (aHash) over the decoded sample
+    stream: split the stream into ``blocks`` equal spans, bit b = 1 iff
+    span b's mean sample exceeds the whole-stream mean — the classic
+    8×8 average-hash construction flattened to 1-D. With the stub
+    codec the "samples" are the payload's character code points; a full
+    deployment swaps in pixel luma / PCM frames and keeps every plan
+    below unchanged.
+
+    Scale shape: ONE explode of (id, block, sample) rows whose
+    map-side partial agg collapses to ≤ ``blocks`` rows per media item
+    before the shuffle, then one per-id gather; the bit votes compare
+    exact integer cross-products (block_sum·n > total·block_len — no
+    float means), so the DuckDB oracle replays bit-for-bit. Empty
+    payloads carry no signal and are excluded.
+
+    → (id_col, bands): ``bands[j]`` packs bits 8j..8j+7 as 0-255.
+    """
+    txt = F.decode(F.col(payload_col), "UTF-8")
+    base = df.select(
+        F.col(id_col).alias("_id"), txt.alias("_s"), F.length(txt).alias("_n")
+    ).filter(F.col("_n") > 0)
+    ch = (
+        base.select("_id", "_s", "_n", F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"))
+        .select(
+            "_id",
+            F.expr(f"((_i - 1) * {blocks}) div _n").alias("_b"),
+            F.ascii(F.col("_s").substr(F.col("_i"), F.lit(1))).cast("long").alias("_c"),
+        )
+    )
+    bs = ch.groupBy("_id", "_b").agg(
+        F.sum("_c").alias("_bs"), F.count(F.lit(1)).alias("_cnt")
+    )
+    per = bs.groupBy("_id").agg(
+        F.collect_list(F.struct("_b", "_bs", "_cnt")).alias("_arr"),
+        F.sum("_bs").alias("_total"),
+        F.sum("_cnt").alias("_len"),
+    )
+    # try_element_at: short payloads (n < blocks) leave trailing blocks
+    # empty — their bit is 0, not an ANSI index error
+    bit_at = lambda b: F.coalesce(
+        F.try_element_at(
+            F.transform(
+                F.filter("_arr", lambda e: e["_b"] == b),
+                lambda e: (e["_bs"] * F.col("_len") > F.col("_total") * e["_cnt"]).cast("int"),
+            ),
+            F.lit(1),
+        ),
+        F.lit(0),
+    )
+    bits = F.transform(F.sequence(F.lit(0), F.lit(blocks - 1)), bit_at)
+    # MSB-first Horner fold: acc*2 + bit — avoids shiftleft, whose
+    # bit-count argument must be a literal
+    band_of = lambda j: F.aggregate(
+        F.sequence(F.lit(blocks // num_bands - 1), F.lit(0), F.lit(-1)),
+        F.lit(0),
+        lambda acc, k: acc * 2
+        + F.element_at(F.col("_bits"), j * (blocks // num_bands) + k + 1),
+    )
+    return (
+        per.withColumn("_bits", bits)
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)), band_of
+            ).alias("bands"),
+        )
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket_size: int = 1000,
+    blocks: int = 64,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate media pairs: aHash signatures →
+    pigeonhole band buckets (two items within ``max_hamming`` of 64
+    bits must agree exactly on ≥1 of 8 bands whenever max_hamming < 8)
+    → exact Hamming verify on the candidates only. Same skew contract
+    as the LSH dedups: buckets above ``max_bucket_size`` are dropped
+    BEFORE the in-array pair expansion.
+
+    → (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
+    """
+    sig = perceptual_hash(df, payload_col, id_col, blocks, num_bands)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        "bands",
+        F.posexplode("bands").alias("_band", "_val"),
+    )
+    items = F.array_sort(
+        F.collect_list(F.struct(F.col("_id").alias("i"), F.col("bands").alias("h")))
+    )
+    grouped = (
+        banded.groupBy("_band", "_val")
+        .agg(items.alias("_items"))
+        .filter((F.size("_items") >= 2) & (F.size("_items") <= max_bucket_size))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "_items",
+            lambda a, i: F.transform(
+                F.slice("_items", i + 2, F.size("_items")),
+                lambda b: F.struct(
+                    a["i"].alias("id_a"),
+                    b["i"].alias("id_b"),
+                    a["h"].alias("h_a"),
+                    b["h"].alias("h_b"),
+                ),
+            ),
+        )
+    )
+    ham = F.aggregate(
+        F.zip_with("h_a", "h_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

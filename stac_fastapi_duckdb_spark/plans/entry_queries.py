@@ -5579,3 +5579,84 @@ ORACLE_SQL["scd2_as_of"] = f"""
     WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
       AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
 """
+
+
+def q_phash_near_dup(spark, sf):
+    """Perceptual-hash media near-dup (pipeline/multimodal.py
+    perceptual_hash + phash_near_dup_pairs): block-average aHash over
+    the decoded sample stream, pigeonhole band buckets, exact Hamming
+    verify. The media table plants a same-length "re-encoded" twin for
+    every document (value noise on a fixed grid — the scenario aHash
+    is built for: hamming 0-4 vs ≥13 for unrelated pairs here, like a
+    re-compressed image; geometry changes are NOT matched, by design).
+    With the stub codec samples are code points; a real deployment
+    decodes pixel luma into the same plan. Oracle: the full bit-vote +
+    banding + Hamming replay in SQL."""
+    from stac_fastapi_duckdb_spark.pipeline.multimodal import phash_near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.translate(F.col("text"), "e", "f"), "UTF-8").alias("payload"),
+    )
+    return phash_near_dup_pairs(base.unionByName(twins), max_hamming=6)
+
+
+QUERIES["phash_near_dup"] = q_phash_near_dup
+
+ORACLE_SQL["phash_near_dup"] = """
+    WITH media AS (
+        SELECT doc_id AS id, text AS s FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, translate(text, 'e', 'f') FROM documents
+    ), d AS (
+        SELECT id, s, length(s) AS n FROM media WHERE length(s) > 0
+    ), ch AS (
+        SELECT id, ((u.i - 1) * 64) // n AS b,
+               ascii(substr(s, CAST(u.i AS INT), 1)) AS c
+        FROM d, unnest(range(1, n + 1)) AS u(i)
+    ), bs AS (
+        SELECT id, b, CAST(sum(c) AS BIGINT) AS bsum,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ch GROUP BY id, b
+    ), tot AS (
+        SELECT id, CAST(sum(bsum) AS BIGINT) AS total,
+               CAST(sum(cnt) AS BIGINT) AS n
+        FROM bs GROUP BY id
+    ), bits AS (
+        -- exact integer cross-product vote, same as the engine:
+        -- block_sum * n > total * block_len; absent blocks vote 0
+        SELECT t.id, g.b,
+               CASE WHEN bs.bsum IS NOT NULL
+                         AND bs.bsum * t.n > t.total * bs.cnt
+                    THEN 1 ELSE 0 END AS bit
+        FROM tot t
+        CROSS JOIN unnest(range(0, 64)) AS g(b)
+        LEFT JOIN bs ON bs.id = t.id AND bs.b = g.b
+    ), bands AS (
+        SELECT id, b // 8 AS band, sum(bit << CAST(b % 8 AS INT)) AS val
+        FROM bits GROUP BY id, b // 8
+    ), sized AS (
+        SELECT band, val FROM bands GROUP BY band, val
+        HAVING COUNT(*) BETWEEN 2 AND 1000
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a
+        JOIN bands b USING (band, val)
+        JOIN sized sz ON sz.band = a.band AND sz.val = a.val
+        WHERE a.id < b.id
+    ), ham AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.id = c.id_a
+        JOIN bits bb ON bb.id = c.id_b AND bb.b = ba.b
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+"""

@@ -99,3 +99,64 @@ def test_audio_frame_features_fake(media):
     assert [(r.frame_idx, r.rms) for r in out] == [
         (r.frame_idx, r.rms) for r in again
     ]
+
+
+class TestPerceptualHash:
+    def _media(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(rows, "media_id long, txt string").select(
+            "media_id", F.encode("txt", "UTF-8").alias("payload")
+        )
+
+    def test_identical_payloads_hamming_zero(self, spark):
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        s = "the quick brown fox jumps over the lazy dog " * 20
+        media = self._media(spark, [(1, s), (2, s), (3, "完全不同 " + "z" * 600)])
+        got = {(r.id_a, r.id_b, r.hamming) for r in phash_near_dup_pairs(media).collect()}
+        assert (1, 2, 0) in got
+        assert not any(3 in (a, b) for a, b, _ in got)
+
+    def test_value_noise_matches_geometry_change_does_not(self, spark):
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        s = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 15
+        noisy = s.replace("e", "f")        # same grid, small value shift
+        shifted = "PREFIX-GEOMETRY-CHANGE " * 10 + s  # grid moved
+        media = self._media(spark, [(1, s), (2, noisy), (3, shifted)])
+        got = {(r.id_a, r.id_b) for r in phash_near_dup_pairs(media, max_hamming=6).collect()}
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_empty_payload_excluded(self, spark):
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import perceptual_hash
+
+        media = self._media(spark, [(1, ""), (2, "abc def ghi " * 30)])
+        ids = [r.media_id for r in perceptual_hash(media).collect()]
+        assert ids == [2]
+
+    def test_bucket_cap_bounds_pair_expansion(self, spark):
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        # 12 identical payloads: every band bucket has 12 members; with
+        # the cap below that nothing may pair
+        rows = [(i, "same payload text " * 25) for i in range(12)]
+        media = self._media(spark, rows)
+        assert phash_near_dup_pairs(media, max_bucket_size=11).count() == 0
+        full = phash_near_dup_pairs(media, max_bucket_size=1000).count()
+        assert full == 12 * 11 // 2
+
+    def test_bands_pack_bits_in_range(self, spark):
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import perceptual_hash
+
+        media = self._media(spark, [(1, "abcdefgh " * 40)])
+        bands = perceptual_hash(media).collect()[0].bands
+        assert len(bands) == 8
+        assert all(0 <= v <= 255 for v in bands)

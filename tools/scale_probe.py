@@ -75,6 +75,8 @@ PROBES = [
     "entity_resolution",
     # map-only interval filter over the SCD2 window build
     "scd2_as_of",
+    # block-vote perceptual hash: explode collapsed by map-side combine
+    "phash_near_dup",
 ]
 
 
