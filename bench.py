@@ -169,6 +169,7 @@ _EXTRA_OPS = [
     "entity_resolution",
     "scd2_as_of",
     "phash_near_dup",
+    "span_dedup",
 ]
 
 

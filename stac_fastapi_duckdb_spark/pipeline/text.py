@@ -1429,3 +1429,100 @@ def incremental_line_dedup(
         .distinct()
     )
     return cleaned, new_hashes
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any span of >= k consecutive tokens that also occurs elsewhere in
+    the corpus, keeping the corpus-FIRST occurrence). The suffix-array
+    construction of the paper is replaced by the distributed
+    equivalent: every k-token window is hashed (60-bit md5); a window
+    whose hash already occurred earlier in corpus order (doc_id, pos)
+    is a duplicate; every token covered by >= 1 duplicate window is
+    removed. Windows overlap (stride 1), so a duplicated run of
+    L >= k tokens is covered end-to-end by its L-k+1 duplicate
+    windows — the whole span disappears, exactly the paper's
+    semantics for spans the corpus has seen before.
+
+    -> (doc_id, n_tokens, n_removed, text_deduped) for EVERY input
+    document (untouched and sub-k docs pass through with
+    n_removed = 0).
+
+    Scale shape: the window stream carries only (doc_id, pos, hash) —
+    ~20 B/row after the hash projection; the doc text is NOT
+    replicated per window. ONE shuffle on the 60-bit window hash
+    decides keep-first; duplicate positions collapse back to one
+    array row per affected doc (output of the window << input), and
+    rebuilding joins that slim dup-map to the docs — a join whose
+    right side is only the affected docs. Token coverage, span
+    removal, and text rebuild are pure Column array algebra inside
+    codegen. At 100 TB the stride-1 explode is the dominant cost
+    (n windows/doc); production corpora use a stride > 1 on the
+    probe side (identical plan, fewer rows) at a bounded recall
+    loss. The DuckDB oracle replays hash, keep-first window, and
+    coverage verbatim, including any hash collision.
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    empty_i = F.array().cast("array<int>")
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= k,
+                F.sequence(F.lit(0), F.size("_toks") - k),
+            ).otherwise(empty_i)
+        ).alias("pos"),
+        "_toks",
+    ).select(
+        "doc_id",
+        "pos",
+        kmv_hash(F.concat_ws("\x1f", F.slice("_toks", F.col("pos") + 1, k))).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    dups = (
+        wins.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_dup_pos"))
+    )
+    covered = F.coalesce(
+        F.array_distinct(
+            F.flatten(
+                F.transform("_dup_pos", lambda p: F.sequence(p, p + k - 1))
+            )
+        ),
+        empty_i,
+    )
+    idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+    ).otherwise(empty_i)
+    pairs = F.zip_with(
+        idx, F.col("_toks"), lambda i, t: F.struct(i.alias("i"), t.alias("t"))
+    )
+    kept = F.transform(
+        F.filter(pairs, lambda x: ~F.array_contains(F.col("_cov"), x["i"])),
+        lambda x: x["t"],
+    )
+    return (
+        base.join(dups, "doc_id", "left")
+        .withColumn("_cov", covered)
+        .select(
+            "doc_id",
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.size("_cov").cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("text_deduped"),
+        )
+    )

@@ -5660,3 +5660,66 @@ ORACLE_SQL["phash_near_dup"] = """
     )
     SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
 """
+
+
+def q_span_dedup(spark, sf):
+    """ExactSubstr-style repeated-span dedup (pipeline/text.py
+    span_dedup — Lee et al. 2022 semantics, suffix array replaced by
+    the distributed k-token window-hash construction): every 4-token
+    window is hashed; windows whose hash occurred earlier in corpus
+    order are duplicates; covered tokens are removed keeping the
+    corpus-first occurrence. Oracle: verbatim hash + keep-first window
+    + coverage + rebuild replay in SQL."""
+    from stac_fastapi_duckdb_spark.pipeline.text import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"), k=4)
+
+
+QUERIES["span_dedup"] = q_span_dedup
+
+ORACLE_SQL["span_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ), win AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+               CAST(CAST('0x' || substr(md5(array_to_string(
+                   toks[pos+1 : pos+4], chr(31))), 18, 15)
+                   AS UBIGINT) AS BIGINT) AS h
+        FROM toks,
+             unnest(range(0, greatest(len(toks) - 3, 0))) AS u(pos)
+    ), dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM win
+        ) WHERE rn > 1
+    ), cov AS (
+        SELECT DISTINCT doc_id, pos + off AS ti
+        FROM dup, unnest(range(0, 4)) AS o(off)
+    ), tok_rows AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(0, len(toks))) AS ti
+        FROM toks
+    ), marked AS (
+        SELECT r.doc_id, r.tok, r.ti, (c.ti IS NOT NULL) AS rem
+        FROM tok_rows r
+        LEFT JOIN cov c ON r.doc_id = c.doc_id AND r.ti = c.ti
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN rem THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed,
+               COALESCE(string_agg(CASE WHEN NOT rem THEN tok END,
+                                   ' ' ORDER BY ti), '')
+                   AS text_deduped
+        FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.text_deduped, '') AS text_deduped
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+"""

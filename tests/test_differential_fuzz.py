@@ -47,6 +47,7 @@ FUZZED_QUERIES = [
     "decontaminate",
     "hash_embed",
     "incremental_line_dedup",
+    "span_dedup",
 ]
 
 word = st.sampled_from(

@@ -212,3 +212,9 @@ def test_pq_codebooks_sample_smaller_than_ks(spark):
     books = train_pq_codebooks(emb, dim=64, m=8, ks=16, sample_size=5)
     assert books.shape == (8, 16, 8)
     assert np.isfinite(books).all()
+
+
+def test_span_dedup_on_empty(empty_docs):
+    from stac_fastapi_duckdb_spark.pipeline.text import span_dedup
+
+    assert span_dedup(empty_docs, k=4).count() == 0

@@ -854,3 +854,64 @@ def test_incremental_line_dedup_delta_composes(spark):
     }
     got = {r.doc_id: r.text_deduped for r in inc2.collect()}
     assert got == {k: v for k, v in full.items() if k in (3, 4)}
+
+
+# ---------------------------------------------------------------- span_dedup
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        # doc 1: the source of the shared 5-token span
+        (1, "alpha beta gamma delta epsilon zeta"),
+        # doc 2: repeats a 4-token span of doc 1 mid-document
+        (2, "intro words beta gamma delta epsilon trailing bits"),
+        # doc 3: whole doc duplicates doc 1 exactly
+        (3, "alpha beta gamma delta epsilon zeta"),
+        # doc 4: shorter than k → untouchable
+        (4, "tiny doc"),
+        # doc 5: self-repetition inside one doc
+        (5, "one two three four one two three four"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dedup_removes_repeated_span_keeps_first(span_docs):
+    out = {r.doc_id: r for r in T.span_dedup(span_docs, k=4).collect()}
+    # doc 1 is corpus-first → untouched
+    assert out[1].text_deduped == "alpha beta gamma delta epsilon zeta"
+    assert out[1].n_removed == 0
+    # doc 2 loses exactly the 4-token repeat "beta gamma delta epsilon"
+    assert out[2].text_deduped == "intro words trailing bits"
+    assert out[2].n_removed == 4
+    # doc 3 is a whole-document duplicate → everything goes
+    assert out[3].text_deduped == "" and out[3].n_removed == 6
+
+
+def test_span_dedup_sub_k_and_empty_docs_pass_through(span_docs):
+    out = {r.doc_id: r for r in T.span_dedup(span_docs, k=4).collect()}
+    assert out[4].text_deduped == "tiny doc" and out[4].n_removed == 0
+    assert (out[4].n_tokens, out[6].n_tokens) == (2, 0)
+    assert out[6].text_deduped == "" and out[6].n_removed == 0
+
+
+def test_span_dedup_self_repetition_within_doc(span_docs):
+    out = {r.doc_id: r for r in T.span_dedup(span_docs, k=4).collect()}
+    # windows 1..4 of doc 5 rehash window 0's content shifted; the
+    # second "one two three four" run duplicates window 0 → removed
+    assert out[5].text_deduped == "one two three four"
+    assert out[5].n_removed == 4
+
+
+def test_span_dedup_overlapping_windows_merge_coverage(spark):
+    # a 6-token duplicated run is covered by 3 overlapping 4-windows →
+    # removed end-to-end, counted once per token
+    rows = [
+        (1, "p q r s t u"),
+        (2, "x p q r s t u y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.span_dedup(df, k=4).collect()}
+    assert out[2].text_deduped == "x y"
+    assert out[2].n_removed == 6

@@ -77,6 +77,8 @@ PROBES = [
     "scd2_as_of",
     # block-vote perceptual hash: explode collapsed by map-side combine
     "phash_near_dup",
+    # stride-1 window-hash explode, slim (doc,pos,hash) shuffle
+    "span_dedup",
 ]
 
 
