@@ -43,6 +43,7 @@ _FORMAT_EXTS = (
     (".jsonl", "json"),
     (".ndjson", "json"),
     (".json.gz", "json"),
+    (".orc", "orc"),
 )
 
 
@@ -188,6 +189,13 @@ class CollectionCatalog:
                 # NDJSON (one item per line); the json reader unions
                 # schemas across files natively
                 return reader.json(*urls)
+            if fmt == "orc":
+                # ORC carries footer min/max stats like parquet, so
+                # predicate pushdown and schema evolution work the
+                # same way (Hive-era catalogs land item tables as ORC)
+                if len(urls) > 1:
+                    reader = reader.option("mergeSchema", "true")
+                return reader.orc(*urls)
             # Multi-file parquet collections evolve (new
             # proj:*/properties columns appear in newer files);
             # mergeSchema unions the footers so late-added columns

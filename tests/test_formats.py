@@ -115,3 +115,44 @@ def test_http_non_parquet_rejected(spark):
     cat = CollectionCatalog(spark, {"bad": "https://example.com/items.csv"})
     with pytest.raises(ValueError, match="parquet-only"):
         cat.items_df("bad")
+
+
+@pytest.fixture(scope="module")
+def orc_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fmt3") / "items.orc"
+    df = (
+        spark.createDataFrame(
+            [(r["id"], r["width"], r["datetime"]) for r in _rows()],
+            "id string, width long, datetime string",
+        )
+        .withColumn("datetime", F.col("datetime").cast("timestamp"))
+        .withColumn("end_datetime", F.col("datetime"))
+    )
+    df.coalesce(1).write.mode("overwrite").orc(str(d))
+    return str(d)
+
+
+def test_orc_collection_searchable(spark, orc_dir):
+    assert _detect_format(["/a/items.orc"]) == "orc"
+    cat = CollectionCatalog(spark, {"orccoll": orc_dir})
+    df = cat.items_df("orccoll")
+    # ORC keeps the written types exactly (no inference pass)
+    assert dict(df.dtypes)["width"] == "bigint"
+    rows, matched, _ = execute_search(
+        cat,
+        collection_ids=["orccoll"],
+        cql2_filter={"op": ">=", "args": [{"property": "width"}, 30]},
+        datetime_interval="2021-01-01T00:00:00Z/..",
+        sortby=[{"field": "width", "direction": "desc"}],
+        limit=10,
+    )
+    assert matched == 2
+    assert [r["id"] for r in rows] == ["it-04", "it-03"]
+
+
+def test_orc_filter_pushdown_reaches_scan(spark, orc_dir):
+    cat = CollectionCatalog(spark, {"orccoll": orc_dir})
+    df = cat.items_df("orccoll").filter(F.col("width") >= 30)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan and "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(width,30)" in plan
