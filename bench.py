@@ -170,6 +170,7 @@ _EXTRA_OPS = [
     "scd2_as_of",
     "phash_near_dup",
     "span_dedup",
+    "mmr_rerank",
 ]
 
 

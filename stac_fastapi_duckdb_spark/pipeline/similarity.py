@@ -816,3 +816,89 @@ def ivfpq_topk(
     return pq_adc_topk(
         candidates, probe, codebooks, k, id_col, vec_col, code_col
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 8,
+    pool: int = 64,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the item maximizing
+    ``lam * relevance - (1 - lam) * max_similarity_to_selected`` so the
+    result set trades pure relevance for coverage — the standard
+    rerank behind RAG retrieval and dedup-aware eval-set sampling.
+
+    Two stages. (1) Distributed candidate generation: exact cosine
+    top-``pool`` against the probe (TakeOrderedAndProject — the same
+    scan shape as brute_force_topk), localCheckpointed once so the k
+    greedy rounds don't re-derive it. (2) k greedy rounds, each ONE
+    distributed job over the pool: the selected set (≤ k vectors) is
+    embedded as literal arrays into a pure-Column score — per-row
+    work is k dot products inside codegen — and the round's winner is
+    a 1-row collect. Driver traffic is k rows total; the pool can be
+    millions of rows without changing the plan.
+
+    Determinism contract (same as the ANN family): relevance and the
+    max-sim penalty are floor-half-up rounded to 6 dp BEFORE the
+    lam-blend, every argmax breaks ties on the rounded score by
+    ascending id, and ``mu = 1 - lam`` is computed ONCE in the driver
+    and used as the same IEEE double on both engines — the DuckDB
+    oracle replays candidate pool, every greedy round, and the blend
+    bit-for-bit.
+
+    -> (rank, vec_id, rel, mmr_score), rank 1..k in selection order.
+    """
+    spark = df.sparkSession
+    mu = 1.0 - lam
+    probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    cand = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            r6(V.cosine_similarity(F.col(vec_col), probe_lit)).alias("_rel"),
+        )
+        .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+        .localCheckpoint()
+    )
+    picked: list = []
+    sel_vecs: list[Column] = []
+    remaining = cand
+    for _ in range(k):
+        if sel_vecs:
+            sims = [V.cosine_similarity(F.col("_v"), sv) for sv in sel_vecs]
+            pen = r6(F.greatest(*sims) if len(sims) > 1 else sims[0])
+        else:
+            pen = F.lit(0.0)
+        top = (
+            remaining.select(
+                id_col,
+                "_v",
+                "_rel",
+                (F.lit(lam) * F.col("_rel") - F.lit(mu) * pen).alias("_score"),
+            )
+            .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append(
+            (len(picked) + 1, row[id_col], float(row["_rel"]) + 0.0,
+             float(row["_score"]) + 0.0)
+        )
+        sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["_v"]]))
+        remaining = remaining.filter(F.col(id_col) != row[id_col])
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} long, rel double, mmr_score double"
+    )

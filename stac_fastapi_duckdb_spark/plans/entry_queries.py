@@ -5723,3 +5723,75 @@ ORACLE_SQL["span_dedup"] = """
            COALESCE(a.text_deduped, '') AS text_deduped
     FROM toks t LEFT JOIN agg a USING (doc_id)
 """
+
+
+def q_mmr_rerank(spark, sf):
+    """MMR diversified top-k (pipeline/similarity.py mmr_rerank,
+    Carbonell & Goldstein 1998): cosine top-64 candidate pool against
+    vec_id 0, then 8 greedy rounds of lam*rel - (1-lam)*max-sim-to-
+    selected, each round one distributed argmax. Oracle: the pool +
+    every greedy round unrolled as chained CTEs with the identical
+    floor-half-up 6dp rounding and id tie-break."""
+    from stac_fastapi_duckdb_spark.pipeline.similarity import mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in probe],
+        k=8,
+        pool=64,
+        lam=0.7,
+    )
+
+
+QUERIES["mmr_rerank"] = q_mmr_rerank
+
+
+def _mmr_oracle_sql(k: int = 8, pool: int = 64, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR replay: step i's penalty is the 6dp
+    floor-rounded max cosine to the i-1 already-selected vectors; the
+    lam/mu blend uses the same IEEE doubles the Spark side used.
+    Every step CTE is AS MATERIALIZED — step i references s1..s{i-1},
+    and DuckDB's default CTE inlining would re-expand the whole greedy
+    prefix at every reference (exponential plan blowup)."""
+    mu = 1.0 - lam
+    r6 = "floor({} * 1e6 + 0.5) / 1e6"
+    cos = (
+        "list_cosine_similarity(c.v, (SELECT v FROM s{j}))"
+    )
+    parts = [
+        f"""WITH cand AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {r6.format("list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))")} AS rel
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY rel DESC, vec_id ASC LIMIT {pool}
+        )"""
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            pen = "0.0"
+            where = ""
+        else:
+            sims = ", ".join(cos.format(j=j) for j in range(1, i))
+            inner = f"greatest({sims})" if i > 2 else cos.format(j=1)
+            pen = r6.format(inner)
+            where = "WHERE " + " AND ".join(
+                f"c.vec_id <> (SELECT vec_id FROM s{j})" for j in range(1, i)
+            )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+            SELECT c.vec_id, c.v, c.rel,
+                   {lam!r} * c.rel - {mu!r} * {pen} AS score
+            FROM cand c {where}
+            ORDER BY score DESC, c.vec_id ASC LIMIT 1
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({finals}) ORDER BY rank"
+
+
+ORACLE_SQL["mmr_rerank"] = _mmr_oracle_sql()

@@ -327,6 +327,7 @@ EMBEDDING_QUERIES = [
     "ann_pq_topk",
     "embedding_outliers",
     "semdedup",
+    "mmr_rerank",
 ]
 
 # eighth-unit components are exactly representable: vector arithmetic

@@ -446,3 +446,55 @@ def test_ivfpq_composes_cell_pruning_with_adc(spark):
         .count()
     )
     assert n_cand < rest.count()
+
+
+# ---------------------------------------------------------------- mmr_rerank
+
+
+@pytest.fixture(scope="module")
+def mmr_vecs(spark):
+    # probe sits between +x and +y; ids 1 and 2 both hug +x (2 slightly
+    # closer to the probe), id 3 is the +y axis (equally relevant as 1,
+    # maximally diverse from 2), id 4 is opposite
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_mmr_diversity_beats_redundancy(mmr_vecs):
+    probe = [0.7, 0.7, 0.0]
+    out = sim.mmr_rerank(mmr_vecs, probe, k=3, pool=4, lam=0.5).collect()
+    picks = [r.vec_id for r in out]
+    # pure relevance would pick (2, 1, 3); MMR at lam=0.5 penalizes 1
+    # (cos(1,2) ≈ 0.995) below the diverse 3
+    assert picks == [2, 3, 1]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_lam_one_is_pure_relevance(mmr_vecs):
+    probe = [0.7, 0.7, 0.0]
+    out = sim.mmr_rerank(mmr_vecs, probe, k=4, pool=4, lam=1.0).collect()
+    # ids 1 and 3 tie on relevance at 6dp → ascending-id tie-break
+    assert [r.vec_id for r in out] == [2, 1, 3, 4]
+    # with lam=1 the blend IS the relevance
+    assert all(abs(r.mmr_score - r.rel) < 1e-12 for r in out)
+
+
+def test_mmr_k_exceeds_pool_returns_all(mmr_vecs):
+    out = sim.mmr_rerank(mmr_vecs, [0.7, 0.7, 0.0], k=10, pool=2).collect()
+    assert len(out) == 2
+
+
+def test_mmr_scores_monotone_nonincreasing_in_rank_is_not_required(mmr_vecs):
+    # MMR scores are NOT monotone across rounds (the penalty grows);
+    # assert the contract that matters instead: ranks are 1..n unique
+    # and every selected id is distinct
+    out = sim.mmr_rerank(mmr_vecs, [0.7, 0.7, 0.0], k=4, pool=4).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
+    assert len({r.vec_id for r in out}) == 4

@@ -79,6 +79,8 @@ PROBES = [
     "phash_near_dup",
     # stride-1 window-hash explode, slim (doc,pos,hash) shuffle
     "span_dedup",
+    # k distributed argmax rounds over a checkpointed candidate pool
+    "mmr_rerank",
 ]
 
 
