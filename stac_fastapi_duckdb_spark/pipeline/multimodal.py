@@ -313,15 +313,28 @@ def perceptual_hash(
 
     Scale shape: ONE explode of (id, block, sample) rows whose
     map-side partial agg collapses to ≤ ``blocks`` rows per media item
-    before the shuffle, then one per-id gather; the bit votes compare
-    exact integer cross-products (block_sum·n > total·block_len — no
-    float means), so the DuckDB oracle replays bit-for-bit. Empty
-    payloads carry no signal and are excluded.
+    before the shuffle, then ONE per-id aggregate producing the dense
+    per-block sums as 2·``blocks`` conditional-sum columns — the bit
+    votes and band packing after it are plain integer Column
+    arithmetic with literal shift weights, so the whole signature
+    stays inside whole-stage codegen. (The first cut gathered the
+    sparse block rows into an array and probed it with nested
+    higher-order functions — interpreted expression eval, ~blocks²
+    element scans per item, which dominated the runtime ~6:1 over the
+    explode itself.) The votes compare exact integer cross-products
+    (block_sum·n > total·block_len — no float means), so the DuckDB
+    oracle replays bit-for-bit. Empty payloads carry no signal and
+    are excluded; blocks with no samples (n < blocks) vote 0.
 
     → (id_col, bands): ``bands[j]`` packs bits 8j..8j+7 as 0-255.
     """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+
     txt = F.decode(F.col(payload_col), "UTF-8")
-    base = df.select(
+    # per-char hashing work is CPU-bound and the media table often
+    # arrives in a handful of row groups — fan out to the cluster's
+    # parallelism BEFORE the explode so the scan width doesn't cap it
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), txt.alias("_s"), F.length(txt).alias("_n")
     ).filter(F.col("_n") > 0)
     ch = (
@@ -335,41 +348,40 @@ def perceptual_hash(
     bs = ch.groupBy("_id", "_b").agg(
         F.sum("_c").alias("_bs"), F.count(F.lit(1)).alias("_cnt")
     )
+    zero = F.lit(0).cast("long")
     per = bs.groupBy("_id").agg(
-        F.collect_list(F.struct("_b", "_bs", "_cnt")).alias("_arr"),
+        *(
+            F.coalesce(
+                F.sum(F.when(F.col("_b") == b, F.col("_bs"))), zero
+            ).alias(f"_s{b}")
+            for b in range(blocks)
+        ),
+        *(
+            F.coalesce(
+                F.sum(F.when(F.col("_b") == b, F.col("_cnt"))), zero
+            ).alias(f"_k{b}")
+            for b in range(blocks)
+        ),
         F.sum("_bs").alias("_total"),
         F.sum("_cnt").alias("_len"),
     )
-    # try_element_at: short payloads (n < blocks) leave trailing blocks
-    # empty — their bit is 0, not an ANSI index error
-    bit_at = lambda b: F.coalesce(
-        F.try_element_at(
-            F.transform(
-                F.filter("_arr", lambda e: e["_b"] == b),
-                lambda e: (e["_bs"] * F.col("_len") > F.col("_total") * e["_cnt"]).cast("int"),
-            ),
-            F.lit(1),
-        ),
-        F.lit(0),
-    )
-    bits = F.transform(F.sequence(F.lit(0), F.lit(blocks - 1)), bit_at)
-    # MSB-first Horner fold: acc*2 + bit — avoids shiftleft, whose
-    # bit-count argument must be a literal
-    band_of = lambda j: F.aggregate(
-        F.sequence(F.lit(blocks // num_bands - 1), F.lit(0), F.lit(-1)),
-        F.lit(0),
-        lambda acc, k: acc * 2
-        + F.element_at(F.col("_bits"), j * (blocks // num_bands) + k + 1),
-    )
-    return (
-        per.withColumn("_bits", bits)
-        .select(
-            F.col("_id").alias(id_col),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)), band_of
-            ).alias("bands"),
+    bit = [
+        (
+            F.col(f"_s{b}") * F.col("_len") > F.col("_total") * F.col(f"_k{b}")
+        ).cast("int")
+        for b in range(blocks)
+    ]
+    bpb = blocks // num_bands
+    bands = F.array(
+        *(
+            sum(
+                (bit[j * bpb + k] * F.lit(1 << k) for k in range(1, bpb)),
+                bit[j * bpb],
+            )
+            for j in range(num_bands)
         )
     )
+    return per.select(F.col("_id").alias(id_col), bands.alias("bands"))
 
 
 def phash_near_dup_pairs(
@@ -386,37 +398,42 @@ def phash_near_dup_pairs(
     bits must agree exactly on ≥1 of 8 bands whenever max_hamming < 8)
     → exact Hamming verify on the candidates only. Same skew contract
     as the LSH dedups: buckets above ``max_bucket_size`` are dropped
-    BEFORE the in-array pair expansion.
+    BEFORE any pair is formed (window count over the band key).
+
+    Pair generation is the bucket SELF-JOIN on (band, value), not the
+    collect_list + in-array expansion the other LSH dedups use: the
+    8-band signatures make buckets dense enough (hundreds of members)
+    that the nested higher-order-function expansion — interpreted
+    expression eval, one struct allocation per candidate — costs ~6×
+    the equivalent codegen'd join at sf0.1. The signature table (9
+    longs per media item — the index artifact, ~1/1000th of the
+    payload bytes) is localCheckpointed once so the per-character
+    hashing scan runs exactly once, not once per join side; the
+    8-element zip_with Hamming runs per surviving candidate only, and
+    id_a < id_b plus the post-verify distinct (a true pair can match
+    on several bands) keep the output canonical.
 
     → (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
-    sig = perceptual_hash(df, payload_col, id_col, blocks, num_bands)
+    from pyspark.sql import Window
+
+    sig = perceptual_hash(df, payload_col, id_col, blocks, num_bands).localCheckpoint()
     banded = sig.select(
         F.col(id_col).alias("_id"),
         "bands",
         F.posexplode("bands").alias("_band", "_val"),
     )
-    items = F.array_sort(
-        F.collect_list(F.struct(F.col("_id").alias("i"), F.col("bands").alias("h")))
+    w = Window.partitionBy("_band", "_val")
+    banded = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .drop("_n")
     )
-    grouped = (
-        banded.groupBy("_band", "_val")
-        .agg(items.alias("_items"))
-        .filter((F.size("_items") >= 2) & (F.size("_items") <= max_bucket_size))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("bands").alias("h_a"), "_band", "_val"
     )
-    pairs = F.flatten(
-        F.transform(
-            "_items",
-            lambda a, i: F.transform(
-                F.slice("_items", i + 2, F.size("_items")),
-                lambda b: F.struct(
-                    a["i"].alias("id_a"),
-                    b["i"].alias("id_b"),
-                    a["h"].alias("h_a"),
-                    b["h"].alias("h_b"),
-                ),
-            ),
-        )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("bands").alias("h_b"), "_band", "_val"
     )
     ham = F.aggregate(
         F.zip_with("h_a", "h_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
@@ -424,8 +441,8 @@ def phash_near_dup_pairs(
         lambda acc, v: acc + v,
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.*")
+        a.join(b, ["_band", "_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
