@@ -860,6 +860,11 @@ def mmr_rerank(
     def r6(c: Column) -> Column:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
+    # compact the pool to ~64k-row partitions before checkpointing:
+    # each greedy round is a separate job over the pool, and inheriting
+    # the scan's partitioning would pay k × (empty-task overhead) for a
+    # result set that is tiny by construction
+    parts = max(1, pool // 65536)
     cand = (
         df.select(
             F.col(id_col),
@@ -868,6 +873,7 @@ def mmr_rerank(
         )
         .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
         .limit(pool)
+        .coalesce(parts)
         .localCheckpoint()
     )
     picked: list = []
