@@ -171,6 +171,7 @@ _EXTRA_OPS = [
     "phash_near_dup",
     "span_dedup",
     "mmr_rerank",
+    "seasonal_decompose",
 ]
 
 

@@ -247,3 +247,92 @@ def cooccurring_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .filter(F.col("n_users") >= min_support)
     )
+
+
+def seasonal_decompose_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type hourly
+    event-count series: ``y = trend + seasonal + residual`` with a
+    centered moving-average trend (window ``2·half_window + 1`` rows)
+    and hour-of-day seasonal means of the detrended series — the
+    moving-average step of STL / statsmodels' seasonal_decompose,
+    kept exactly replayable.
+
+    Determinism contract: only interior rows with a FULL trend window
+    survive (count == 2·half_window + 1), so every mean is an exact
+    integer sum divided once — trend = Σ_window y / W, and the seasonal
+    mean needs no double accumulation: Σ_group detrended =
+    Σ_group y − (Σ_group Σ_window y) / W, i.e. two long sums and one
+    division. Both engines evaluate the identical expression trees, so
+    values match bit-for-bit before the 6 dp floor-half-up rounding.
+
+    Scale shape: the hourly rollup collapses events to ≤ types·hours
+    rows before anything else; the trend window is ONE shuffle on
+    (type) ordered by hour; the seasonal means are a tiny
+    (type × period) aggregate broadcast back. At 100 TB the rollup is
+    the only stage that sees the raw table.
+
+    → (event_type, bucket, y, trend, seasonal, residual) for interior
+    hours, ordered by (event_type, bucket).
+    """
+    from pyspark.sql import Window
+
+    w_len = 2 * half_window + 1
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-half_window, half_window)
+    )
+    trended = (
+        hourly.withColumn("_sw", F.sum("y").over(w))
+        .withColumn("_cw", F.count(F.lit(1)).over(w))
+        .filter(F.col("_cw") == w_len)
+        .drop("_cw")
+    )
+    trended = trended.withColumn("_hod", F.hour("bucket"))
+    seas = (
+        trended.groupBy("event_type", "_hod")
+        .agg(
+            F.sum("y").alias("_sy"),
+            F.sum("_sw").alias("_ssw"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "event_type",
+            "_hod",
+            (
+                (
+                    F.col("_sy").cast("double")
+                    - F.col("_ssw").cast("double") / F.lit(float(w_len))
+                )
+                / F.col("_n").cast("double")
+            ).alias("_seasonal"),
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    trend = F.col("_sw").cast("double") / F.lit(float(w_len))
+    resid = F.col("y").cast("double") - trend - F.col("_seasonal")
+    return (
+        trended.join(F.broadcast(seas), ["event_type", "_hod"])
+        .select(
+            "event_type",
+            "bucket",
+            "y",
+            r6(trend).alias("trend"),
+            r6(F.col("_seasonal")).alias("seasonal"),
+            r6(resid).alias("residual"),
+        )
+        .orderBy("event_type", "bucket")
+    )

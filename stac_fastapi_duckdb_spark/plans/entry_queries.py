@@ -5795,3 +5795,53 @@ def _mmr_oracle_sql(k: int = 8, pool: int = 64, lam: float = 0.7) -> str:
 
 
 ORACLE_SQL["mmr_rerank"] = _mmr_oracle_sql()
+
+
+def q_seasonal_decompose(spark, sf):
+    """Additive seasonal decomposition of the per-type hourly event
+    series (operators/analytics.py seasonal_decompose_hourly): centered
+    25-row moving-average trend, hour-of-day seasonal means of the
+    detrended series, residual — interior (full-window) rows only so
+    every mean is an exact integer sum with ONE division. Oracle: the
+    identical rollup + window + seasonal-mean replay."""
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        seasonal_decompose_hourly,
+    )
+
+    return seasonal_decompose_hourly(_events(spark, sf))
+
+
+QUERIES["seasonal_decompose"] = q_seasonal_decompose
+
+ORACLE_SQL["seasonal_decompose"] = f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM {_EVENTS_SQL}
+        GROUP BY event_type, date_trunc('hour', ts)
+    ), trended AS (
+        SELECT event_type, bucket, y,
+               SUM(y) OVER w AS sw, COUNT(*) OVER w AS cw
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), interior AS (
+        SELECT event_type, bucket, y, sw,
+               EXTRACT(hour FROM bucket) AS hod
+        FROM trended WHERE cw = 25
+    ), seas AS (
+        SELECT event_type, hod,
+               (CAST(SUM(y) AS DOUBLE)
+                - CAST(SUM(sw) AS DOUBLE) / 25.0)
+               / CAST(COUNT(*) AS DOUBLE) AS seasonal
+        FROM interior GROUP BY event_type, hod
+    )
+    SELECT i.event_type, i.bucket, i.y,
+           floor((CAST(i.sw AS DOUBLE) / 25.0) * 1e6 + 0.5) / 1e6
+               AS trend,
+           floor(s.seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+           floor((CAST(i.y AS DOUBLE) - CAST(i.sw AS DOUBLE) / 25.0
+                  - s.seasonal) * 1e6 + 0.5) / 1e6 AS residual
+    FROM interior i JOIN seas s USING (event_type, hod)
+    ORDER BY i.event_type, i.bucket
+"""

@@ -278,3 +278,70 @@ def test_top_paths_empty_and_pair_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan and plan.count("Window") == 1
     for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
         assert bad not in plan
+
+
+# ------------------------------------------------- seasonal decomposition
+
+
+def test_seasonal_decompose_recovers_planted_period(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        seasonal_decompose_hourly,
+    )
+
+    # 8 days of hourly events for one type: base 5/hour + 10 extra at
+    # hour 12 — a pure period-24 signal with zero trend slope
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(24 * 8):
+        t = base + dt.timedelta(hours=h)
+        n = 5 + (10 if t.hour == 12 else 0)
+        for _ in range(n):
+            rows.append((eid, "click", t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    out = seasonal_decompose_hourly(ev).collect()
+    # interior rows only: 192 hours - 2*12 edge rows
+    assert len(out) == 24 * 8 - 24
+    by_hod = {}
+    for r in out:
+        by_hod.setdefault(r.bucket.hour, []).append(r)
+    # the hour-12 spike lands in the seasonal component…
+    s12 = by_hod[12][0].seasonal
+    s_other = by_hod[0][0].seasonal
+    assert s12 - s_other > 8.0
+    # …and the additive identity holds exactly up to rounding
+    for r in out:
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 5e-6
+    # flat series → trend stays near the global mean everywhere
+    for r in out:
+        assert abs(r.trend - (5 + 10 / 24)) < 0.5
+
+
+def test_seasonal_decompose_interior_only_and_multi_type(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        seasonal_decompose_hourly,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for typ, days in (("a", 3), ("b", 2)):
+        for h in range(24 * days):
+            rows.append((eid, typ, base + dt.timedelta(hours=h)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    out = seasonal_decompose_hourly(ev).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.event_type, 0)
+        per[r.event_type] += 1
+    # each type loses exactly its 24 edge hours
+    assert per == {"a": 24 * 3 - 24, "b": 24 * 2 - 24}
+    # constant series: seasonal and residual vanish, trend == y == 1
+    for r in out:
+        assert r.trend == 1.0 and r.seasonal == 0.0 and r.residual == 0.0

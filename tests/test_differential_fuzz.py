@@ -152,6 +152,9 @@ EVENTS_QUERIES = [
     # Expand CUBE + trailing-frame z-score over random event mixes
     "cube_agg",
     "rolling_window",
+    # full-window interior filter + one-division means must replay on
+    # sparse/short random series (often zero interior rows)
+    "seasonal_decompose",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])

@@ -81,6 +81,8 @@ PROBES = [
     "span_dedup",
     # k distributed argmax rounds over a checkpointed candidate pool
     "mmr_rerank",
+    # rollup-collapsed window trend + broadcast seasonal means
+    "seasonal_decompose",
 ]
 
 
