@@ -172,6 +172,7 @@ _EXTRA_OPS = [
     "span_dedup",
     "mmr_rerank",
     "seasonal_decompose",
+    "streaming_upsert",
 ]
 
 

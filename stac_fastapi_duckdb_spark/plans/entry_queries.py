@@ -5845,3 +5845,31 @@ ORACLE_SQL["seasonal_decompose"] = f"""
     FROM interior i JOIN seas s USING (event_type, hod)
     ORDER BY i.event_type, i.bucket
 """
+
+
+def q_streaming_upsert(spark, sf):
+    """Continuously-maintained keyed LWW upsert store
+    (streaming/upsert.py streaming_upsert): per-micro-batch winners
+    merged into a standing one-row-per-key parquet table with atomic
+    swap; the (ts, event_id) total order makes the merge idempotent,
+    so the final table equals the batch last-per-key query — which is
+    the oracle."""
+    from stac_fastapi_duckdb_spark.streaming.upsert import streaming_upsert
+
+    cur = streaming_upsert(spark, f"{sf}/events.parquet")
+    return cur.select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).orderBy("user_id")
+
+
+QUERIES["streaming_upsert"] = q_streaming_upsert
+
+ORACLE_SQL["streaming_upsert"] = f"""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM {_EVENTS_SQL}
+    ) WHERE rn = 1
+    ORDER BY user_id
+"""

@@ -23,3 +23,7 @@ from stac_fastapi_duckdb_spark.streaming.sketches import (  # noqa: F401
     streaming_cms_counts,
     streaming_hll_distinct,
 )
+from stac_fastapi_duckdb_spark.streaming.upsert import (  # noqa: F401
+    merge_upsert_batch,
+    streaming_upsert,
+)

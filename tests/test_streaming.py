@@ -680,3 +680,76 @@ def test_streaming_cms_exactly_once_and_batch_parity(spark, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(store, "cells")).collect())
     )
     assert after == got_cells
+
+
+def test_streaming_upsert_lww_and_replay_idempotent(spark, tmp_path):
+    """The keyed LWW store must (a) equal the batch last-per-key query
+    after streaming all files, and (b) be a fixpoint under batch
+    replay — merging the same micro-batch twice changes nothing."""
+    import datetime as dt
+    import os
+
+    from stac_fastapi_duckdb_spark.streaming.upsert import (
+        merge_upsert_batch,
+        streaming_upsert,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        # user 1: later ts wins regardless of arrival order
+        (1, t0, 1, "view", 1.0, None),
+        (5, t0 + dt.timedelta(hours=2), 1, "purchase", 9.0, None),
+        # user 2: EQUAL ts → higher event_id wins (seq tie-break)
+        (2, t0, 2, "view", 2.0, None),
+        (3, t0, 2, "click", 3.0, None),
+        # user 3: single row
+        (4, t0 + dt.timedelta(minutes=5), 3, "signup", 0.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    land = str(tmp_path / "events")
+    os.makedirs(land)
+    # two plain files in one landing dir → two micro-batches at
+    # maxFilesPerTrigger=1 (subdirectories would read as partitions)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _write(subset, name):
+        pdf = spark.createDataFrame(subset, schema).toPandas()
+        pq.write_table(pa.Table.from_pandas(pdf), os.path.join(land, name))
+
+    _write(rows[:3], "f1.parquet")
+    _write(rows[3:], "f2.parquet")
+    store = str(tmp_path / "store")
+    cur = streaming_upsert(
+        spark, land, store_dir=store,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = {r.user_id: (r.event_id, r.event_type) for r in cur.collect()}
+    assert got == {1: (5, "purchase"), 2: (3, "click"), 3: (4, "signup")}
+
+    # replay the full table as one batch → fixpoint
+    before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "table")).collect())
+    )
+    merge_upsert_batch(
+        spark, store, spark.createDataFrame(rows, schema), ["user_id"]
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(store, "table")).collect())
+    )
+    assert before == after
+
+
+def test_streaming_upsert_empty_source(spark, tmp_path):
+    from stac_fastapi_duckdb_spark.streaming.upsert import streaming_upsert
+
+    land = tmp_path / "empty_events"
+    land.mkdir()
+    out = streaming_upsert(
+        spark, str(land),
+        store_dir=str(tmp_path / "s2"), checkpoint_dir=str(tmp_path / "c2"),
+    )
+    assert out.count() == 0
