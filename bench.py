@@ -173,6 +173,7 @@ _EXTRA_OPS = [
     "mmr_rerank",
     "seasonal_decompose",
     "streaming_upsert",
+    "stratified_exact_sample",
 ]
 
 

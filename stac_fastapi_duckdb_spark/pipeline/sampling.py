@@ -329,3 +329,42 @@ def sampled_quantiles(
     if group_col is None:
         return sample.agg(*aggs)
     return sample.groupBy(group_col).agg(*aggs)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "ses-v1",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only if the
+    stratum is smaller) — the balanced-eval-set / few-shot-pool
+    construction fraction-based sampling can't give: quotas, not
+    rates. Rows are ranked inside each stratum by the 60-bit md5 of
+    salt+key (a deterministic pseudorandom order — reruns, engines,
+    and partitionings all agree), key as the total-order tiebreak.
+
+    Scale shape: ONE shuffle on the stratum key; rank is a window
+    top-n, which Spark executes with WindowGroupLimit pushdown (each
+    partition keeps a bounded heap — rows beyond the quota never
+    reach the final sort buffer).
+
+    → input columns + ``sample_rank`` (1..n within the stratum).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

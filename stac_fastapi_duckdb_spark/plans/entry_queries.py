@@ -5873,3 +5873,33 @@ ORACLE_SQL["streaming_upsert"] = f"""
     ) WHERE rn = 1
     ORDER BY user_id
 """
+
+
+def q_stratified_exact_sample(spark, sf):
+    """Exact-quota stratified sampling (pipeline/sampling.py
+    stratified_exact_sample): 20 documents per language, ranked by the
+    60-bit md5 of salt+doc_id with doc_id tiebreak — the balanced
+    eval-set draw. Oracle: identical hash + window replay."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_exact_sample(docs, "lang", 20, "doc_id")
+
+
+QUERIES["stratified_exact_sample"] = q_stratified_exact_sample
+
+ORACLE_SQL["stratified_exact_sample"] = """
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CAST('0x' || substr(md5(
+                       'ses-v1' || CAST(doc_id AS VARCHAR)), 18, 15)
+                       AS UBIGINT) AS BIGINT) ASC,
+                   doc_id ASC
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 20
+"""

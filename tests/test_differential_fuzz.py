@@ -48,6 +48,7 @@ FUZZED_QUERIES = [
     "hash_embed",
     "incremental_line_dedup",
     "span_dedup",
+    "stratified_exact_sample",
 ]
 
 word = st.sampled_from(

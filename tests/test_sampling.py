@@ -244,3 +244,47 @@ def test_sampled_quantiles_filter_pushes_into_scan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_exact_sample_quotas_and_determinism(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_exact_sample(df, "lang", 15, "doc_id")
+    per = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    # exact quota from the large stratum, everything from the small one
+    assert per == {"big": 15, "small": 10}
+    # deterministic across reruns and repartitionings
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_exact_sample(
+            df.repartition(7), "lang", 15, "doc_id"
+        ).collect()
+    )
+    assert a == b
+    # ranks are 1..n within each stratum
+    ranks = [
+        sorted(r.sample_rank for r in out.filter(F.col("lang") == s).collect())
+        for s in ("big", "small")
+    ]
+    assert ranks[0] == list(range(1, 16)) and ranks[1] == list(range(1, 11))
+    # the draw is hash-ordered, not head-of-table: some kept id >= 50
+    assert any(i >= 50 for i in a if i < 100)
+
+
+def test_stratified_exact_sample_window_group_limit_plan(spark):
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        stratified_exact_sample(df.select("doc_id", "lang"), "lang", 5, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank filter must push into the window as a group-limit heap
+    assert "WindowGroupLimit" in plan
