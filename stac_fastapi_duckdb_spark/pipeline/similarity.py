@@ -908,3 +908,44 @@ def mmr_rerank(
     return spark.createDataFrame(
         picked, f"rank int, {id_col} long, rel double, mmr_score double"
     )
+
+
+def write_ivf_layout(
+    df: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Materialize the IVF serving layout: the table written
+    hive-partitioned by coarse cell, so a probe's ``nprobe`` cells are
+    a PARTITION-PRUNED scan — the storage half of the "cells are the
+    partition key" contract (Jégou et al. 2011; FAISS IVF). At 100 TB
+    this is what turns nprobe/num_cells into an I/O fraction: the
+    other cells' files are never opened."""
+    with_ivf_cell(df, centroids, vec_col, cell_col).write.mode(
+        "overwrite"
+    ).partitionBy(cell_col).parquet(path)
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    probe: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Serve ANN top-k from the partitioned layout: the cell IN-list
+    lands in the scan's PartitionFilters (directory-level pruning, no
+    row ever read from unprobed cells), then the exact rerank runs
+    over the surviving ~nprobe/num_cells of the data."""
+    pv = np.asarray(probe, dtype=np.float64)
+    order = (((centroids - pv[None, :]) ** 2).sum(axis=1)).argsort()[:nprobe]
+    df = spark.read.parquet(path).filter(
+        F.col(cell_col).isin([int(c) for c in order])
+    )
+    return brute_force_topk(df, probe, k, id_col, vec_col)

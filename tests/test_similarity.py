@@ -498,3 +498,45 @@ def test_mmr_scores_monotone_nonincreasing_in_rank_is_not_required(mmr_vecs):
     out = sim.mmr_rerank(mmr_vecs, [0.7, 0.7, 0.0], k=4, pool=4).collect()
     assert sorted(r["rank"] for r in out) == [1, 2, 3, 4]
     assert len({r.vec_id for r in out}) == 4
+
+
+# ------------------------------------------- IVF partitioned serving layout
+
+
+def test_ivf_layout_partition_pruned_serving(vectors, tmp_path):
+    """The partitioned IVF layout must (a) return exactly the same
+    top-k as the on-the-fly cell filter, (b) show the cell IN-list as
+    PartitionFilters in the scan (directory pruning, not row filter),
+    and (c) actually read only the probed cells' files."""
+    spark = vectors.sparkSession
+    probe = _probe(vectors)
+    rest = vectors.filter(F.col("vec_id") != 0)
+    cent = sim.train_ivf_centroids(rest, DIM, num_cells=4, sample_size=100)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_layout(rest, cent, path)
+
+    served = sim.ivf_topk_from_layout(spark, path, probe, cent, k=5, nprobe=2)
+    direct = sim.ivf_topk(rest, probe, cent, k=5, nprobe=2)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "ivf_cell" in pf and ("IN" in pf or "in(" in pf.lower())
+
+    # only the probed cells' directories are touched: the executed
+    # scan's numFiles metric (post-pruning) must be a strict subset of
+    # the full layout (inputFiles() lists the relation PRE-pruning, so
+    # it can't be used here)
+    def _num_files(df):
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+        return leaf.metrics().apply("numFiles").value()
+
+    pruned = _num_files(
+        sim.ivf_topk_from_layout(spark, path, probe, cent, k=5, nprobe=2)
+    )
+    full = _num_files(spark.read.parquet(path).select("vec_id"))
+    assert 0 < pruned < full
