@@ -174,6 +174,7 @@ _EXTRA_OPS = [
     "seasonal_decompose",
     "streaming_upsert",
     "stratified_exact_sample",
+    "attribution",
 ]
 
 

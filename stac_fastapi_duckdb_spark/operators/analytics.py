@@ -336,3 +336,86 @@ def seasonal_decompose_hourly(
         )
         .orderBy("event_type", "bucket")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("view", "click"),
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion is credited to
+    the user's most recent source event (view/click) at or before the
+    conversion, within a lookback window — the classic funnel-credit
+    query, expressed as ONE union + window instead of a per-conversion
+    self-join.
+
+    Scale shape: sources and conversions are unioned with a side tag
+    and shuffled ONCE on the user key; a running
+    ``last(source, ignorenulls)`` over (ts, side, id) carries the
+    latest source forward to each conversion row. The ordering makes
+    ties total: an equal-timestamp source sorts BEFORE the conversion
+    (>= as-of semantics), and equal-timestamp sources resolve by
+    event id — so the credited source is engine-independent, which is
+    what lets the DuckDB oracle replay it value-for-value. Sources
+    older than the lookback are nulled AFTER the carry (the window
+    never needs range logic).
+
+    → (conversion_id, user_id, conversion_ts, source_id, source_type,
+    lag_sec) — one row per conversion; unattributed rows keep NULL
+    source columns.
+    """
+    from pyspark.sql import Window
+
+    src = events.filter(F.col(type_col).isin(*source_types)).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.struct(
+            F.col(id_col).alias("sid"),
+            F.col(type_col).alias("stype"),
+            F.col(ts_col).alias("sts"),
+        ).alias("_src"),
+    )
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.lit(None)
+        .cast("struct<sid:bigint,stype:string,sts:timestamp>")
+        .alias("_src"),
+    )
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_t", "_side", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        src.unionByName(conv)
+        .withColumn("_last", F.last("_src", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    in_window = F.col("_last.sts") >= (
+        F.col("_t") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+    )
+    keep = F.col("_last").isNotNull() & in_window
+    return carried.select(
+        F.col("_id").alias("conversion_id"),
+        F.col("_u").alias(user_col),
+        F.col("_t").alias("conversion_ts"),
+        F.when(keep, F.col("_last.sid")).alias("source_id"),
+        F.when(keep, F.col("_last.stype")).alias("source_type"),
+        # exact integer µs diff floor-divided to seconds: Spark's
+        # unix_timestamp TRUNCATES sub-second parts while DuckDB's
+        # epoch() CAST rounds — µs arithmetic sidesteps both
+        F.when(
+            keep,
+            F.expr("(unix_micros(_t) - unix_micros(_last.sts)) div 1000000"),
+        ).alias("lag_sec"),
+    )

@@ -5903,3 +5903,51 @@ ORACLE_SQL["stratified_exact_sample"] = """
         FROM documents
     ) WHERE sample_rank <= 20
 """
+
+
+def q_attribution(spark, sf):
+    """Last-touch attribution (operators/analytics.py
+    last_touch_attribution): purchases credited to the user's most
+    recent view/click within 24h — one union + running
+    last(ignorenulls) window, ties total-ordered by (ts, side,
+    event_id). Oracle: identical union + IGNORE NULLS window replay."""
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(_events(spark, sf))
+
+
+QUERIES["attribution"] = q_attribution
+
+ORACLE_SQL["attribution"] = f"""
+    WITH u AS (
+        SELECT user_id AS u, ts AS t, 0 AS side, event_id AS id,
+               {{'sid': event_id, 'stype': event_type, 'sts': ts}} AS src
+        FROM {_EVENTS_SQL} WHERE event_type IN ('view', 'click')
+        UNION ALL
+        SELECT user_id, ts, 1, event_id,
+               CAST(NULL AS STRUCT(sid BIGINT, stype VARCHAR,
+                                   sts TIMESTAMP))
+        FROM {_EVENTS_SQL} WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT *,
+               last_value(src IGNORE NULLS) OVER (
+                   PARTITION BY u ORDER BY t, side, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lastsrc
+        FROM u
+    )
+    SELECT id AS conversion_id, u AS user_id, t AS conversion_ts,
+           CASE WHEN lastsrc IS NOT NULL
+                     AND lastsrc.sts >= t - INTERVAL 24 HOURS
+                THEN lastsrc.sid END AS source_id,
+           CASE WHEN lastsrc IS NOT NULL
+                     AND lastsrc.sts >= t - INTERVAL 24 HOURS
+                THEN lastsrc.stype END AS source_type,
+           CASE WHEN lastsrc IS NOT NULL
+                     AND lastsrc.sts >= t - INTERVAL 24 HOURS
+                THEN (epoch_us(t) - epoch_us(lastsrc.sts)) // 1000000
+                END AS lag_sec
+    FROM c WHERE side = 1
+"""

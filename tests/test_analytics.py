@@ -345,3 +345,44 @@ def test_seasonal_decompose_interior_only_and_multi_type(spark):
     # constant series: seasonal and residual vanish, trend == y == 1
     for r in out:
         assert r.trend == 1.0 and r.seasonal == 0.0 and r.residual == 0.0
+
+
+# ----------------------------------------------- last-touch attribution
+
+
+def test_attribution_last_touch_window_and_ties(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        # user 1: view → click → purchase: credit the click (latest)
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=9), 1, "purchase"),
+        # user 2: source EXACTLY at the conversion ts → >= semantics credit it
+        (4, t0, 2, "view"),
+        (5, t0, 2, "purchase"),
+        # user 3: only source is 25h before → outside lookback, unattributed
+        (6, t0 - dt.timedelta(hours=25), 3, "view"),
+        (7, t0, 3, "purchase"),
+        # user 4: two sources at the SAME ts → higher event_id wins
+        (8, t0, 4, "view"),
+        (9, t0, 4, "click"),
+        (10, t0 + dt.timedelta(minutes=1), 4, "purchase"),
+        # user 5: purchase before any source → unattributed
+        (11, t0, 5, "purchase"),
+        (12, t0 + dt.timedelta(minutes=1), 5, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.conversion_id: r for r in last_touch_attribution(ev).collect()}
+    assert out[3].source_id == 2 and out[3].source_type == "click"
+    assert out[3].lag_sec == 4 * 60
+    assert out[5].source_id == 4 and out[5].lag_sec == 0
+    assert out[7].source_id is None and out[7].lag_sec is None
+    assert out[10].source_id == 9  # same-ts tie → higher id
+    assert out[11].source_id is None
+    assert len(out) == 5  # one row per conversion, always

@@ -156,6 +156,8 @@ EVENTS_QUERIES = [
     # full-window interior filter + one-division means must replay on
     # sparse/short random series (often zero interior rows)
     "seasonal_decompose",
+    # IGNORE-NULLS carry + (ts, side, id) tie order on random event mixes
+    "attribution",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
