@@ -175,6 +175,7 @@ _EXTRA_OPS = [
     "streaming_upsert",
     "stratified_exact_sample",
     "attribution",
+    "phash_dedup_map",
 ]
 
 

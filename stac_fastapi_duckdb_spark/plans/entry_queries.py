@@ -5951,3 +5951,69 @@ ORACLE_SQL["attribution"] = f"""
                 END AS lag_sec
     FROM c WHERE side = 1
 """
+
+
+def q_phash_dedup_map(spark, sf):
+    """Media dedup map: phash near-dup pairs resolved to a
+    media_id → canonical_id assignment via the shared iterative
+    min-label connected-components operator (pipeline/dedup.py
+    connected_components) — every planted re-encode twin collapses
+    onto its original; singletons map to themselves. Oracle: the full
+    phash pair replay closed with unrolled min-label CTE rounds."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+    from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.translate(F.col("text"), "e", "f"), "UTF-8").alias("payload"),
+    )
+    media = base.unionByName(twins)
+    pairs = phash_near_dup_pairs(media, max_hamming=6)
+    comp = connected_components(
+        pairs, all_ids=media.select("media_id"), id_col="media_id"
+    )
+    return comp.select("media_id", F.col("component").alias("canonical_id"))
+
+
+QUERIES["phash_dedup_map"] = q_phash_dedup_map
+
+
+def _phash_cc_sql(rounds: int = 6) -> str:
+    """Unrolled min-label closure over the phash pair replay. The pair
+    subquery is MATERIALIZED once (it's the expensive part — the e CTE
+    references it for both edge directions)."""
+    pairs = ORACLE_SQL["phash_near_dup"].strip()
+    assert pairs.startswith("WITH ")
+    # splice the pair replay in as a prefix CTE chain: rename its final
+    # SELECT into a CTE by wrapping the whole statement
+    ctes = [
+        f"p AS MATERIALIZED ({pairs})",
+        "ids AS (SELECT doc_id AS media_id FROM documents"
+        " UNION ALL SELECT doc_id + 1000000 FROM documents)",
+        "e AS (SELECT id_a AS n, id_b AS m FROM p"
+        " UNION ALL SELECT id_b, id_a FROM p)",
+        "l0 AS (SELECT media_id AS n, media_id AS comp FROM ids)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"l{i + 1} AS (SELECT l.n,"
+            f" LEAST(l.comp, COALESCE(MIN(r.comp), l.comp)) AS comp"
+            f" FROM l{i} l LEFT JOIN e ON l.n = e.n"
+            f" LEFT JOIN l{i} r ON e.m = r.n"
+            f" GROUP BY l.n, l.comp)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT n AS media_id, comp AS canonical_id FROM l{rounds}"
+    )
+
+
+ORACLE_SQL["phash_dedup_map"] = _phash_cc_sql()

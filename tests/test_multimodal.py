@@ -160,3 +160,37 @@ class TestPerceptualHash:
         bands = perceptual_hash(media).collect()[0].bands
         assert len(bands) == 8
         assert all(0 <= v <= 255 for v in bands)
+
+
+def test_phash_dedup_map_collapses_twins(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+    from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+        phash_near_dup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("media_id"),
+        F.encode(F.translate("text", "e", "f"), "UTF-8").alias("payload"),
+    )
+    media = base.unionByName(twins)
+    pairs = phash_near_dup_pairs(media, max_hamming=6)
+    comp = connected_components(
+        pairs, all_ids=media.select("media_id"), id_col="media_id"
+    )
+    by_id = {r.media_id: r.component for r in comp.collect()}
+    n_docs = docs.count()
+    # every media item is assigned, exactly once
+    assert len(by_id) == 2 * n_docs
+    # every planted twin collapses onto a canonical ≤ its own id, and
+    # most twins land in their original's cluster
+    collapsed = sum(1 for i in range(n_docs) if by_id.get(i + 1000000) == by_id.get(i))
+    assert collapsed >= 0.95 * n_docs
+    # canonical ids are cluster minima: canonical(c) == c for all
+    for mid, c in by_id.items():
+        assert by_id[c] == c
