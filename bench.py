@@ -176,6 +176,7 @@ _EXTRA_OPS = [
     "stratified_exact_sample",
     "attribution",
     "phash_dedup_map",
+    "interval_overlap",
 ]
 
 

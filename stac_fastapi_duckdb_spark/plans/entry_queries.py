@@ -6017,3 +6017,59 @@ def _phash_cc_sql(rounds: int = 6) -> str:
 
 
 ORACLE_SQL["phash_dedup_map"] = _phash_cc_sql()
+
+
+def q_interval_overlap(spark, sf):
+    """Interval-overlap join (operators/rangejoin.py
+    interval_overlap_join): per-user view windows [ts, ts+30min]
+    overlapped with purchase windows [ts-1h, ts] — granule-decomposed
+    equi-join, each pair emitted once at its canonical first shared
+    granule (no distinct). Oracle: the plain SQL overlap join (DuckDB
+    plans it as IEJoin), same exact µs overlap length."""
+    from stac_fastapi_duckdb_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("v_end"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("b_start"),
+        F.col("ts").alias("b_end"),
+    )
+    j = interval_overlap_join(
+        views, buys, "v_start", "v_end", "b_start", "b_end", on="user_id"
+    )
+    overlap_sec = F.expr(
+        "(unix_micros(least(v_end, b_end))"
+        " - unix_micros(greatest(v_start, b_start))) div 1000000"
+    )
+    return j.select(
+        "user_id", "view_id", "buy_id", overlap_sec.alias("overlap_sec")
+    )
+
+
+QUERIES["interval_overlap"] = q_interval_overlap
+
+ORACLE_SQL["interval_overlap"] = f"""
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts AS v_start,
+               ts + INTERVAL 30 MINUTES AS v_end
+        FROM {_EVENTS_SQL} WHERE event_type = 'view'
+    ), b AS (
+        SELECT event_id AS buy_id, user_id, ts - INTERVAL 1 HOUR AS b_start,
+               ts AS b_end
+        FROM {_EVENTS_SQL} WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, view_id, buy_id,
+           (epoch_us(least(v_end, b_end))
+            - epoch_us(greatest(v_start, b_start))) // 1000000 AS overlap_sec
+    FROM v JOIN b ON v.user_id = b.user_id
+       AND v.v_start <= b.b_end AND b.b_start <= v.v_end
+"""

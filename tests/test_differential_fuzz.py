@@ -158,6 +158,8 @@ EVENTS_QUERIES = [
     "seasonal_decompose",
     # IGNORE-NULLS carry + (ts, side, id) tie order on random event mixes
     "attribution",
+    # granule decomposition + canonical-granule dedup vs SQL IEJoin
+    "interval_overlap",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])

@@ -58,3 +58,81 @@ def test_range_join_no_key_cross_interval(spark):
     )
     got = point_in_interval_join(points, intervals, "t", "s", "e")
     assert [r.iid for r in got.collect()] == [10]
+
+
+# ------------------------------------------------ interval overlap join
+
+
+def test_interval_overlap_join_exact_and_no_duplicates(spark):
+    import datetime as dt
+
+    from stac_fastapi_duckdb_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def h(x):
+        return t0 + dt.timedelta(hours=x)
+
+    left = spark.createDataFrame(
+        [
+            (1, h(0), h(5)),    # long interval spanning many granules
+            (2, h(10), h(10.5)),
+            (3, h(20), h(21)),
+        ],
+        "l_id long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, h(1), h(2)),     # inside l1 (shares multiple granules)
+            (11, h(4.5), h(6)),   # overlaps l1's tail
+            (12, h(10.25), h(12)),  # overlaps l2
+            (13, h(22), h(23)),   # disjoint from everything
+            (14, h(5), h(7)),     # touches l1 exactly at the closed end
+        ],
+        "r_id long, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", granule_seconds=3600
+    ).select("l_id", "r_id")
+    got = sorted(map(tuple, out.collect()))
+    # brute-force reference
+    lrows = {r.l_id: (r.ls, r.le) for r in left.collect()}
+    rrows = {r.r_id: (r.rs, r.re) for r in right.collect()}
+    want = sorted(
+        (li, ri)
+        for li, (a, b) in lrows.items()
+        for ri, (c, d) in rrows.items()
+        if a <= d and c <= b
+    )
+    assert got == want                  # exact, including the closed-end touch
+    assert len(got) == len(set(got))    # canonical-granule dedup: no duplicates
+    assert (1, 13) not in got and (3, 13) not in got
+
+
+def test_interval_overlap_join_is_equi_join_plan(spark):
+    from stac_fastapi_duckdb_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    l = ev.limit(50).select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").cast("timestamp").alias("ls"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("le"),
+    )
+    r = ev.limit(50).select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").cast("timestamp").alias("rs"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 2 HOURS")).alias("re"),
+    )
+    plan = (
+        interval_overlap_join(l, r, "ls", "le", "rs", "re")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the granule trick must yield an equi-join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
