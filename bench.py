@@ -177,6 +177,7 @@ _EXTRA_OPS = [
     "attribution",
     "phash_dedup_map",
     "interval_overlap",
+    "linear_attribution",
 ]
 
 

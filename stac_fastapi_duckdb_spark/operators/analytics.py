@@ -419,3 +419,83 @@ def last_touch_attribution(
             F.expr("(unix_micros(_t) - unix_micros(_last.sts)) div 1000000"),
         ).alias("lag_sec"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    source_types: tuple[str, ...] = ("view", "click"),
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch (linear) attribution: every source event in the
+    conversion's lookback window shares the credit equally (1/n) —
+    last-touch's sibling, composed from the granule range join
+    (operators/rangejoin.py point_in_interval_join): sources are the
+    points, each conversion is the interval [t − lookback, t].
+
+    Scale shape: the range join is ONE equi-shuffle on (user, granule)
+    — ~lookback/granule interval rows per conversion; the per-
+    conversion source count is one window over the (small) join
+    output; credit is a single division (exactly replayable).
+    Conversions with no source in window survive via the left
+    join-back with NULL source columns and n_sources = 0.
+
+    → (conversion_id, user_id, conversion_ts, source_id, source_type,
+    n_sources, credit) — one row per (conversion, source), or one
+    NULL-source row for unattributed conversions.
+    """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    pts = events.filter(F.col(type_col).isin(*source_types)).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_sts"),
+        F.col(id_col).alias("source_id"),
+        F.col(type_col).alias("source_type"),
+    )
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        (F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")).alias(
+            "_w0"
+        ),
+        F.col(ts_col).alias("_w1"),
+    )
+    pairs = point_in_interval_join(
+        pts, conv, "_sts", "_w0", "_w1", on=user_col
+    ).select(user_col, "conversion_id", "conversion_ts", "source_id", "source_type")
+    n = F.count(F.lit(1)).over(Window.partitionBy("conversion_id"))
+    credited = pairs.select(
+        user_col,
+        "conversion_id",
+        "conversion_ts",
+        "source_id",
+        "source_type",
+        n.cast("bigint").alias("n_sources"),
+        (F.lit(1.0) / n).alias("credit"),
+    )
+    missing = (
+        conv.join(
+            credited.select("conversion_id").distinct(),
+            "conversion_id",
+            "left_anti",
+        )
+        .select(
+            user_col,
+            "conversion_id",
+            "conversion_ts",
+            F.lit(None).cast("bigint").alias("source_id"),
+            F.lit(None).cast("string").alias("source_type"),
+            F.lit(0).cast("bigint").alias("n_sources"),
+            F.lit(None).cast("double").alias("credit"),
+        )
+    )
+    return credited.unionByName(missing)

@@ -6073,3 +6073,58 @@ ORACLE_SQL["interval_overlap"] = f"""
     FROM v JOIN b ON v.user_id = b.user_id
        AND v.v_start <= b.b_end AND b.b_start <= v.v_end
 """
+
+
+def q_linear_attribution(spark, sf):
+    """Multi-touch linear attribution (operators/analytics.py
+    linear_attribution): every view/click in a purchase's 24h lookback
+    shares 1/n credit — composed from the granule range join; NULL-row
+    for unattributed purchases. Oracle: plain point-in-interval SQL
+    join + count window + anti-join replay."""
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    out = linear_attribution(_events(spark, sf))
+    credit6 = (
+        F.floor(F.col("credit") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).alias("credit")
+    return out.select(
+        "conversion_id",
+        "user_id",
+        "source_id",
+        "source_type",
+        "n_sources",
+        credit6,
+    )
+
+
+QUERIES["linear_attribution"] = q_linear_attribution
+
+ORACLE_SQL["linear_attribution"] = f"""
+    WITH s AS (
+        SELECT user_id, ts AS sts, event_id AS source_id,
+               event_type AS source_type
+        FROM {_EVENTS_SQL} WHERE event_type IN ('view', 'click')
+    ), c AS (
+        SELECT user_id, event_id AS conversion_id, ts AS cts
+        FROM {_EVENTS_SQL} WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT c.conversion_id, c.user_id, s.source_id, s.source_type
+        FROM c JOIN s ON c.user_id = s.user_id
+           AND s.sts >= c.cts - INTERVAL 24 HOURS AND s.sts <= c.cts
+    ), credited AS (
+        SELECT conversion_id, user_id, source_id, source_type,
+               CAST(COUNT(*) OVER (PARTITION BY conversion_id) AS BIGINT)
+                   AS n_sources,
+               floor((1.0 / COUNT(*) OVER (PARTITION BY conversion_id))
+                     * 1e6 + 0.5) / 1e6 AS credit
+        FROM pairs
+    )
+    SELECT * FROM credited
+    UNION ALL
+    SELECT c.conversion_id, c.user_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM c WHERE c.conversion_id NOT IN (SELECT conversion_id FROM credited)
+"""

@@ -386,3 +386,31 @@ def test_attribution_last_touch_window_and_ties(spark):
     assert out[10].source_id == 9  # same-ts tie → higher id
     assert out[11].source_id is None
     assert len(out) == 5  # one row per conversion, always
+
+
+def test_linear_attribution_credit_shares_and_unattributed(spark):
+    from stac_fastapi_duckdb_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sources in window → 0.5 credit each
+        (1, t0 - dt.timedelta(hours=2), 1, "view"),
+        (2, t0 - dt.timedelta(hours=1), 1, "click"),
+        (3, t0, 1, "purchase"),
+        # user 2: one source outside the 24h window → unattributed
+        (4, t0 - dt.timedelta(hours=30), 2, "view"),
+        (5, t0, 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = linear_attribution(ev).collect()
+    u1 = [r for r in out if r.conversion_id == 3]
+    assert {r.source_id for r in u1} == {1, 2}
+    assert all(r.n_sources == 2 and abs(r.credit - 0.5) < 1e-9 for r in u1)
+    u2 = [r for r in out if r.conversion_id == 5]
+    assert len(u2) == 1 and u2[0].source_id is None and u2[0].n_sources == 0
+    # total credit per attributed conversion is exactly 1
+    assert abs(sum(r.credit for r in u1) - 1.0) < 1e-9

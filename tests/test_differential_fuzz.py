@@ -160,6 +160,8 @@ EVENTS_QUERIES = [
     "attribution",
     # granule decomposition + canonical-granule dedup vs SQL IEJoin
     "interval_overlap",
+    # range-join composition + 1/n credit + NULL-row union on random mixes
+    "linear_attribution",
 ]
 
 _etypes = st.sampled_from(["view", "click", "purchase", "error", "signup"])
