@@ -178,6 +178,7 @@ _EXTRA_OPS = [
     "phash_dedup_map",
     "interval_overlap",
     "linear_attribution",
+    "quarantine",
 ]
 
 

@@ -16,7 +16,7 @@ the identical fingerprint without Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -374,3 +374,39 @@ def rolling_count_anomalies(
         .orderBy(F.col("abs_z").desc(), F.col("event_type").asc(), F.col("hour").asc())
         .limit(k)
     )
+
+
+def quarantine_split(
+    df: DataFrame,
+    rules: list[tuple[str, Column]],
+) -> tuple[DataFrame, DataFrame]:
+    """Record-level data-quality gate with a dead-letter side: every
+    row is checked against all ``rules`` (name, boolean Column —
+    NULL counts as a failure, the ingest-safe reading) in ONE pass;
+    rows passing everything go to the first frame, the rest to the
+    second with a ``failed_rules`` column naming every violated rule —
+    the quarantine/DLQ split every production loader puts in front of
+    a 100 TB table so one malformed shard can't poison it.
+
+    Scale shape: map-only — the rule vector is a single projection
+    fused into the scan; both outputs share one source (no
+    double-scan when the caller writes them in one job via
+    ``persist`` or foreachBatch).
+
+    → (valid_df, quarantined_df); quarantined rows carry
+    ``failed_rules: array<string>`` in rule order.
+    """
+    checks = F.array(
+        *[
+            F.when(F.coalesce(cond, F.lit(False)), F.lit(None).cast("string"))
+            .otherwise(F.lit(name))
+            for name, cond in rules
+        ]
+    )
+    flagged = df.withColumn(
+        "failed_rules",
+        F.filter(checks, lambda x: x.isNotNull()),
+    )
+    valid = flagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    bad = flagged.filter(F.size("failed_rules") > 0)
+    return valid, bad

@@ -6128,3 +6128,65 @@ ORACLE_SQL["linear_attribution"] = f"""
            CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
     FROM c WHERE c.conversion_id NOT IN (SELECT conversion_id FROM credited)
 """
+
+
+def q_quarantine(spark, sf):
+    """Data-quality quarantine gate (pipeline/validate.py
+    quarantine_split): documents checked against three loader rules —
+    nonempty text, known language, n_chars consistent with the text —
+    one map-only pass; quarantined rows carry the violated-rule list.
+    The graded testdata is clean, so the feed is deterministically
+    corrupted first (doc_id % 11 → blanked text, % 13 → unknown lang,
+    % 17 → off-by-one n_chars) — the gate is exercised, not vacuous.
+    Oracle: the identical corruption + rule vector in SQL (NULL →
+    failure)."""
+    from stac_fastapi_duckdb_spark.pipeline.validate import quarantine_split
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("  ")).otherwise(
+            F.col("text")
+        ).alias("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("xx")).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        F.when(F.col("doc_id") % 17 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ).alias("n_chars"),
+    )
+    rules = [
+        ("nonempty_text", F.length(F.trim(F.col("text"))) > 0),
+        ("known_lang", F.col("lang").isin("en", "de", "fr", "es", "zh")),
+        ("n_chars_consistent", F.col("n_chars") == F.length(F.col("text"))),
+    ]
+    _valid, bad = quarantine_split(docs, rules)
+    return bad.select(
+        "doc_id", F.array_join("failed_rules", ",").alias("failed_rules")
+    )
+
+
+QUERIES["quarantine"] = q_quarantine
+
+ORACLE_SQL["quarantine"] = """
+    WITH feed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN '  ' ELSE text END AS text,
+               CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+               CASE WHEN doc_id % 17 = 0 THEN n_chars + 1 ELSE n_chars END
+                   AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_filter([
+               CASE WHEN COALESCE(length(trim(text)) > 0, FALSE)
+                    THEN NULL ELSE 'nonempty_text' END,
+               CASE WHEN COALESCE(lang IN ('en','de','fr','es','zh'), FALSE)
+                    THEN NULL ELSE 'known_lang' END,
+               CASE WHEN COALESCE(n_chars = length(text), FALSE)
+                    THEN NULL ELSE 'n_chars_consistent' END
+           ], x -> x IS NOT NULL), ',') AS failed_rules
+    FROM feed
+    WHERE NOT (COALESCE(length(trim(text)) > 0, FALSE)
+               AND COALESCE(lang IN ('en','de','fr','es','zh'), FALSE)
+               AND COALESCE(n_chars = length(text), FALSE))
+"""

@@ -49,6 +49,7 @@ FUZZED_QUERIES = [
     "incremental_line_dedup",
     "span_dedup",
     "stratified_exact_sample",
+    "quarantine",
 ]
 
 word = st.sampled_from(

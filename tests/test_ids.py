@@ -82,3 +82,34 @@ def test_row_ids_null_leading_keys_rank_first_and_contiguously(spark):
     assert null_ids == list(range(10))  # all nulls first, by doc_id
     nonnull = [(r["k"], r["doc_id"]) for r in by_id if r["k"] is not None]
     assert nonnull == sorted(nonnull)
+
+
+# ----------------------------------------------------- quarantine gate
+
+
+def test_quarantine_split_rules_and_null_safety(spark):
+    from pyspark.sql import functions as F
+
+    from stac_fastapi_duckdb_spark.pipeline.validate import quarantine_split
+
+    rows = [
+        (1, "good text", 9),
+        (2, "", 0),            # fails nonempty
+        (3, None, None),       # NULL text → NULL predicate → failure
+        (4, "abc", 99),        # fails length consistency
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, n long")
+    rules = [
+        ("nonempty", F.length(F.col("text")) > 0),
+        ("len_ok", F.col("n") == F.length(F.col("text"))),
+    ]
+    valid, bad = quarantine_split(df, rules)
+    assert [r.id for r in valid.collect()] == [1]
+    got = {r.id: list(r.failed_rules) for r in bad.collect()}
+    assert got == {
+        2: ["nonempty"],
+        3: ["nonempty", "len_ok"],
+        4: ["len_ok"],
+    }
+    # valid frame drops the bookkeeping column
+    assert "failed_rules" not in valid.columns
