@@ -83,6 +83,10 @@ PROBES = [
     "mmr_rerank",
     # rollup-collapsed window trend + broadcast seasonal means
     "seasonal_decompose",
+    # granule-decomposed interval equi-join, canonical-granule dedup
+    "interval_overlap",
+    # union + IGNORE-NULLS carry window (the as-of cost regime)
+    "attribution",
 ]
 
 
