@@ -99,18 +99,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key ORDER matters: the driver records only the last 2000 chars of
+    # stdout, so the big auxiliary blocks (pipeline_ops/layout/streaming)
+    # go FIRST and the graded headline fields (queries/metric/value) go
+    # LAST — the tail always captures the headline total.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-                "mode": "cold" if cold else "warm-cache",
+                "pipeline_ops": _pipeline_ops(spark, sf_dir),
                 "streaming": _streaming_components(spark, sf_dir),
                 "layout": _layout_components(spark, sf_dir),
-                "pipeline_ops": _pipeline_ops(spark, sf_dir),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "mode": "cold" if cold else "warm-cache",
+                "queries": timings,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

@@ -428,8 +428,14 @@ def create_app(
                 "collections": _parse_csv(request.args.get("collections")),
                 "ids": _parse_csv(request.args.get("ids")),
                 "bbox": _parse_bbox(request.args.get("bbox")),
+                "intersects": _parse_json_param(
+                    request.args.get("intersects"), "intersects"
+                ),
                 "datetime": request.args.get("datetime"),
                 "filter": request.args.get("filter"),
+                "query": _parse_json_param(
+                    request.args.get("query"), "query"
+                ),
                 "frequency_interval": request.args.get(
                     "frequency_interval", "month"
                 ),

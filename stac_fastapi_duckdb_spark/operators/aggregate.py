@@ -115,6 +115,12 @@ def aggregate_search(
     freq_fields: dict[str, str] = {}
     for name in aggs:
         if name in _SCALAR:
+            # the scalar datetime aggregations need the column too —
+            # fail-closed 400, not a mid-job AnalysisException 500
+            if name != "total_count" and "datetime" not in columns:
+                raise InvalidQueryError(
+                    f"{name} requires a datetime column"
+                )
             continue
         if name == "collection_frequency":
             freq_fields[name] = "collection"
@@ -178,21 +184,24 @@ def aggregate_search(
             if name == "datetime_frequency"
             else safe_col(field).cast("string")
         )
+        # fetch ONE bucket beyond the cap: its presence is the overflow
+        # signal (still a TakeOrderedAndProject, never a full sort)
         buckets = (
             df.groupBy(key.alias("key"))
             .agg(F.count(F.lit(1)).alias("frequency"))
             .orderBy(F.col("frequency").desc(), F.col("key").asc_nulls_last())
-            .limit(max_buckets)
+            .limit(max_buckets + 1)
             .collect()
         )
+        overflow = len(buckets) > max_buckets
         out.append(
             {
                 "name": name,
                 "data_type": "frequency_distribution",
-                "overflow": False,
+                "overflow": overflow,
                 "buckets": [
                     {"key": b["key"], "frequency": b["frequency"]}
-                    for b in buckets
+                    for b in buckets[:max_buckets]
                 ],
             }
         )

@@ -352,17 +352,19 @@ def stratified_exact_sample(
 
     → input columns + ``sample_rank`` (1..n within the stratum).
     """
+    # NULL keys would make concat/md5 NULL and sort first, silently
+    # claiming the top quota slots — coalesce to a sentinel so every
+    # row gets a real hash and the (hash, key) ranking stays total
+    key_str = F.coalesce(
+        F.col(key_col).cast("string"), F.lit("\x00null")
+    )
     h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-            18,
-            15,
-        ),
+        F.substring(F.md5(F.concat(F.lit(salt), key_str)), 18, 15),
         16,
         10,
     ).cast("bigint")
     w = Window.partitionBy(strata_col).orderBy(
-        h.asc(), F.col(key_col).asc()
+        h.asc(), F.col(key_col).asc_nulls_last()
     )
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

@@ -480,6 +480,25 @@ def with_pq_codes(
     return df.withColumn(out_col, pq_code_col(codebooks, vec_col))
 
 
+def _adc_lut(probe: list[float], codebooks: np.ndarray) -> list[list[float]]:
+    """The per-query ADC lookup table (m × ks squared distances from
+    the probe's subvectors to every codebook centroid), built in plain
+    Python sequential arithmetic — (p-c)*(p-c) summed left-to-right —
+    matching the SQL oracle's list_sum order exactly."""
+    m, ks, dsub = codebooks.shape
+    return [
+        [
+            sum(
+                (probe[j * dsub + i] - float(codebooks[j, c, i]))
+                * (probe[j * dsub + i] - float(codebooks[j, c, i]))
+                for i in range(dsub)
+            )
+            for c in range(ks)
+        ]
+        for j in range(m)
+    ]
+
+
 def pq_adc_topk(
     df: DataFrame,
     probe: list[float],
@@ -500,19 +519,7 @@ def pq_adc_topk(
     at scale they are precomputed by ``with_pq_codes``.
     """
     m, ks, dsub = codebooks.shape
-    # plain Python (not numpy) sequential arithmetic: (p-c)*(p-c) summed
-    # left-to-right, matching the SQL oracle's list_sum order exactly
-    lut = [
-        [
-            sum(
-                (probe[j * dsub + i] - float(codebooks[j, c, i]))
-                * (probe[j * dsub + i] - float(codebooks[j, c, i]))
-                for i in range(dsub)
-            )
-            for c in range(ks)
-        ]
-        for j in range(m)
-    ]
+    lut = _adc_lut(probe, codebooks)
     if code_col not in df.columns:
         df = with_pq_codes(df, codebooks, vec_col, code_col)
     lut_lit = F.array(

@@ -40,6 +40,10 @@ from stac_fastapi_duckdb_spark.pipeline.sketch import (
     hll_merge,
     hll_sketch,
 )
+from stac_fastapi_duckdb_spark.streaming.store_swap import (
+    recover_store,
+    swap_store,
+)
 
 
 def merge_sketch_batch(
@@ -52,18 +56,16 @@ def merge_sketch_batch(
 ) -> None:
     """Merge one micro-batch into the register store (atomic swap:
     write the merged store to a sibling dir, then rename over the old
-    one — readers never observe a partial store)."""
+    one — readers never observe a partial store; a crash mid-swap is
+    healed by ``recover_store`` before the next merge reads)."""
+    recover_store(store_dir)
     new = hll_sketch(batch_df, group_col, value_col, p)
     if os.path.isdir(store_dir):
         prev = spark.read.parquet(store_dir)
         new = hll_merge(prev, new, group_col)
     tmp = store_dir.rstrip("/") + ".swap"
     new.write.mode("overwrite").parquet(tmp)
-    old = store_dir.rstrip("/") + ".old"
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_store(store_dir, tmp)
 
 
 def streaming_hll_distinct(
@@ -156,6 +158,7 @@ def merge_cms_batch(
 
     from stac_fastapi_duckdb_spark.pipeline.sketch import cms_merge, cms_sketch
 
+    recover_store(store_dir)
     marker = os.path.join(store_dir, "_merged_batch_id")
     if os.path.isdir(store_dir):
         with open(marker) as fh:
@@ -171,11 +174,7 @@ def merge_cms_batch(
     new.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
     with open(os.path.join(tmp, "_merged_batch_id"), "w") as fh:
         _json.dump({"batch_id": batch_id}, fh)
-    old = store_dir.rstrip("/") + ".old"
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_store(store_dir, tmp)
 
 
 def streaming_cms_counts(

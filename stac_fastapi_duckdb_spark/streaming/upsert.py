@@ -35,6 +35,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stac_fastapi_duckdb_spark.streaming.store_swap import (
+    recover_store,
+    swap_store,
+)
+
 
 def _winners(
     df: DataFrame, key_cols: list[str], ts_col: str, seq_col: str
@@ -58,7 +63,9 @@ def merge_upsert_batch(
     seq_col: str = "event_id",
 ) -> None:
     """Merge one micro-batch into the standing per-key table (LWW by
-    (ts, seq)); atomic swap, idempotent under foreachBatch replay."""
+    (ts, seq)); atomic swap, idempotent under foreachBatch replay; a
+    crash mid-swap is healed by ``recover_store``."""
+    recover_store(store_dir)
     new = _winners(batch_df, key_cols, ts_col, seq_col)
     table = os.path.join(store_dir, "table")
     if os.path.isdir(table):
@@ -72,11 +79,7 @@ def merge_upsert_batch(
     tmp = store_dir.rstrip("/") + ".swap"
     shutil.rmtree(tmp, ignore_errors=True)
     new.write.mode("overwrite").parquet(os.path.join(tmp, "table"))
-    old = store_dir.rstrip("/") + ".old"
-    if os.path.isdir(store_dir):
-        os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_store(store_dir, tmp)
 
 
 def streaming_upsert(

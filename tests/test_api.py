@@ -413,3 +413,85 @@ def test_aggregate_with_cql2_text_filter(client):
     )
     assert resp.status_code == 200
     assert resp.get_json()["aggregations"][0]["value"] == 1
+
+
+def test_aggregate_get_supports_intersects_and_query(client):
+    """GET /aggregate must honor intersects + query like POST does
+    (previously they were silently dropped on GET)."""
+    import json
+
+    poly = json.dumps(
+        {
+            "type": "Polygon",
+            "coordinates": [
+                [[-66, -16], [-59, -16], [-59, -7], [-66, -7], [-66, -16]]
+            ],
+        }
+    )
+    resp = client.get(
+        "/aggregate?collections=col-a&aggregations=total_count"
+        f"&intersects={poly}"
+    )
+    assert resp.status_code == 200
+    assert resp.get_json()["aggregations"][0]["value"] == 10
+
+    q = json.dumps({"platform": {"eq": "landsat-8"}})
+    resp = client.get(
+        f"/aggregate?collections=col-a&aggregations=total_count&query={q}"
+    )
+    assert resp.status_code == 200
+    constrained = resp.get_json()["aggregations"][0]["value"]
+    assert 0 < constrained < 20  # actually constrained, not the full set
+
+
+def test_aggregate_overflow_flag(catalog):
+    """Terms aggregation with more distinct values than max_buckets
+    must report overflow=True (previously hardcoded False)."""
+    from stac_fastapi_duckdb_spark.operators.aggregate import (
+        aggregate_search,
+    )
+
+    res = aggregate_search(
+        catalog,
+        aggregations=["id_frequency"],
+        collection_ids=["col-a"],
+        max_buckets=5,
+    )["aggregations"][0]
+    assert res["overflow"] is True
+    assert len(res["buckets"]) == 5
+
+    res = aggregate_search(
+        catalog,
+        aggregations=["id_frequency"],
+        collection_ids=["col-a"],
+        max_buckets=100,
+    )["aggregations"][0]
+    assert res["overflow"] is False
+    assert len(res["buckets"]) == 20
+
+
+def test_aggregate_scalar_datetime_validated_fail_closed(
+    spark, tmp_path_factory
+):
+    """datetime_min/max on a collection with no datetime column must
+    400 (InvalidQueryError), not explode mid-job with a 500."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stac_fastapi_duckdb_spark.api import create_app
+    from stac_fastapi_duckdb_spark.sources.catalog import CollectionCatalog
+
+    base = tmp_path_factory.mktemp("nodt")
+    tbl = pa.table({"id": ["x-1", "x-2"], "value": [1.0, 2.0]})
+    pq.write_table(tbl, str(base / "col-x.parquet"))
+    cat = CollectionCatalog(spark, {"col-x": str(base / "col-x.parquet")}, None)
+    app = create_app(cat)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    for agg in ("datetime_min", "datetime_max", "datetime_frequency"):
+        resp = c.get(f"/aggregate?collections=col-x&aggregations={agg}")
+        assert resp.status_code == 400, agg
+    # total_count still works on the datetime-less collection
+    resp = c.get("/aggregate?collections=col-x&aggregations=total_count")
+    assert resp.status_code == 200
+    assert resp.get_json()["aggregations"][0]["value"] == 2

@@ -288,3 +288,32 @@ def test_stratified_exact_sample_window_group_limit_plan(spark):
     )
     # the rank filter must push into the window as a group-limit heap
     assert "WindowGroupLimit" in plan
+
+
+def test_stratified_exact_sample_null_keys_not_privileged(spark):
+    """NULL keys used to hash to NULL and sort first, deterministically
+    stealing the top quota slots; now they hash via a sentinel and
+    compete like any other key."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [("s", f"k{i:03d}") for i in range(50)] + [("s", None)] * 3
+    df = spark.createDataFrame(rows, "stratum string, k string")
+    out = stratified_exact_sample(df, "stratum", 10, "k")
+    got = [r.k for r in out.collect()]
+    assert len(got) == 10
+    # the 3 NULL-key rows must NOT all occupy top slots; with a real
+    # hash the chance all 3 land in a specific 10-of-53 draw is tiny
+    assert sum(1 for k in got if k is None) < 3
+    # determinism unchanged
+    again = [r.k for r in stratified_exact_sample(df, "stratum", 10, "k").collect()]
+    assert sorted(got, key=lambda x: (x is None, x)) == sorted(
+        again, key=lambda x: (x is None, x)
+    )
+    # non-null-only input: ranking identical to the md5 oracle recipe
+    nn = spark.createDataFrame(
+        [("s", f"k{i:03d}") for i in range(20)], "stratum string, k string"
+    )
+    out2 = stratified_exact_sample(nn, "stratum", 5, "k")
+    assert out2.count() == 5

@@ -753,3 +753,72 @@ def test_streaming_upsert_empty_source(spark, tmp_path):
         store_dir=str(tmp_path / "s2"), checkpoint_dir=str(tmp_path / "c2"),
     )
     assert out.count() == 0
+
+
+def test_store_swap_crash_recovery_preserves_state(spark, tmp_path):
+    """Simulate the mid-swap crash window (store renamed aside, new
+    store not yet published): the next merge must recover the pre-crash
+    state instead of silently rebuilding from the replayed batch alone.
+    Covers all three store kinds (HLL, CMS, LWW upsert)."""
+    import os
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import cms_sketch, hll_sketch
+    from stac_fastapi_duckdb_spark.streaming.sketches import (
+        merge_cms_batch,
+        merge_sketch_batch,
+    )
+    from stac_fastapi_duckdb_spark.streaming.upsert import merge_upsert_batch
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    batch_a = spark.createDataFrame(
+        [(i, t0, 100 + i, "view", 1.0, None) for i in range(40)], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(1000 + i, t0, 500 + i, "click", 1.0, None) for i in range(40)],
+        schema,
+    )
+    both = batch_a.unionByName(batch_b)
+
+    def _crash(store):  # what a crash between the two renames leaves
+        os.rename(store, store + ".old")
+
+    # --- HLL registers ---
+    hll_store = str(tmp_path / "hll")
+    merge_sketch_batch(spark, hll_store, batch_a, "event_type", "user_id", 9)
+    _crash(hll_store)
+    merge_sketch_batch(spark, hll_store, batch_b, "event_type", "user_id", 9)
+    got = sorted(
+        (r.event_type, r.regs)
+        for r in spark.read.parquet(hll_store).collect()
+    )
+    want = sorted(
+        (r.event_type, r.regs)
+        for r in hll_sketch(both, "event_type", "user_id", 9).collect()
+    )
+    assert got == want
+
+    # --- CMS cells (marker travels with the recovered store) ---
+    cms_store = str(tmp_path / "cms")
+    merge_cms_batch(spark, cms_store, batch_a, 0, "event_type")
+    _crash(cms_store)
+    merge_cms_batch(spark, cms_store, batch_b, 1, "event_type")
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(os.path.join(cms_store, "cells")).collect(),
+        )
+    )
+    want = sorted(map(tuple, cms_sketch(both, "event_type").collect()))
+    assert got == want
+
+    # --- LWW upsert table ---
+    up_store = str(tmp_path / "up")
+    merge_upsert_batch(spark, up_store, batch_a, ["user_id"])
+    _crash(up_store)
+    merge_upsert_batch(spark, up_store, batch_b, ["user_id"])
+    n = spark.read.parquet(os.path.join(up_store, "table")).count()
+    assert n == 80  # batch A's 40 users survived the crash
