@@ -99,18 +99,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Key ORDER matters: the driver records only the last 2000 chars of
-    # stdout, so the big auxiliary blocks (pipeline_ops/layout/streaming)
-    # go FIRST and the graded headline fields (queries/metric/value) go
-    # LAST — the tail always captures the headline total.
+    full = {
+        "pipeline_ops": _pipeline_ops(spark, sf_dir),
+        "streaming": _streaming_components(spark, sf_dir),
+        "layout": _layout_components(spark, sf_dir),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "mode": "cold" if cold else "warm-cache",
+        "queries": timings,
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": total,
+    }
+    # The driver records only the tail of stdout, so the big auxiliary
+    # blocks (pipeline_ops/layout/streaming) would truncate whatever
+    # precedes them. Nothing is dropped: the COMPLETE result is written
+    # to BENCH_FULL_latest.json (tracked per-round in git) and stdout
+    # carries only the compact graded headline object.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
     print(
         json.dumps(
             {
-                "pipeline_ops": _pipeline_ops(spark, sf_dir),
-                "streaming": _streaming_components(spark, sf_dir),
-                "layout": _layout_components(spark, sf_dir),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-                "mode": "cold" if cold else "warm-cache",
+                "full_results_file": os.path.basename(full_path),
+                "sf": full["sf"],
+                "mode": full["mode"],
                 "queries": timings,
                 "metric": "headline_queries_total",
                 "unit": "sec",

@@ -353,18 +353,28 @@ def stratified_exact_sample(
     → input columns + ``sample_rank`` (1..n within the stratum).
     """
     # NULL keys would make concat/md5 NULL and sort first, silently
-    # claiming the top quota slots — coalesce to a sentinel so every
-    # row gets a real hash and the (hash, key) ranking stays total
-    key_str = F.coalesce(
-        F.col(key_col).cast("string"), F.lit("\x00null")
+    # claiming the top quota slots. A shared sentinel would be worse
+    # than it looks: all NULL rows would share ONE hash, tie on both
+    # sort keys (nondeterministic picks when the quota boundary falls
+    # inside the cluster) and land adjacent instead of independently
+    # scattered — and a literal key equal to the sentinel would
+    # collide. Instead each NULL-key row gets a per-row surrogate:
+    # xxhash64 over the full row (deterministic, partition-invariant,
+    # JVM-side), prefixed with \x00 so it can't equal any real key.
+    row_surrogate = F.concat(
+        F.lit("\x00"), F.xxhash64(*[F.col(c) for c in df.columns]).cast("string")
     )
+    key_str = F.coalesce(F.col(key_col).cast("string"), row_surrogate)
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), key_str)), 18, 15),
         16,
         10,
     ).cast("bigint")
+    # key_str (not key_col) as final tiebreak keeps the order total for
+    # NULL-key rows too; identical duplicate rows still tie, but they
+    # are indistinguishable so either pick yields the same result set
     w = Window.partitionBy(strata_col).orderBy(
-        h.asc(), F.col(key_col).asc_nulls_last()
+        h.asc(), F.col(key_col).asc_nulls_last(), key_str.asc()
     )
     return (
         df.withColumn("sample_rank", F.row_number().over(w))

@@ -50,6 +50,12 @@ def swap_store(store_dir: str, tmp_dir: str) -> None:
     (between aside-rename and publish-rename) is covered by
     :func:`recover_store` on the next merge.
     """
+    # Idempotent self-protection: if a mid-swap crash left the store
+    # renamed aside (store missing, .old present), the rmtree below
+    # would otherwise delete the sole surviving pre-crash state when
+    # this helper is invoked standalone (current callers all run
+    # recover_store first, but the helper must be safe on its own).
+    recover_store(store_dir)
     old = _old_dir(store_dir)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(store_dir):
