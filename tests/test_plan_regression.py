@@ -107,6 +107,12 @@ def test_no_accidental_python_or_nested_loops(spark):
         "ann_srp_topk",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
+        # the pandas_udf here is the OFFLINE index build (cell
+        # assignment) inside the persisted InMemoryRelation's
+        # description — the serving plan itself is an in-memory scan +
+        # LUT fold + TakeOrdered; the signature counts the cached
+        # lineage text
+        "ann_pq_topk",
         "embedding_near_dup",
         "simhash_pairs",
         # broadcast nearest-centroid assignment (vectorized pandas UDF)

@@ -48,6 +48,15 @@ QUADRATIC_ORACLES = {
     "ngram_jaccard",
     # embeds the all-pairs Jaccard + unrolled label propagation replay
     "cluster_representatives",
+    # banded-pair-join + unrolled connected-components replays: already
+    # 55/96/34 s in DuckDB at sf0.1 (vs 8.4/6.0/4.9 s Spark) and
+    # super-linear in SF — at sf1 they run for hours. Same asymmetry as
+    # the all-pairs Jaccard set: the oracle checks values, not strategy,
+    # so including them in the ratio total would flatter Spark with the
+    # oracle's restatement cost. Timed Spark-only.
+    "phash_near_dup",
+    "phash_dedup_map",
+    "entity_resolution",
 }
 
 # full Structured-Streaming engine runs whose oracle is a batch SQL
