@@ -86,7 +86,27 @@ def k_center_select(
     Seed = argmax of ROUND(squared norm, 6), ties to the smallest id
     (deterministic, engine-replayable).  Empty input → 0 rows; k larger
     than the pool → every point once.
+
+    BATCHED GREEDY (round 7): a naive loop pays one Catalyst plan +
+    TakeOrdered job per selection — a fixed per-round constant that
+    multiplies by k. Instead each distributed round fetches the top
+    ``j+1`` rows by current cover distance (j = selections still
+    needed; bounded k·dim driver bytes) and CHAIN-VERIFIES follow-up
+    selections driver-side: after accepting the round's argmax c, the
+    next shortlist candidate x (by updated mind, id-tiebreak) is
+    provably the global argmax iff its updated ``mind(x) >`` the
+    (j+1)-th row's pre-round mind — every point outside the shortlist
+    had mind ≤ that bound and minds only decrease. Ties or bound
+    violations fall back to a fresh distributed round, so the selected
+    sequence is IDENTICAL to the one-job-per-round loop (the DuckDB
+    oracle replays it round by round); typically the whole k-selection
+    takes 2 jobs instead of k. Driver-side mind updates replicate
+    Spark's ``F.round(x, 6)`` exactly (BigDecimal HALF_UP on the
+    shortest decimal repr — what java.math.BigDecimal.valueOf does).
     """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     if k < 1:
         raise ValueError("k must be >= 1")
     spark: SparkSession = df.sparkSession
@@ -99,6 +119,23 @@ def k_center_select(
             StructField("mind", DoubleType(), True),
         ]
     )
+
+    _Q6 = Decimal("0.000001")
+
+    def _round6(x: float) -> float:
+        # java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)
+        # .doubleValue(): valueOf goes through Double.toString (the
+        # shortest round-trip decimal), which Python's repr matches
+        # numerically
+        return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+    def _sqd(a: list, b: list) -> float:
+        # sequential left fold matching _sq_dist's F.aggregate order
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
     try:
         seed = (
             base.select("__id", "__v", F.round(_sq_norm(F.col("__v")), 6).alias("__n"))
@@ -108,20 +145,58 @@ def k_center_select(
         if seed is None:
             return spark.createDataFrame([], out_schema)
         selected = [(0, seed["__id"], None)]
-        center_vec = list(seed["__v"])
-        mind: F.Column | None = None
-        for r in range(1, k):
-            d_new = F.round(_sq_dist(F.col("__v"), center_vec), 6)
-            mind = d_new if mind is None else F.least(mind, d_new)
-            nxt = (
+        centers = [[float(x) for x in seed["__v"]]]
+        exhausted = False
+        while len(selected) < k and not exhausted:
+            j = k - len(selected)
+            # ONE distributed round: top-(j+1) by the full current mind
+            mind: F.Column | None = None
+            for c in centers:
+                d_new = F.round(_sq_dist(F.col("__v"), c), 6)
+                mind = d_new if mind is None else F.least(mind, d_new)
+            top = (
                 base.select("__id", "__v", mind.alias("__m"))
                 .orderBy(F.col("__m").desc(), F.col("__id").asc())
-                .first()
+                .limit(j + 1)
+                .collect()
             )
-            if nxt is None or nxt["__m"] is None or nxt["__m"] <= 0.0:
+            if not top or top[0]["__m"] is None or top[0]["__m"] <= 0.0:
                 break  # pool exhausted: every remaining point coincides
-            selected.append((r, nxt["__id"], float(nxt["__m"])))
-            center_vec = list(nxt["__v"])
+            # bound: every row OUTSIDE the fetched shortlist has
+            # pre-round mind <= this (and minds only decrease)
+            bound = top[-1]["__m"] if len(top) == j + 1 else -math.inf
+            shortlist = [
+                (r["__id"], [float(x) for x in r["__v"]], r["__m"])
+                for r in top
+            ]
+            first_in_round = True
+            while shortlist and len(selected) < k:
+                # argmax among shortlist by (updated mind desc, id asc)
+                bi = min(
+                    range(len(shortlist)),
+                    key=lambda i: (-shortlist[i][2], shortlist[i][0]),
+                )
+                cid, cvec, cm = shortlist.pop(bi)
+                if not first_in_round and not (cm > bound):
+                    # an unfetched row might tie or beat it — re-derive
+                    # distributedly (selection stays exact)
+                    break
+                if cm <= 0.0:
+                    # only reachable when no rows exist outside the
+                    # shortlist (bound = -inf): the global argmax
+                    # coincides with a center — pool exhausted, same
+                    # stop as the per-round loop. (first_in_round with
+                    # cm <= 0 is pre-checked on top[0].)
+                    exhausted = True
+                    break
+                first_in_round = False
+                selected.append((len(selected), cid, float(cm)))
+                centers.append(cvec)
+                # fold the new center into the remaining shortlist minds
+                shortlist = [
+                    (xid, xv, min(xm, _round6(_sqd(xv, cvec))))
+                    for xid, xv, xm in shortlist
+                ]
         return spark.createDataFrame(selected, out_schema)
     finally:
         base.unpersist()

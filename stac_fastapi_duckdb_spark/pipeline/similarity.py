@@ -842,13 +842,17 @@ def mmr_rerank(
 
     Two stages. (1) Distributed candidate generation: exact cosine
     top-``pool`` against the probe (TakeOrderedAndProject — the same
-    scan shape as brute_force_topk), localCheckpointed once so the k
-    greedy rounds don't re-derive it. (2) k greedy rounds, each ONE
-    distributed job over the pool: the selected set (≤ k vectors) is
-    embedded as literal arrays into a pure-Column score — per-row
-    work is k dot products inside codegen — and the round's winner is
-    a 1-row collect. Driver traffic is k rows total; the pool can be
-    millions of rows without changing the plan.
+    scan shape as brute_force_topk). (2) The k greedy rounds run over
+    the POOL — a bounded serving-time working set (rerank pools are
+    64–1000 in practice, a caller-chosen constant independent of
+    corpus size), so the pool rows are collected ONCE (O(pool·dim)
+    driver bytes, the same bounded-artifact class as k-means
+    centroids) and the greedy loop is plain driver arithmetic: zero
+    extra Spark jobs instead of one Catalyst plan + job per round.
+    Pools too big for the driver (> ``_DRIVER_POOL_MAX``) fall back to
+    the distributed per-round argmax loop — identical results either
+    way, because both paths execute the same IEEE ops in the same
+    order (see below).
 
     Determinism contract (same as the ANN family): relevance and the
     max-sim penalty are floor-half-up rounded to 6 dp BEFORE the
@@ -856,10 +860,17 @@ def mmr_rerank(
     ascending id, and ``mu = 1 - lam`` is computed ONCE in the driver
     and used as the same IEEE double on both engines — the DuckDB
     oracle replays candidate pool, every greedy round, and the blend
-    bit-for-bit.
+    bit-for-bit. The driver greedy replicates the Column algebra
+    EXACTLY: ``F.aggregate`` is a sequential left fold, so the Python
+    loop ``acc += x*y`` produces the same double; ``math.sqrt`` and
+    IEEE ``/``/``*``/``-`` match the JVM; the relevance values are
+    not recomputed at all (the collected ``_rel`` doubles ARE the
+    Spark-computed ones).
 
     -> (rank, vec_id, rel, mmr_score), rank 1..k in selection order.
     """
+    import math
+
     spark = df.sparkSession
     mu = 1.0 - lam
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
@@ -867,12 +878,7 @@ def mmr_rerank(
     def r6(c: Column) -> Column:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    # compact the pool to ~64k-row partitions before checkpointing:
-    # each greedy round is a separate job over the pool, and inheriting
-    # the scan's partitioning would pay k × (empty-task overhead) for a
-    # result set that is tiny by construction
-    parts = max(1, pool // 65536)
-    cand = (
+    cand_plan = (
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
@@ -880,9 +886,83 @@ def mmr_rerank(
         )
         .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
         .limit(pool)
-        .coalesce(parts)
-        .localCheckpoint()
     )
+    if pool > _DRIVER_POOL_MAX:
+        return _mmr_rounds_distributed(
+            spark, cand_plan, k, pool, lam, mu, id_col
+        )
+
+    # --- driver greedy over the bounded pool (one Spark job total) ---
+    rows = cand_plan.collect()
+
+    def _cos(a: list, b: list) -> float:
+        # sequential left folds, matching V.cosine_similarity's
+        # F.aggregate order bit-for-bit
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    remaining = [(r[id_col], list(r["_v"]), r["_rel"]) for r in rows]
+    picked: list = []
+    sel_vecs: list[list] = []
+    for _ in range(k):
+        best = None
+        for rid, v, rel in remaining:
+            if sel_vecs:
+                pen = _r6(max(_cos(v, sv) for sv in sel_vecs))
+            else:
+                pen = 0.0
+            score = lam * rel - mu * pen
+            # argmax by (score desc, id asc) — NaN never occurs (pool
+            # vectors have nonzero norm or cosine is inf/nan filtered
+            # upstream identically on both paths)
+            if best is None or score > best[0] or (
+                score == best[0] and rid < best[1]
+            ):
+                best = (score, rid, v, rel)
+        if best is None:
+            break
+        score, rid, v, rel = best
+        picked.append((len(picked) + 1, rid, float(rel) + 0.0, float(score) + 0.0))
+        sel_vecs.append(v)
+        remaining = [t for t in remaining if t[0] != rid]
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} long, rel double, mmr_score double"
+    )
+
+
+# pools above this run the distributed per-round loop; below it the
+# greedy runs driver-side on the collected pool (bounded: pool·dim
+# doubles ≈ 4 MB at the threshold with dim 64)
+_DRIVER_POOL_MAX = 8192
+
+
+def _mmr_rounds_distributed(
+    spark, cand_plan: DataFrame, k: int, pool: int, lam: float, mu: float,
+    id_col: str,
+) -> DataFrame:
+    """The distributed greedy: one Catalyst plan + TakeOrdered job per
+    round, selected vectors embedded as literals — for pools too large
+    to collect. Bit-identical to the driver path (same fold order,
+    same rounding, same tie-break)."""
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    # compact to ~64k-row partitions before checkpointing: each round
+    # is a separate job, and inheriting the scan's partitioning would
+    # pay k × (empty-task overhead) for a bounded result
+    cand = cand_plan.coalesce(max(1, pool // 65536)).localCheckpoint()
     picked: list = []
     sel_vecs: list[Column] = []
     remaining = cand
