@@ -890,6 +890,7 @@ def perplexity_score(
     lm: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score every document against a ``train_unigram_lm`` artifact:
     → (doc_id, n_tokens, avg_nll) where ``avg_nll`` is the mean
@@ -903,6 +904,10 @@ def perplexity_score(
     misses to the broadcast OOV scalar, one partial-aggregated
     ``groupBy doc_id``. Two shuffles total across train+score; the
     scoring pass itself shuffles only the per-doc aggregate.
+    ``carry_cols`` rides extra per-document columns through the
+    aggregation as additional group keys (doc_id is unique, so they
+    change no group) — callers that need doc metadata next to the
+    score skip a whole join-shuffle against the corpus.
     """
     from stac_fastapi_duckdb_spark.pipeline.dedup import (
         ensure_parallelism,
@@ -915,12 +920,13 @@ def perplexity_score(
     vocab = lm.filter(F.col("token").isNotNull())
     tok = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
         F.explode(tokens_col(F.col(text_col))).alias("token"),
     )
     return (
         tok.join(F.broadcast(vocab), "token", "left")
         .crossJoin(F.broadcast(oov))
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.avg(-F.coalesce(F.col("logprob"), F.col("_oov"))).alias("avg_nll"),
@@ -995,16 +1001,17 @@ def quality_tiers(
 
     Determinism: ntile runs over (ROUNDED avg_nll, doc_id) — a total
     order on engine-stable values, so bucket boundaries replay exactly
-    in the oracle. One scoring pass + one window shuffle on the group.
+    in the oracle. One scoring pass + one window shuffle on the group:
+    the group column rides THROUGH the scoring aggregation
+    (``carry_cols`` — doc_id is unique, so it adds no groups), so no
+    join back against the corpus is ever planned.
 
     → (doc_id, group, n_tokens, avg_nll, tier, tier_label); labels are
     head/middle/tail when tiers=3, else "t<k>".
     """
-    scored = perplexity_score(df, lm, text_col, id_col).withColumn(
-        "avg_nll", F.round("avg_nll", 6)
-    )
-    meta = df.select(F.col(id_col).alias("doc_id"), group_col)
-    j = scored.join(meta, "doc_id")
+    j = perplexity_score(
+        df, lm, text_col, id_col, carry_cols=(group_col,)
+    ).withColumn("avg_nll", F.round("avg_nll", 6))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(
@@ -1295,25 +1302,50 @@ def hash_embed(
         .otherwise(F.lit(-1))
         .alias("_s"),
     )
-    raw = (
-        cells.groupBy("doc_id", "_b")
-        .agg(F.sum("_s").cast("long").alias("_v"))
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias(
-                "_m"
+    if dim <= 256:
+        # dense path: ONE groupBy(doc) of ``dim`` conditional sums —
+        # map-side combine collapses each doc to a single dim-wide row
+        # before the only exchange. (The two-level grouping below pays
+        # a second shuffle; measured ~2× slower at dim 32.) Capped at
+        # 256 agg columns: thousands of generated agg exprs start to
+        # cost more in Catalyst than they save in exchange.
+        raw = (
+            cells.groupBy("doc_id")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("_b") == i, F.col("_s")).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"_c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "doc_id",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("_raw"),
             )
         )
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("_m"), i), F.lit(0).cast("long")
-                ),
-            ).alias("_raw"),
+    else:
+        raw = (
+            cells.groupBy("doc_id", "_b")
+            .agg(F.sum("_s").cast("long").alias("_v"))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias(
+                    "_m"
+                )
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("_raw"),
+            )
         )
-    )
     # exact-integer sum of squares → one sqrt, one division per dim
     norm = F.sqrt(
         F.aggregate(
