@@ -286,12 +286,32 @@ def get_one_item(catalog: CollectionCatalog, collection_id: str, item_id: str) -
     """Point lookup (reference get_one_item, database_logic.py:156-189):
     filter-pushdown + limit(1); empty → NotFoundError.
 
-    If the catalog holds a manifest file index for the collection
-    (``build_item_index``), the scan mounts only the files whose id
-    min/max overlaps ``item_id`` — on a key-sorted multi-file layout
-    that is ONE file regardless of collection size; without an index
-    this is the plain full-listing scan with pushdown."""
+    SERVING FAST PATH: local single-path parquet collections are
+    answered driver-side by ``CollectionCatalog.point_read`` (lazy
+    manifest prune + pyarrow row-group predicate read, a few ms, no
+    Spark job — equivalence-tested against the distributed plan in
+    tests/test_pointread.py). Everything else falls back to the
+    distributed plan below: if the catalog holds a manifest file index
+    for the collection (``build_item_index``), the scan mounts only
+    the files whose id min/max overlaps ``item_id`` — on a key-sorted
+    multi-file layout that is ONE file regardless of collection size;
+    without an index this is the plain full-listing scan with
+    pushdown."""
     from stac_fastapi_duckdb_spark.errors import NotFoundError
+    from stac_fastapi_duckdb_spark.sources.catalog import (
+        PointReadUnavailable,
+    )
+
+    try:
+        row = catalog.point_read(collection_id, item_id)
+    except PointReadUnavailable:
+        pass
+    else:
+        if row is None:
+            raise NotFoundError(
+                f"Item {item_id} in collection {collection_id} not found"
+            )
+        return row
 
     df = catalog.pruned_items_df(collection_id, "id", item_id)
     rows = df.filter(F.col("id") == item_id).limit(1).collect()

@@ -35,6 +35,33 @@ from stac_fastapi_duckdb_spark.errors import NotFoundError
 
 COLLECTION_COL = "collection"
 
+
+def _as_spark_py(v):
+    """Normalize a pyarrow ``to_pylist`` value to what PySpark's
+    ``Row.asDict(recursive=True)`` yields for the same cell: binary →
+    bytearray, tz-aware timestamps → naive datetime in the driver's
+    local zone (PySpark's TimestampType.fromInternal goes through
+    ``datetime.fromtimestamp``), containers recursed."""
+    import datetime as _dt
+
+    if isinstance(v, (bytes, bytearray)):
+        return bytearray(v)
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone().replace(tzinfo=None)
+    if isinstance(v, list):
+        return [_as_spark_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _as_spark_py(x) for k, x in v.items()}
+    return v
+
+
+class PointReadUnavailable(Exception):
+    """Raised by :meth:`CollectionCatalog.point_read` when the
+    driver-side fast path cannot serve the collection (partitioned
+    table, remote URL, non-parquet source, no usable manifest) — the
+    caller falls back to the distributed plan. Never raised for a
+    MISSING item (that returns ``None``)."""
+
 # item-table source formats by extension; anything else is parquet
 _FORMAT_EXTS = (
     (".csv", "csv"),
@@ -262,6 +289,67 @@ class CollectionCatalog:
         idx = build_file_index(path, list(columns))
         self._file_index[collection_id] = idx
         return idx
+
+    def point_read(
+        self, collection_id: str, item_id, id_col: str = "id"
+    ) -> dict | None:
+        """Serving-latency point lookup, entirely driver-side: manifest
+        prune (``build_item_index``, built lazily on first use) to the
+        files whose id stats admit ``item_id``, then a pyarrow
+        predicate read of those files — row groups whose stats exclude
+        the id are never decoded. On a key-sorted layout this opens ONE
+        file and usually one row group, a few ms against a
+        collection of any size; no Spark job is scheduled. Returns the
+        item as a dict shaped exactly like
+        ``Row.asDict(recursive=True)`` from the distributed plan
+        (binary → bytearray, tz-aware timestamps → naive driver-local,
+        the injected constant ``collection`` column appended), ``None``
+        when the item is provably absent, and raises
+        :class:`PointReadUnavailable` when this catalog/collection
+        shape can't be served driver-side (the caller falls back to
+        the Spark plan — see ``operators/search.py get_one_item``).
+
+        The reference serves this with a full DuckDB query per lookup
+        (``database_logic.py:156-189``); a long-lived Spark session
+        pays ~0.3 s of scheduling for the same one-row answer, which
+        is the wrong constant for an API's hottest endpoint."""
+        from stac_fastapi_duckdb_spark.sources.index import prune_files
+
+        if self._partitioned is not None:
+            raise PointReadUnavailable("single-table catalog")
+        url = self._urls.get(collection_id)
+        if url is None:
+            raise NotFoundError(f"Collection {collection_id} not configured")
+        if not isinstance(url, str) or url.startswith(("http://", "https://")):
+            raise PointReadUnavailable("remote or multi-URL collection")
+        path = url[7:] if url.startswith("file://") else url
+        if not os.path.exists(path) or _detect_format([path]) != "parquet":
+            raise PointReadUnavailable("non-local or non-parquet source")
+        idx = self._file_index.get(collection_id)
+        if idx is None:
+            # one-time footer sweep; cached on the catalog afterwards
+            idx = self.build_item_index(collection_id, (id_col,))
+        if not idx:
+            raise PointReadUnavailable("no manifest index")
+        files = prune_files(idx, id_col, item_id)
+        if not files:
+            return None  # stats prove no file can hold the key
+        import pyarrow.dataset as pds
+        import pyarrow.types as patypes
+
+        dataset = pds.dataset(files, format="parquet")
+        if any(patypes.is_map(f.type) for f in dataset.schema):
+            # pyarrow renders maps as tuple lists, Spark as dicts —
+            # don't risk a shape mismatch on exotic schemas
+            raise PointReadUnavailable("map-typed column")
+        tbl = dataset.to_table(filter=pds.field(id_col) == item_id)
+        if tbl.num_rows == 0:
+            return None
+        row = {
+            k: _as_spark_py(v) for k, v in tbl.slice(0, 1).to_pylist()[0].items()
+        }
+        row[COLLECTION_COL] = collection_id
+        return row
 
     def pruned_items_df(
         self, collection_id: str, col: str, lo, hi=None

@@ -1,0 +1,126 @@
+"""Equivalence tests for the driver-side point-lookup fast path
+(CollectionCatalog.point_read): same dict as the distributed plan,
+same NotFound behavior, clean fallback when the shape is unservable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from stac_fastapi_duckdb_spark.errors import NotFoundError
+from stac_fastapi_duckdb_spark.functions import geo
+from stac_fastapi_duckdb_spark.operators.search import get_one_item
+from stac_fastapi_duckdb_spark.sources import CollectionCatalog
+from stac_fastapi_duckdb_spark.sources.catalog import PointReadUnavailable
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def collection_dir(tmp_path_factory):
+    """Three id-sorted parquet files (the compacted layout) with the
+    full STAC type zoo: binary geometry, list bbox, nullable tz
+    timestamps, a nested struct."""
+    d = tmp_path_factory.mktemp("pointread")
+    for part in range(3):
+        rows = range(part * 10, part * 10 + 10)
+        t = pa.table(
+            {
+                "id": pa.array([f"it-{i:03d}" for i in rows]),
+                "geometry": pa.array(
+                    [geo.box_wkb(i, i, i + 1.0, i + 1.0) for i in rows],
+                    pa.binary(),
+                ),
+                "bbox": pa.array(
+                    [[float(i), float(i), i + 1.0, i + 1.0] for i in rows],
+                    pa.list_(pa.float64()),
+                ),
+                "datetime": pa.array(
+                    [
+                        dt.datetime(2021, 1, 1 + i % 27, tzinfo=UTC)
+                        if i % 3
+                        else None
+                        for i in rows
+                    ],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                "props": pa.array(
+                    [{"a": i, "b": f"v{i}"} for i in rows],
+                    pa.struct([("a", pa.int64()), ("b", pa.string())]),
+                ),
+            }
+        )
+        pq.write_table(t, f"{d}/part-{part}.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def catalog(spark, collection_dir):
+    return CollectionCatalog(spark, {"demo": collection_dir})
+
+
+def _spark_path_item(catalog, cid, iid):
+    """The distributed answer: same API with the fast path disabled."""
+    orig = catalog.point_read
+    try:
+        catalog.point_read = lambda *a, **k: (_ for _ in ()).throw(
+            PointReadUnavailable("forced")
+        )
+        return get_one_item(catalog, cid, iid)
+    finally:
+        catalog.point_read = orig
+
+
+@pytest.mark.parametrize("iid", ["it-000", "it-013", "it-029"])
+def test_fast_path_matches_spark_plan(catalog, iid):
+    fast = get_one_item(catalog, "demo", iid)
+    slow = _spark_path_item(catalog, "demo", iid)
+    assert fast == slow
+    assert fast["collection"] == "demo"
+    assert isinstance(fast["geometry"], bytearray)
+    assert fast["props"] == slow["props"]
+
+
+def test_fast_path_serves_without_spark_job(catalog, spark):
+    get_one_item(catalog, "demo", "it-005")  # builds the lazy manifest
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    item = get_one_item(catalog, "demo", "it-021")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert item["id"] == "it-021"
+    assert after == before, "point lookup scheduled a Spark job"
+
+
+def test_missing_item_not_found_both_paths(catalog):
+    with pytest.raises(NotFoundError):
+        get_one_item(catalog, "demo", "it-999")  # beyond every file's max
+    with pytest.raises(NotFoundError):
+        get_one_item(catalog, "demo", "it-0145")  # inside range, absent
+    with pytest.raises(NotFoundError):
+        _spark_path_item(catalog, "demo", "it-999")
+
+
+def test_unknown_collection_raises(catalog):
+    with pytest.raises(NotFoundError):
+        get_one_item(catalog, "nope", "it-000")
+
+
+def test_partitioned_catalog_falls_back(spark, collection_dir):
+    df = spark.read.parquet(collection_dir).withColumn(
+        "collection", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("demo")
+    )
+    cat = CollectionCatalog.from_table(spark, df)
+    with pytest.raises(PointReadUnavailable):
+        cat.point_read("demo", "it-004")
+    # the public API still answers through the distributed plan
+    assert get_one_item(cat, "demo", "it-004")["id"] == "it-004"
+
+
+def test_nulls_round_trip(catalog):
+    # it-000: i % 3 == 0 → NULL datetime
+    fast = get_one_item(catalog, "demo", "it-000")
+    slow = _spark_path_item(catalog, "demo", "it-000")
+    assert fast["datetime"] is None and slow["datetime"] is None

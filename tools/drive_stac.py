@@ -62,9 +62,19 @@ print("Q3 STAC item:", json.dumps({k: item[k] for k in ("type", "id", "collectio
 assert item["type"] == "Feature" and item["geometry"]["type"] == "Polygon"
 assert item["properties"]["platform"] in ("landsat-8", "sentinel-2")
 
-# 4. point lookup
+# 4. point lookup — serving-latency gate: the driver-side fast path
+# (catalog.point_read) must answer in single-digit ms, not a Spark job
 one = get_one_item(cat, "demo", "it-03")
 print("Q4 get_one_item:", one["id"])
+import statistics, time
+lat = []
+for k in range(30):
+    t0 = time.perf_counter()
+    get_one_item(cat, "demo", f"it-{k % 15:02d}")
+    lat.append((time.perf_counter() - t0) * 1000)
+p50 = statistics.median(lat)
+print(f"Q4 point-lookup p50 = {p50:.2f} ms (n=30, max {max(lat):.2f})")
+assert p50 < 20, f"point lookup p50 {p50:.1f} ms >= 20 ms"
 
 # 5. CQL2
 flt = {"op": "and", "args": [
