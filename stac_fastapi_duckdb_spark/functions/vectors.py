@@ -16,9 +16,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` (the column's KNOWN fixed length) the
+    sum is unrolled into ``dim`` literal terms — same sequential
+    left-to-right IEEE adds as the fold (bit-identical, including the
+    leading ``0.0 +``), but fully inside whole-stage codegen: Spark's
+    higher-order-function lambdas are INTERPRETED per element, which
+    measures ~6-10× slower in hot scans. Without ``dim`` (ragged or
+    unknown length) the HOF fold is used. Keep unrolls in the
+    hundreds-of-terms range: thousands of literal terms cost more in
+    Catalyst than they save (see PERF.md)."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -26,8 +42,14 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def l2_norm(a: Column | str) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     a = F.col(a) if isinstance(a, str) else a
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -37,8 +59,10 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

@@ -38,13 +38,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal probe vector."""
+    """Exact cosine top-k against a literal probe vector. The probe's
+    length pins the dimension, so the cosine unrolls into codegen
+    (bit-identical add order to the HOF fold — see functions/vectors)
+    for dims up to 256."""
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
+    dim = len(probe) if len(probe) <= 256 else None
     return (
         df.select(
             F.col(id_col),
             F.round(
-                V.cosine_similarity(F.col(vec_col), probe_lit), 6
+                V.cosine_similarity(F.col(vec_col), probe_lit, dim), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -878,11 +882,14 @@ def mmr_rerank(
     def r6(c: Column) -> Column:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
+    probe_dim = len(probe) if len(probe) <= 256 else None
     cand_plan = (
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
-            r6(V.cosine_similarity(F.col(vec_col), probe_lit)).alias("_rel"),
+            r6(
+                V.cosine_similarity(F.col(vec_col), probe_lit, probe_dim)
+            ).alias("_rel"),
         )
         .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
         .limit(pool)

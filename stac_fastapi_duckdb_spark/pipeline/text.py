@@ -596,10 +596,13 @@ def hybrid_search(
     alpha: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval: BM25 candidate generation over
     the corpus, then dense cosine rerank of the candidate set against a
-    probe embedding; final score = ``alpha·bm25 + cosine``.
+    probe embedding; final score = ``alpha·bm25 + cosine``. Pass the
+    embedding ``dim`` when known to unroll the cosine into codegen
+    (bit-identical to the HOF fold).
 
     Scale shape: BM25 produces ``n_candidates`` rows (driver-small);
     that candidate set is BROADCAST into the embeddings scan, so the
@@ -624,9 +627,10 @@ def hybrid_search(
             "doc_id",
             "bm25",
             # + 0.0 pins IEEE zero sign on near-zero cosines
-            (F.round(V.cosine_similarity("embedding", "probe_vec"), 6) + F.lit(0.0)).alias(
-                "cos_sim"
-            ),
+            (
+                F.round(V.cosine_similarity("embedding", "probe_vec", dim), 6)
+                + F.lit(0.0)
+            ).alias("cos_sim"),
         )
         .select(
             "doc_id",
