@@ -469,8 +469,13 @@ def linear_attribution(
         ),
         F.col(ts_col).alias("_w1"),
     )
+    # granule = the (fixed) lookback width: every interval explodes to
+    # exactly 2 granule rows instead of lookback/granule+1 — the
+    # "granule ≈ interval length" tuning rule from rangejoin.py (the
+    # 3600 s default under 24 h windows was a 25× interval blowup)
     pairs = point_in_interval_join(
-        pts, conv, "_sts", "_w0", "_w1", on=user_col
+        pts, conv, "_sts", "_w0", "_w1", on=user_col,
+        granule_seconds=int(lookback_hours) * 3600,
     ).select(user_col, "conversion_id", "conversion_ts", "source_id", "source_type")
     n = F.count(F.lit(1)).over(Window.partitionBy("conversion_id"))
     credited = pairs.select(
