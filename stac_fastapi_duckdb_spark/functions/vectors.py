@@ -20,12 +20,13 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product. With ``dim`` (the column's KNOWN fixed length) the
     sum is unrolled into ``dim`` literal terms — same sequential
     left-to-right IEEE adds as the fold (bit-identical, including the
-    leading ``0.0 +``), but fully inside whole-stage codegen: Spark's
-    higher-order-function lambdas are INTERPRETED per element, which
-    measures ~6-10× slower in hot scans. Without ``dim`` (ragged or
-    unknown length) the HOF fold is used. Keep unrolls in the
-    hundreds-of-terms range: thousands of literal terms cost more in
-    Catalyst than they save (see PERF.md)."""
+    leading ``0.0 +``), fully inside whole-stage codegen instead of the
+    interpreted HOF lambda. MEASURED CAVEAT (round 7, PERF.md): the
+    unroll's per-invocation Catalyst planning + codegen compile costs
+    ~1.4 s for a 64-dim cosine, which LOSES to the interpreted fold up
+    to at least 200k rows/invocation — every current call site uses the
+    fold (dim=None); reach for the unroll only in a reused/cached plan
+    over many millions of rows per invocation."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if dim is not None:

@@ -38,17 +38,13 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal probe vector. The probe's
-    length pins the dimension, so the cosine unrolls into codegen
-    (bit-identical add order to the HOF fold — see functions/vectors)
-    for dims up to 256."""
+    """Exact cosine top-k against a literal probe vector."""
     probe_lit = F.array(*[F.lit(float(x)) for x in probe])
-    dim = len(probe) if len(probe) <= 256 else None
     return (
         df.select(
             F.col(id_col),
             F.round(
-                V.cosine_similarity(F.col(vec_col), probe_lit, dim), 6
+                V.cosine_similarity(F.col(vec_col), probe_lit), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -882,7 +878,7 @@ def mmr_rerank(
     def r6(c: Column) -> Column:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    probe_dim = len(probe) if len(probe) <= 256 else None
+    probe_dim = None  # unroll measured SLOWER at bench scales (see vectors.dot)
     cand_plan = (
         df.select(
             F.col(id_col),

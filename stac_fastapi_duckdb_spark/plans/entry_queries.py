@@ -492,11 +492,7 @@ def q_embedding_topk(spark, sf):
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            # dim=64 (the embeddings schema) unrolls the cosine into
-            # codegen — identical IEEE add order to the HOF fold
-            F.round(
-                V.cosine_similarity("embedding", "probe_vec", 64), 6
-            ).alias("cos_sim"),
+            F.round(V.cosine_similarity("embedding", "probe_vec"), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -1904,7 +1900,6 @@ def q_hybrid_search(spark, sf):
         probe_id=0,
         k=10,
         n_candidates=50,
-        dim=64,
     )
 
 
@@ -2679,7 +2674,7 @@ def q_hashed_text_topk(spark, sf):
         vecs.filter(F.col("doc_id") != 0)
         .select(
             "doc_id",
-            F.round(V.dot(F.col("vec"), probe_lit, 32), 6).alias("score"),
+            F.round(V.dot(F.col("vec"), probe_lit), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(10)
