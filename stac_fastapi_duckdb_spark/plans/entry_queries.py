@@ -403,14 +403,19 @@ def q_top_revenue_orders(spark, sf):
 
 
 def q_region_revenue(spark, sf):
-    """TPC-H Q5 shape: 5-way star join with broadcast dims."""
+    """TPC-H Q5 shape: 5-way star join with broadcast dims. The one
+    fact-fact join (lineitem⋈orders) uses SHUFFLE_HASH on the narrower
+    orders side — same exchanges as the default sort-merge but no sort
+    of either side (A/B'd 0.92→0.65 s at sf0.1, 1.49→1.13 s at sf1);
+    per-partition hash build stays bounded by the shuffle partition
+    count, which AQE sizes at scale."""
     r = _t(spark, sf, "region")
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -1241,14 +1246,22 @@ def q_semi_join(spark, sf):
     """EXISTS → left-semi join (TPC-H Q4 shape). A semi join never
     duplicates probe-side rows, so at 100 TB it avoids materializing the
     N:M match explosion an inner-join+distinct would shuffle; Catalyst
-    plans the same LeftSemi it would derive from SQL EXISTS."""
+    plans the same LeftSemi it would derive from SQL EXISTS.
+    SHUFFLE_HASH on the build side skips both sort passes (a semi probe
+    only needs set membership): A/B'd 0.44→0.33 s at sf0.1 and
+    1.18→0.46 s at sf1. Per-partition build = the filtered key set /
+    shuffle-partition count, which AQE keeps bounded at scale. The
+    explicit hint (vs preferSortMergeJoin=false) keeps the plan
+    deterministic across stat estimates; the cost is forgoing the
+    broadcast Catalyst would pick at toy scale — at production scale
+    neither filtered side is broadcastable anyway."""
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
     )
     l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        o.join(l.hint("SHUFFLE_HASH"), o.o_orderkey == l.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
