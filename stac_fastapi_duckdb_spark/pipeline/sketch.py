@@ -162,6 +162,32 @@ def cms_sketch(
     )
 
 
+def cms_sketch_from_counts(
+    df: DataFrame,
+    value_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Build the SAME d×w sketch from an already-aggregated
+    ``(value, count)`` table — CMS is linear, so summing each distinct
+    value's count into its cells is cell-for-cell identical to hashing
+    every raw occurrence, while computing d md5s per DISTINCT value
+    instead of per instance (200× fewer hashes on a 10M-token corpus
+    with a 50k vocabulary). Use when an exact per-value aggregate
+    already exists in the pipeline; ``cms_sketch`` remains the raw
+    single-pass form."""
+    cells = F.array(
+        *[cms_cell(F.col(value_col), r, width, seed) for r in range(depth)]
+    )
+    return (
+        df.select(F.col(count_col), F.posexplode(cells).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.sum(count_col).cast("long").alias("cnt"))
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cell-wise sum of two sketches built with identical
     (depth, width, seed) — the union-corpus sketch."""

@@ -2527,10 +2527,16 @@ def q_cms_counts(spark, sf):
     partial-aggregated shuffle bounded by d·w), then estimate the top-20
     exact tokens against it — output (token, exact_n, est_n) with the
     one-sided est_n ≥ exact_n guarantee. md5-derived cells make the
-    sketch AND the estimates engine-replayable."""
+    sketch AND the estimates engine-replayable. The sketch is built
+    from the exact (token, count) aggregate this query needs anyway
+    (cms_sketch_from_counts — CMS linearity makes it cell-identical):
+    d md5s per DISTINCT token instead of per instance, and the vocab
+    table is localCheckpointed so the explode+count pipeline runs once
+    for both the probe and sketch branches (14.1 s → the aggregate
+    cost of one token count at sf1)."""
     from stac_fastapi_duckdb_spark.pipeline.sketch import (
         cms_estimate,
-        cms_sketch,
+        cms_sketch_from_counts,
     )
 
     toks = (
@@ -2542,11 +2548,14 @@ def q_cms_counts(spark, sf):
         )
         .filter(F.col("token") != "")
     )
-    exact = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("exact_n")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        # vocabulary-bounded (≪ corpus); two consumers below
+        .localCheckpoint()
     )
     probes = exact.orderBy(F.col("exact_n").desc(), "token").limit(20)
-    sk = cms_sketch(toks, "token", depth=4, width=512)
+    sk = cms_sketch_from_counts(exact, "token", "exact_n", depth=4, width=512)
     est = cms_estimate(sk, probes.select("token"), "token", depth=4, width=512)
     return probes.join(est, "token").select("token", "exact_n", "est_n")
 
