@@ -5897,10 +5897,17 @@ def _mmr_oracle_sql(k: int = 8, pool: int = 64, lam: float = 0.7) -> str:
             where = "WHERE " + " AND ".join(
                 f"c.vec_id <> (SELECT vec_id FROM s{j})" for j in range(1, i)
             )
+        # ::DOUBLE on the lam/mu literals is LOAD-BEARING: DuckDB types
+        # a bare 17-digit literal as DECIMAL and evaluates the blend in
+        # decimal arithmetic, which can land an ulp off the IEEE
+        # double product at a rounding boundary (caught by the
+        # embeddings differential fuzzer; same gotcha as the PQ
+        # codebook literals)
         parts.append(
             f"""s{i} AS MATERIALIZED (
             SELECT c.vec_id, c.v, c.rel,
-                   {lam!r} * c.rel - {mu!r} * {pen} AS score
+                   CAST({lam!r} AS DOUBLE) * c.rel
+                     - CAST({mu!r} AS DOUBLE) * CAST({pen} AS DOUBLE) AS score
             FROM cand c {where}
             ORDER BY score DESC, c.vec_id ASC LIMIT 1
         )"""
