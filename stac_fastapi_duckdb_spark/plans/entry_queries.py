@@ -89,10 +89,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = (sf_dir, name)
         df = per_session.get(key)
         if df is None:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").cache()
+            path = f"{sf_dir}/{name}.parquet"
+            df = spark.read.parquet(path)
+            # A cached table inherits the SCAN's partitioning, and the
+            # test parquet ships as one small (often single-row-group)
+            # file — cached as ONE partition, every map-side stage over
+            # it would run single-threaded on a 32-core machine. Size
+            # the cache by compressed bytes (~2 MB/partition, capped at
+            # the core count): a real deployment likewise repartitions
+            # a hot table once at cache build, not per query.
+            parts = _cache_partitions(spark, path)
+            if parts > 1:
+                df = df.repartition(parts)
+            df = df.cache()
             per_session[key] = df
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cache_partitions(spark: SparkSession, path: str) -> int:
+    """~2 MB compressed bytes or ~50k rows per cached partition,
+    whichever asks for more (zstd squeezes the synthetic text/props
+    tables 20×+, so bytes alone undersizes them), capped at the core
+    count. Footer-only driver reads, once per cache build."""
+    import os as _os
+
+    try:
+        files = (
+            [
+                _os.path.join(path, f)
+                for f in _os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            if _os.path.isdir(path)
+            else [path]
+        )
+        size = sum(_os.path.getsize(f) for f in files)
+        import pyarrow.parquet as _pq
+
+        rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except OSError:
+        return 1
+    want = max(size // (2 << 20), rows // 50_000)
+    return max(1, min(spark.sparkContext.defaultParallelism, want))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,10 +1747,17 @@ def q_label_balance(spark, sf):
 def q_json_extract(spark, sf):
     """Schema-on-read JSON extraction (get_json_object, JVM-side) over
     the events.props payload column, aggregated per type — the
-    semi-structured-ingest operator class (Kafka payloads, logs)."""
+    semi-structured-ingest operator class (Kafka payloads, logs).
+    The extraction is PROJECTED once before the aggregate: referencing
+    the expression in four agg columns would otherwise parse the JSON
+    payload four times per row (no cross-aggregate CSE)."""
     ev = _t(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
+    kv = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    k = F.col("k")
+    return kv.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.when(k > 50, 1)).alias("n_high"),
         F.min(k).alias("min_k"),

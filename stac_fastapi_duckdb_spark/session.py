@@ -46,7 +46,12 @@ _LOCAL_DEFAULTS = {
     # at cluster scale AQE coalesces post-shuffle partitions anyway.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    "spark.sql.files.maxPartitionBytes": "128m",
+    # 16m (not the 128m default): the bench/test parquet is small and
+    # zstd-compressed — at 128m even the 69 MB / 49-row-group sf1
+    # lineitem scans as ONE task on 32 cores. At cluster scale this
+    # comes from cluster conf; 16m keeps local cold scans split
+    # wherever the files have row groups to split on.
+    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     # managed-table warehouse (bucketed tables) outside the repo tree
