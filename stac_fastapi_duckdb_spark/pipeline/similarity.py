@@ -887,6 +887,13 @@ def mmr_rerank(
                 V.cosine_similarity(F.col(vec_col), probe_lit, probe_dim)
             ).alias("_rel"),
         )
+        # zero-norm / non-finite vectors yield NaN relevance; NaN sorts
+        # FIRST under desc and would enter the pool on the distributed
+        # path while the driver greedy's `score > best` (NaN-false)
+        # could pick differently — drop them so BOTH paths (and the
+        # DuckDB oracle, where NaN never survives a comparison) see the
+        # identical finite pool
+        .filter(F.col("_rel").isNotNull() & ~F.isnan(F.col("_rel")))
         .orderBy(F.col("_rel").desc(), F.col(id_col).asc())
         .limit(pool)
     )

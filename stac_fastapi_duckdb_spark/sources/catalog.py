@@ -337,12 +337,38 @@ class CollectionCatalog:
         import pyarrow.dataset as pds
         import pyarrow.types as patypes
 
-        dataset = pds.dataset(files, format="parquet")
-        if any(patypes.is_map(f.type) for f in dataset.schema):
-            # pyarrow renders maps as tuple lists, Spark as dicts —
-            # don't risk a shape mismatch on exotic schemas
-            raise PointReadUnavailable("map-typed column")
-        tbl = dataset.to_table(filter=pds.field(id_col) == item_id)
+        def _unservable_type(t) -> str | None:
+            # pyarrow renders maps as tuple lists, Spark as dicts;
+            # naive (isAdjustedToUTC=false) timestamps come back
+            # unchanged from pyarrow but Spark reinterprets them
+            # through the UTC session tz and renders driver-local —
+            # don't risk a value mismatch on either shape
+            if patypes.is_map(t):
+                return "map-typed column"
+            if patypes.is_timestamp(t) and t.tz is None:
+                return "naive (non-UTC-adjusted) timestamp column"
+            if patypes.is_struct(t):
+                return next(
+                    (_unservable_type(f.type) for f in t if _unservable_type(f.type)),
+                    None,
+                )
+            if patypes.is_list(t) or patypes.is_large_list(t):
+                return _unservable_type(t.value_type)
+            return None
+
+        try:
+            dataset = pds.dataset(files, format="parquet")
+            for f in dataset.schema:
+                reason = _unservable_type(f.type)
+                if reason:
+                    raise PointReadUnavailable(reason)
+            tbl = dataset.to_table(filter=pds.field(id_col) == item_id)
+        except PointReadUnavailable:
+            raise
+        except Exception as exc:  # corrupt footer, schema unification, …
+            # any fast-path failure degrades to the Spark plan rather
+            # than surfacing a 500 the distributed scan could serve
+            raise PointReadUnavailable(f"pyarrow read failed: {exc}") from exc
         if tbl.num_rows == 0:
             return None
         row = {
