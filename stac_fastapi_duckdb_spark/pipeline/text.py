@@ -317,6 +317,112 @@ def tfidf_top_terms(
     )
 
 
+def bm25_corpus_stats(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[int, float]:
+    """The two BM25 corpus constants ``(n_docs, avgdl)`` in one
+    aggregate scan — index-build-time artifacts in a deployment (they
+    change only when the corpus does). all-NULL text: avg over zero
+    non-null rows is NULL; no token row survives downstream anyway, so
+    any finite placeholder is safe."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens_col(F.col(text_col)))).alias("a"),
+    ).collect()[0]
+    return stats["n"], (stats["a"] if stats["a"] is not None else 1.0)
+
+
+def bm25_tf_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full-vocabulary per-(doc, term) term-frequency table —
+    BM25's INVERTED INDEX, the offline build artifact every lexical
+    search engine materializes once and serves many times. One
+    partial-aggregated shuffle of (doc, term) rows; at 100 TB this is
+    a written table bucketed by ``term`` so a query's term filter
+    prunes at the layout. → (doc_id, dl, term, tf)."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        tokens_col,
+    )
+
+    toks = tokens_col(F.col(text_col))
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_score_tf(
+    tf: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Okapi BM25 scoring over a per-(doc, term) TF stream already
+    restricted to the query terms: document frequency is a COUNT
+    window over the TF rows, the per-doc sum + top-k is one
+    aggregation plus TakeOrderedAndProject. Shared verbatim by the
+    one-shot ``bm25_search`` and the index-serving
+    ``bm25_search_indexed`` so the two paths are bit-identical."""
+    from pyspark.sql import Window
+
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        tf.withColumn("_s", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_search_indexed(
+    tf_index: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 serving from a prebuilt ``bm25_tf_index`` + corpus
+    constants: ONE job — term-filter the index (an in-memory/bucketed
+    scan, never a re-tokenization of the corpus), window the document
+    frequency, aggregate, top-k. Bit-identical to ``bm25_search`` on
+    the same corpus: the filtered index holds exactly the (doc, dl,
+    term, tf) rows the one-shot path's filtered explode produces."""
+    if n_docs == 0:
+        return (
+            tf_index.select("doc_id")
+            .withColumn("score", F.lit(0.0))
+            .limit(0)
+        )
+    tf = tf_index.filter(
+        F.col("term").isin([str(q) for q in query_terms])
+    )
+    return _bm25_score_tf(tf, n_docs, avgdl, k, k1, b)
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],
@@ -337,33 +443,23 @@ def bm25_search(
     TF aggregate, and the final per-doc sum + top-k is one aggregation
     plus TakeOrderedAndProject. Corpus stats (N, avgdl) are two cheap
     driver-side aggregates — index-build-time constants in a real
-    deployment.
+    deployment (serve repeated queries from ``bm25_tf_index`` +
+    ``bm25_search_indexed`` instead).
     """
-    from pyspark.sql import Window
-
     from stac_fastapi_duckdb_spark.pipeline.dedup import (
         ensure_parallelism,
         tokens_col,
     )
 
-    # one aggregate scan for both corpus constants (not two)
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(tokens_col(F.col(text_col)))).alias("a"),
-    ).collect()[0]
-    n_docs = stats["n"]
+    n_docs, avgdl = bm25_corpus_stats(df, text_col)
     if n_docs == 0:
-        # empty corpus: avgdl is NULL — short-circuit to an empty result
-        # with the contract schema instead of a float(None) TypeError
+        # empty corpus: short-circuit to an empty result with the
+        # contract schema instead of a float(None) TypeError
         return (
             df.select(F.col(id_col).alias("doc_id"))
             .withColumn("score", F.lit(0.0))
             .limit(0)
         )
-    # all-NULL text: avg over zero non-null rows is NULL; the explode
-    # below yields no rows anyway, so any finite placeholder is safe
-    avgdl = stats["a"] if stats["a"] is not None else 1.0
-
     toks = tokens_col(F.col(text_col))
     tf = (
         ensure_parallelism(df)
@@ -380,23 +476,7 @@ def bm25_search(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * (F.lit(k1) + 1)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
-    )
-    return (
-        tf.withColumn("_s", idf * tf_part)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("_s"), 6).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    return _bm25_score_tf(tf, n_docs, avgdl, k, k1, b)
 
 
 # ---------------------------------------------------------------------------
@@ -587,7 +667,7 @@ def pii_scrub(
 
 
 def hybrid_search(
-    docs: DataFrame,
+    docs: DataFrame | None,
     embeddings: DataFrame,
     query_terms: list[str],
     probe_id: int = 0,
@@ -597,6 +677,9 @@ def hybrid_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int | None = None,
+    tf_index: DataFrame | None = None,
+    corpus_stats: tuple[int, float] | None = None,
+    probe_vec: list[float] | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval: BM25 candidate generation over
     the corpus, then dense cosine rerank of the candidate set against a
@@ -604,25 +687,48 @@ def hybrid_search(
     embedding ``dim`` when known to unroll the cosine into codegen
     (bit-identical to the HOF fold).
 
+    Serving form: pass ``tf_index`` + ``corpus_stats`` (the
+    ``bm25_tf_index`` / ``bm25_corpus_stats`` artifacts, built once per
+    corpus) and the BM25 stage never re-tokenizes the corpus — the
+    candidate generation is one filtered index scan; pass ``probe_vec``
+    (the probe embedding, a bounded point read at request time) and
+    the probe is a literal array instead of a broadcast scan of the
+    embeddings table. Both forms are bit-identical to the self-building
+    one (same TF rows, same doubles).
+
     Scale shape: BM25 produces ``n_candidates`` rows (driver-small);
     that candidate set is BROADCAST into the embeddings scan, so the
     billion-vector side is filtered by a broadcast hash join (never
-    shuffled), the probe vector is a broadcast single row, and the
-    rerank is ``n_candidates`` cosine evaluations + a
-    TakeOrderedAndProject — the standard retrieve-then-rerank topology
-    at any corpus size.
+    shuffled), the probe vector is a broadcast single row (or a
+    literal), and the rerank is ``n_candidates`` cosine evaluations +
+    a TakeOrderedAndProject — the standard retrieve-then-rerank
+    topology at any corpus size.
     """
     from stac_fastapi_duckdb_spark.functions import vectors as V
 
-    cand = bm25_search(
-        docs, query_terms, text_col=text_col, id_col=id_col, k=n_candidates
-    ).select(F.col("doc_id"), F.col("score").alias("bm25"))
-    probe = embeddings.filter(F.col("vec_id") == probe_id).select(
-        F.col("embedding").alias("probe_vec")
-    )
+    if tf_index is not None:
+        n_docs, avgdl = corpus_stats
+        cand = bm25_search_indexed(
+            tf_index, query_terms, n_docs, avgdl, k=n_candidates
+        ).select(F.col("doc_id"), F.col("score").alias("bm25"))
+    else:
+        cand = bm25_search(
+            docs, query_terms, text_col=text_col, id_col=id_col, k=n_candidates
+        ).select(F.col("doc_id"), F.col("score").alias("bm25"))
+    if probe_vec is not None:
+        probed = embeddings.withColumn(
+            "probe_vec",
+            F.array(*[F.lit(float(x)) for x in probe_vec]).cast(
+                embeddings.schema["embedding"].dataType
+            ),
+        )
+    else:
+        probe = embeddings.filter(F.col("vec_id") == probe_id).select(
+            F.col("embedding").alias("probe_vec")
+        )
+        probed = embeddings.crossJoin(F.broadcast(probe))
     return (
-        embeddings.join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
-        .crossJoin(F.broadcast(probe))
+        probed.join(F.broadcast(cand), F.col("vec_id") == F.col("doc_id"))
         .select(
             "doc_id",
             "bm25",

@@ -329,6 +329,67 @@ def test_hybrid_search_broadcasts_candidates(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bm25_indexed_serving_is_bit_identical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join scan filter join scan"),
+            (2, "scan appears once here with filler words to pad length"),
+            (3, "completely unrelated text about gardening and soil"),
+            (4, "join join join join scan"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["join", "scan", "filter"]
+    one_shot = {
+        r.doc_id: r.score for r in T.bm25_search(docs, terms, k=10).collect()
+    }
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    served = {
+        r.doc_id: r.score
+        for r in T.bm25_search_indexed(idx, terms, n_docs, avgdl, k=10).collect()
+    }
+    assert served == one_shot  # exact doubles, not approx
+
+
+def test_hybrid_search_indexed_serving_is_bit_identical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join scan filter join scan"),
+            (2, "scan appears once here with filler words to pad length"),
+            (3, "completely unrelated text about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    terms = ["join", "scan", "filter"]
+    base = T.hybrid_search(
+        docs, embs, terms, probe_id=0, k=3, n_candidates=3
+    ).collect()
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    served = T.hybrid_search(
+        None,
+        embs,
+        terms,
+        probe_id=0,
+        k=3,
+        n_candidates=3,
+        tf_index=idx,
+        corpus_stats=(n_docs, avgdl),
+        probe_vec=[1.0, 0.0, 0.0],
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in base]
+
+
 # ---------------------------------------------------------------------------
 # fused curation pipeline
 # ---------------------------------------------------------------------------
