@@ -216,12 +216,26 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     max_bucket_size: int,
+    pair_mode: str = "all",
 ) -> DataFrame:
-    """(bucket → member ids) → all (id_a < id_b) pairs per bucket.
+    """(bucket → member ids) → candidate (id_a < id_b) pairs per bucket.
 
     groupBy + sorted collect_list + in-array pair expansion: the pair
     blow-up happens AFTER the size cap, inside codegen, with exactly one
-    shuffle of (bucket, id) rows."""
+    shuffle of (bucket, id) rows.
+
+    ``pair_mode``:
+      - ``"all"``  — every C(m, 2) in-bucket pair (exhaustive within the
+        cap; output grows QUADRATICALLY with duplicate-cluster size —
+        an m-clone boilerplate cluster alone emits m(m-1)/2 rows).
+      - ``"star"`` — each member pairs only with the bucket's CANONICAL
+        (minimum-id) member: m-1 pairs per bucket, output LINEAR in
+        corpus size at any cluster shape. The member→canonical star is
+        the dedup decision itself (keep the canonical, drop members
+        that verify against it); choose it when the pair list feeds a
+        keep/drop map rather than a clustering pass (stars don't carry
+        transitive links between non-canonical members).
+    """
     ids = F.array_sort(F.collect_list(id_col))
     grouped = (
         df.groupBy(*bucket_cols)
@@ -230,15 +244,23 @@ def _bucket_pairs(
             (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size)
         )
     )
-    pairs = F.flatten(
-        F.transform(
-            "_ids",
-            lambda a, i: F.transform(
-                F.slice("_ids", i + 2, F.size("_ids")),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+    if pair_mode == "star":
+        pairs = F.transform(
+            F.slice("_ids", 2, F.size("_ids") - 1),
+            lambda b: F.struct(
+                F.element_at("_ids", 1).alias("id_a"), b.alias("id_b")
             ),
         )
-    )
+    else:
+        pairs = F.flatten(
+            F.transform(
+                "_ids",
+                lambda a, i: F.transform(
+                    F.slice("_ids", i + 2, F.size("_ids")),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
     return grouped.select(F.explode(pairs).alias("p")).select(
         "p.id_a", "p.id_b"
     )
@@ -966,12 +988,22 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     max_dist: int = 10,
     max_bucket_size: int = 1000,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Typo-level near-identical pairs: documents whose texts are a few
     character edits apart (template instantiations, OCR noise, version
     bumps — deltas too small for shingle-Jaccard banding to gain
     signal-to-noise on, and exactly what boilerplate variants look
     like).
+
+    ``pair_mode="star"`` bounds the one super-linear behavior of the
+    pair form: an m-clone cluster otherwise emits (and Levenshteins)
+    C(m, 2) rows per shared signature. Star pairs each member only
+    with its signature bucket's minimum-id member — output and verify
+    cost LINEAR in corpus size, and the surviving (canonical, member,
+    dist) rows are exactly the keep/drop map a dedup pass applies.
+    (Members > min that only match each OTHER are not linked in star
+    form; use ``"all"`` when transitive clustering is the goal.)
 
     Candidate blocking is the DELETION NEIGHBORHOOD at token level
     (the SymSpell/FastSS construction, word-granular): each document
@@ -1016,7 +1048,9 @@ def edit_distance_pairs(
         .filter(n >= 1)
         .select(F.col(id_col).alias("_id"), F.explode(sigs).alias("sig"))
     )
-    cand = _bucket_pairs(ex, ["sig"], "_id", max_bucket_size).distinct()
+    cand = _bucket_pairs(
+        ex, ["sig"], "_id", max_bucket_size, pair_mode
+    ).distinct()
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
     return (

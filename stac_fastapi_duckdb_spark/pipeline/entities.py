@@ -41,6 +41,7 @@ def blocked_match_pairs(
     block_cols: list[str],
     max_dist: int = 1,
     max_block_size: int = 10_000,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Candidate+verified match pairs (id_a < id_b, dist ≤ max_dist).
 
@@ -50,6 +51,14 @@ def blocked_match_pairs(
     struct means verification needs NO join-back to the base table
     (an id-only pair list would re-shuffle the input twice to attach
     both names).
+
+    ``pair_mode="all"`` emits every C(m, 2) in-block pair — output
+    quadratic in duplicate-cluster size (an m-record boilerplate
+    entity emits m(m-1)/2 rows); required when the pairs feed a
+    transitive-closure pass (``resolve_entities``). ``pair_mode=
+    "star"`` pairs each record only with its block's CANONICAL
+    (minimum-id) record — m-1 pairs, linear output at any cluster
+    shape, and the surviving rows ARE the member→canonical merge map.
     """
     items = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(name_col).alias("s")))
@@ -59,20 +68,32 @@ def blocked_match_pairs(
         .agg(items.alias("_items"))
         .filter((F.size("_items") >= 2) & (F.size("_items") <= max_block_size))
     )
-    pairs = F.flatten(
-        F.transform(
-            "_items",
-            lambda a, i: F.transform(
-                F.slice("_items", i + 2, F.size("_items")),
-                lambda b: F.struct(
-                    a["i"].alias("id_a"),
-                    b["i"].alias("id_b"),
-                    a["s"].alias("name_a"),
-                    b["s"].alias("name_b"),
-                ),
+    if pair_mode == "star":
+        canon = F.element_at("_items", 1)
+        pairs = F.transform(
+            F.slice("_items", 2, F.size("_items") - 1),
+            lambda b: F.struct(
+                canon["i"].alias("id_a"),
+                b["i"].alias("id_b"),
+                canon["s"].alias("name_a"),
+                b["s"].alias("name_b"),
             ),
         )
-    )
+    else:
+        pairs = F.flatten(
+            F.transform(
+                "_items",
+                lambda a, i: F.transform(
+                    F.slice("_items", i + 2, F.size("_items")),
+                    lambda b: F.struct(
+                        a["i"].alias("id_a"),
+                        b["i"].alias("id_b"),
+                        a["s"].alias("name_a"),
+                        b["s"].alias("name_b"),
+                    ),
+                ),
+            )
+        )
     exploded = grouped.select(F.explode(pairs).alias("p")).select("p.*")
     return (
         exploded.withColumn(

@@ -87,20 +87,22 @@ def k_center_select(
     (deterministic, engine-replayable).  Empty input → 0 rows; k larger
     than the pool → every point once.
 
-    BATCHED GREEDY (round 7): a naive loop pays one Catalyst plan +
-    TakeOrdered job per selection — a fixed per-round constant that
-    multiplies by k. Instead each distributed round fetches the top
-    ``j+1`` rows by current cover distance (j = selections still
-    needed; bounded k·dim driver bytes) and CHAIN-VERIFIES follow-up
-    selections driver-side: after accepting the round's argmax c, the
-    next shortlist candidate x (by updated mind, id-tiebreak) is
-    provably the global argmax iff its updated ``mind(x) >`` the
-    (j+1)-th row's pre-round mind — every point outside the shortlist
-    had mind ≤ that bound and minds only decrease. Ties or bound
-    violations fall back to a fresh distributed round, so the selected
-    sequence is IDENTICAL to the one-job-per-round loop (the DuckDB
-    oracle replays it round by round); typically the whole k-selection
-    takes 2 jobs instead of k. Driver-side mind updates replicate
+    BATCHED GREEDY (round 7, deepened round 8): a naive loop pays one
+    Catalyst plan + TakeOrdered job per selection — a fixed per-round
+    constant that multiplies by k. Instead each distributed round
+    fetches the top ``max(j+1, 64)`` rows by current cover distance
+    (j = selections still needed; a bounded ~64·dim-double driver
+    fetch) and CHAIN-VERIFIES follow-up selections driver-side: after
+    accepting the round's argmax c, the next shortlist candidate x (by
+    updated mind, id-tiebreak) is provably the global argmax iff its
+    updated ``mind(x) >`` the LAST fetched row's pre-round mind —
+    every point outside the shortlist had mind ≤ that bound and minds
+    only decrease (the deep fetch exists to push that bound LOW enough
+    that a whole k-selection usually verifies inside one round). Ties
+    or bound violations fall back to a fresh distributed round, so the
+    selected sequence is IDENTICAL to the one-job-per-round loop (the
+    DuckDB oracle replays it round by round); typically the whole
+    k-selection takes 2 jobs (seed + one round) instead of k. Driver-side mind updates replicate
     Spark's ``F.round(x, 6)`` exactly (BigDecimal HALF_UP on the
     shortest decimal repr — what java.math.BigDecimal.valueOf does).
     """
@@ -111,7 +113,11 @@ def k_center_select(
         raise ValueError("k must be >= 1")
     spark: SparkSession = df.sparkSession
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    base = base.persist()
+    # don't re-cache a projection of an already-cached input: the
+    # per-invocation cache build would dominate the whole selection
+    own_cache = not df.is_cached
+    if own_cache:
+        base = base.persist()
     out_schema = StructType(
         [
             StructField("sel_rank", LongType(), False),
@@ -147,36 +153,66 @@ def k_center_select(
         selected = [(0, seed["__id"], None)]
         centers = [[float(x) for x in seed["__v"]]]
         exhausted = False
+        # shortlist OVERFETCH (round 8): the verification bound is the
+        # LAST fetched row's pre-round mind, so a deeper fetch lowers
+        # the bound and lets the driver chain accept more follow-up
+        # selections before a fresh distributed round is needed — on a
+        # dense pool (near-uniform cover distances) a shallow fetch's
+        # bound sits right at the next pick's updated mind, forcing
+        # ~one round per pick. 1024 rows × dim doubles is a ~0.5 MB
+        # bounded driver fetch at any pool size; selection stays EXACT
+        # (the bound argument is unchanged — measured sweep at sf0.1:
+        # depth 64 → 3 rounds, 256 → 2, 1024 → 1, identical picks).
+        overfetch = max(k + 1, 1024)
         while len(selected) < k and not exhausted:
             j = k - len(selected)
-            # ONE distributed round: top-(j+1) by the full current mind
+            # ONE distributed round: deep top-m by the full current mind
             mind: F.Column | None = None
             for c in centers:
                 d_new = F.round(_sq_dist(F.col("__v"), c), 6)
                 mind = d_new if mind is None else F.least(mind, d_new)
+            want = max(j + 1, overfetch)
             top = (
                 base.select("__id", "__v", mind.alias("__m"))
                 .orderBy(F.col("__m").desc(), F.col("__id").asc())
-                .limit(j + 1)
+                .limit(want)
                 .collect()
             )
             if not top or top[0]["__m"] is None or top[0]["__m"] <= 0.0:
                 break  # pool exhausted: every remaining point coincides
             # bound: every row OUTSIDE the fetched shortlist has
             # pre-round mind <= this (and minds only decrease)
-            bound = top[-1]["__m"] if len(top) == j + 1 else -math.inf
+            bound = top[-1]["__m"] if len(top) == want else -math.inf
             shortlist = [
                 (r["__id"], [float(x) for x in r["__v"]], r["__m"])
                 for r in top
             ]
+            # LAZY chain argmax: minds only DECREASE as centers are
+            # added, so a max-heap with deferred updates is exact —
+            # pop the stored max; if its mind is stale (misses centers
+            # added after its last fold), fold ONLY those and re-push;
+            # a pop that is up-to-date is the true argmax (everything
+            # below it in the heap is an upper bound on its own mind).
+            # min() over centers is order-independent, so lazy folding
+            # yields bit-identical minds to the eager whole-shortlist
+            # fold. Touches O(accepted + staled) candidates instead of
+            # O(k · shortlist).
+            import heapq
+
+            n_base = len(centers)  # centers already folded into __m
+            heap = [(-cm, cid, cvec, n_base) for cid, cvec, cm in shortlist]
+            heapq.heapify(heap)
             first_in_round = True
-            while shortlist and len(selected) < k:
-                # argmax among shortlist by (updated mind desc, id asc)
-                bi = min(
-                    range(len(shortlist)),
-                    key=lambda i: (-shortlist[i][2], shortlist[i][0]),
-                )
-                cid, cvec, cm = shortlist.pop(bi)
+            while heap and len(selected) < k:
+                negm, cid, cvec, upto = heapq.heappop(heap)
+                cm = -negm
+                if upto < len(centers):
+                    for c in centers[upto:]:
+                        d = _round6(_sqd(cvec, c))
+                        if d < cm:
+                            cm = d
+                    heapq.heappush(heap, (-cm, cid, cvec, len(centers)))
+                    continue
                 if not first_in_round and not (cm > bound):
                     # an unfetched row might tie or beat it — re-derive
                     # distributedly (selection stays exact)
@@ -192,11 +228,7 @@ def k_center_select(
                 first_in_round = False
                 selected.append((len(selected), cid, float(cm)))
                 centers.append(cvec)
-                # fold the new center into the remaining shortlist minds
-                shortlist = [
-                    (xid, xv, min(xm, _round6(_sqd(xv, cvec))))
-                    for xid, xv, xm in shortlist
-                ]
         return spark.createDataFrame(selected, out_schema)
     finally:
-        base.unpersist()
+        if own_cache:
+            base.unpersist()

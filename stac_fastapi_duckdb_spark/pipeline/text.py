@@ -368,16 +368,22 @@ def _bm25_score_tf(
     k: int,
     k1: float,
     b: float,
+    dfreq_col: Column | None = None,
 ) -> DataFrame:
     """Okapi BM25 scoring over a per-(doc, term) TF stream already
     restricted to the query terms: document frequency is a COUNT
-    window over the TF rows, the per-doc sum + top-k is one
-    aggregation plus TakeOrderedAndProject. Shared verbatim by the
-    one-shot ``bm25_search`` and the index-serving
+    window over the TF rows (or the caller's precomputed ``dfreq_col``
+    — same integers, same JVM double algebra), the per-doc sum + top-k
+    is one aggregation plus TakeOrderedAndProject. Shared verbatim by
+    the one-shot ``bm25_search`` and the index-serving
     ``bm25_search_indexed`` so the two paths are bit-identical."""
     from pyspark.sql import Window
 
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    dfreq = (
+        dfreq_col
+        if dfreq_col is not None
+        else F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
@@ -404,23 +410,41 @@ def bm25_search_indexed(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    lexicon: dict[str, int] | None = None,
 ) -> DataFrame:
     """BM25 serving from a prebuilt ``bm25_tf_index`` + corpus
     constants: ONE job — term-filter the index (an in-memory/bucketed
-    scan, never a re-tokenization of the corpus), window the document
-    frequency, aggregate, top-k. Bit-identical to ``bm25_search`` on
-    the same corpus: the filtered index holds exactly the (doc, dl,
-    term, tf) rows the one-shot path's filtered explode produces."""
+    scan, never a re-tokenization of the corpus), aggregate, top-k.
+    Bit-identical to ``bm25_search`` on the same corpus: the filtered
+    index holds exactly the (doc, dl, term, tf) rows the one-shot
+    path's filtered explode produces.
+
+    Pass ``lexicon`` (term → document frequency, the index's
+    DICTIONARY component — every inverted index stores it next to the
+    posting lists) and the document-frequency WINDOW disappears too:
+    the query terms' df values embed as a literal map, the idf math
+    stays JVM Column algebra on the identical doubles, and the whole
+    serving plan is filter → one partial-agged doc aggregate → top-k —
+    a single exchange."""
     if n_docs == 0:
         return (
             tf_index.select("doc_id")
             .withColumn("score", F.lit(0.0))
             .limit(0)
         )
-    tf = tf_index.filter(
-        F.col("term").isin([str(q) for q in query_terms])
-    )
-    return _bm25_score_tf(tf, n_docs, avgdl, k, k1, b)
+    terms = [str(q) for q in query_terms]
+    tf = tf_index.filter(F.col("term").isin(terms))
+    dfreq_col = None
+    if lexicon is not None:
+        dmap = F.create_map(
+            *[
+                F.lit(x)
+                for t in sorted(set(terms))
+                for x in (t, float(lexicon.get(t, 0)))
+            ]
+        )
+        dfreq_col = F.try_element_at(dmap, F.col("term"))
+    return _bm25_score_tf(tf, n_docs, avgdl, k, k1, b, dfreq_col)
 
 
 def bm25_search(
@@ -680,6 +704,7 @@ def hybrid_search(
     tf_index: DataFrame | None = None,
     corpus_stats: tuple[int, float] | None = None,
     probe_vec: list[float] | None = None,
+    lexicon: dict[str, int] | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval: BM25 candidate generation over
     the corpus, then dense cosine rerank of the candidate set against a
@@ -687,14 +712,16 @@ def hybrid_search(
     embedding ``dim`` when known to unroll the cosine into codegen
     (bit-identical to the HOF fold).
 
-    Serving form: pass ``tf_index`` + ``corpus_stats`` (the
-    ``bm25_tf_index`` / ``bm25_corpus_stats`` artifacts, built once per
-    corpus) and the BM25 stage never re-tokenizes the corpus — the
-    candidate generation is one filtered index scan; pass ``probe_vec``
-    (the probe embedding, a bounded point read at request time) and
-    the probe is a literal array instead of a broadcast scan of the
-    embeddings table. Both forms are bit-identical to the self-building
-    one (same TF rows, same doubles).
+    Serving form: pass ``tf_index`` + ``corpus_stats`` (+ optionally
+    ``lexicon``) — the ``bm25_tf_index`` / ``bm25_corpus_stats``
+    artifacts, built once per corpus — AND ``probe_vec`` (the probe
+    embedding, a bounded point read at request time). The BM25 stage
+    never re-tokenizes the corpus (one filtered index scan, its ≤
+    ``n_candidates`` rows collected — a bounded fetch) and the rerank
+    is a single scan with the candidate ids+scores embedded as
+    literals, so the id filter prunes cached batches/row groups.
+    Bit-identical to the self-building form (same TF rows, same
+    doubles — the literal bm25 scores ARE the Spark-computed ones).
 
     Scale shape: BM25 produces ``n_candidates`` rows (driver-small);
     that candidate set is BROADCAST into the embeddings scan, so the
@@ -708,13 +735,67 @@ def hybrid_search(
 
     if tf_index is not None:
         n_docs, avgdl = corpus_stats
-        cand = bm25_search_indexed(
-            tf_index, query_terms, n_docs, avgdl, k=n_candidates
-        ).select(F.col("doc_id"), F.col("score").alias("bm25"))
-    else:
-        cand = bm25_search(
-            docs, query_terms, text_col=text_col, id_col=id_col, k=n_candidates
-        ).select(F.col("doc_id"), F.col("score").alias("bm25"))
+        # serving: run candidate generation NOW (one bounded job —
+        # ≤ n_candidates rows collected, same bounded-fetch pattern as
+        # the ANN probe reads) and embed ids+scores as literals; the
+        # rerank is then a single scan whose id filter prunes cached
+        # batches / row groups instead of building a broadcast
+        cand_rows = bm25_search_indexed(
+            tf_index, query_terms, n_docs, avgdl, k=n_candidates,
+            lexicon=lexicon,
+        ).collect()
+        if not cand_rows:
+            empty = embeddings.select(
+                F.col("vec_id").alias("doc_id"),
+                F.lit(0.0).alias("bm25"),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0.0).alias("hybrid"),
+            )
+            return empty.limit(0)
+        bm_map = F.create_map(
+            *[
+                F.lit(x)
+                for r in cand_rows
+                for x in (r["doc_id"], float(r["score"]))
+            ]
+        )
+        cand_plan = embeddings.filter(
+            F.col("vec_id").isin([r["doc_id"] for r in cand_rows])
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.try_element_at(bm_map, F.col("vec_id")).alias("bm25"),
+            F.col("embedding"),
+        )
+        probed = cand_plan.withColumn(
+            "probe_vec",
+            F.array(*[F.lit(float(x)) for x in probe_vec]).cast(
+                embeddings.schema["embedding"].dataType
+            ),
+        )
+        return (
+            probed.select(
+                "doc_id",
+                "bm25",
+                (
+                    F.round(V.cosine_similarity("embedding", "probe_vec", dim), 6)
+                    + F.lit(0.0)
+                ).alias("cos_sim"),
+            )
+            .select(
+                "doc_id",
+                "bm25",
+                "cos_sim",
+                (
+                    F.round(F.lit(alpha) * F.col("bm25") + F.col("cos_sim"), 6)
+                    + F.lit(0.0)
+                ).alias("hybrid"),
+            )
+            .orderBy(F.col("hybrid").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+    cand = bm25_search(
+        docs, query_terms, text_col=text_col, id_col=id_col, k=n_candidates
+    ).select(F.col("doc_id"), F.col("score").alias("bm25"))
     if probe_vec is not None:
         probed = embeddings.withColumn(
             "probe_vec",
@@ -1044,6 +1125,61 @@ def perplexity_score(
     )
 
 
+def perplexity_score_lit(
+    df: DataFrame,
+    vocab: dict[str, float],
+    oov_logprob: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``perplexity_score`` with the LM embedded as a LITERAL map —
+    the serving form for a frozen, driver-resident LM artifact (CCNet
+    LMs are pretrained constants; ≤ a few hundred (token, logprob)
+    entries is kilobytes of plan). The whole scoring pass is then
+    MAP-ONLY: a per-document sequential fold over the token array —
+    no explode, no broadcast build, no shuffle at all; the plan is one
+    scan at any corpus size.
+
+    Bit-identical to ``perplexity_score(df, lm)`` over the same LM:
+    the exploded form's rows for one document stay contiguous in one
+    partition, so its ``F.avg`` partial accumulates them sequentially
+    in array order — exactly this fold's order — and divides once at
+    the end, as here. Docs whose token array is NULL produce no row in
+    either form (explode of NULL yields nothing; the size filter here).
+    Empty text still tokenizes to [''] (one OOV token), as there.
+    """
+    from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    # literal map; GetMapValue returns NULL on a miss (unlike ANSI
+    # element_at) — try_element_at spells that contract explicitly
+    lm_map = F.create_map(
+        *[F.lit(x) for kv in sorted(vocab.items()) for x in kv]
+    )
+    nll_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        - F.coalesce(F.try_element_at(lm_map, t), F.lit(float(oov_logprob))),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in carry_cols],
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            nll_sum.alias("_s"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            *carry_cols,
+            "n_tokens",
+            (F.col("_s") / F.col("n_tokens")).alias("avg_nll"),
+        )
+    )
+
+
 def corpus_ngrams(
     df: DataFrame,
     n: int = 2,
@@ -1096,11 +1232,13 @@ def top_ngrams(
 
 def quality_tiers(
     df: DataFrame,
-    lm: DataFrame,
+    lm: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "lang",
     tiers: int = 3,
+    vocab: dict[str, float] | None = None,
+    oov_logprob: float | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail partition (Wenzek et al. 2020, §4.3):
     score every document against the LM (``perplexity_score``) and cut
@@ -1118,10 +1256,20 @@ def quality_tiers(
 
     → (doc_id, group, n_tokens, avg_nll, tier, tier_label); labels are
     head/middle/tail when tiers=3, else "t<k>".
+
+    Pass ``vocab`` + ``oov_logprob`` (the LM's driver-resident literal
+    form) instead of ``lm`` and the scoring pass is the map-only
+    ``perplexity_score_lit`` fold — the ntile window's group exchange
+    is then the query's ONLY shuffle. Bit-identical either way.
     """
-    j = perplexity_score(
-        df, lm, text_col, id_col, carry_cols=(group_col,)
-    ).withColumn("avg_nll", F.round("avg_nll", 6))
+    if vocab is not None:
+        j = perplexity_score_lit(
+            df, vocab, oov_logprob, text_col, id_col, carry_cols=(group_col,)
+        ).withColumn("avg_nll", F.round("avg_nll", 6))
+    else:
+        j = perplexity_score(
+            df, lm, text_col, id_col, carry_cols=(group_col,)
+        ).withColumn("avg_nll", F.round("avg_nll", 6))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(
@@ -1299,11 +1447,52 @@ def ngram_novelty(
     )
 
 
+def keyed_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """The exploded + keyed line stream shared by ``line_dedup`` and
+    ``incremental_line_dedup``: one row per (document, line position)
+    with the line text, its boilerplate ELIGIBILITY flag (trimmed +
+    lowercased length ≥ ``min_chars``) and its 60-bit md5 dedup key —
+    eligible lines key on the normalized form (corpus-wide identity),
+    short lines on a per-occurrence (doc, pos, form) composite so a
+    corpus with billions of blank lines has NO hot key anywhere
+    downstream. Map-only (explode + hash, no shuffle): build it once
+    per corpus (persist / write it) and every line-level consumer —
+    keep-first window, standing-set membership join, line stats —
+    rides the same child instead of re-exploding the text per query.
+
+    → (doc_id, pos, line, _e, _k)."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    lines = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    elig = F.length(norm) >= min_chars
+    key = F.when(elig, kmv_hash(norm)).otherwise(
+        kmv_hash(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string"), norm
+            )
+        )
+    )
+    return lines.select(
+        "doc_id", "pos", "line", elig.alias("_e"), key.alias("_k")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 10,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication (the CCNet / RefinedWeb pass:
     exact duplicate lines — boilerplate, nav chrome, cookie banners —
@@ -1327,30 +1516,18 @@ def line_dedup(
     source. The md5 key is the engine-replayable dedup decision (the
     DuckDB oracle replays key, window, and rebuild verbatim, including
     any hash collision).
+
+    Pass ``lines`` (a prebuilt/persisted ``keyed_lines`` stream) and
+    the explode + hashing never re-runs — only the two shuffles do.
     """
     from pyspark.sql import Window
 
-    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
-    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
-
-    lines = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
-    norm = F.lower(F.trim(F.col("line")))
-    elig = F.length(norm) >= min_chars
-    key = F.when(elig, kmv_hash(norm)).otherwise(
-        kmv_hash(
-            F.concat_ws(
-                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string"), norm
-            )
-        )
-    )
+    if lines is None:
+        lines = keyed_lines(df, text_col, id_col, min_chars)
     w = Window.partitionBy("_k").orderBy("doc_id", "pos")
     flagged = (
-        lines.withColumn("_k", key)
-        .withColumn("_keep", (~elig) | (F.row_number().over(w) == 1))
-        .drop("_k")
+        lines.withColumn("_keep", (~F.col("_e")) | (F.row_number().over(w) == 1))
+        .drop("_k", "_e")
     )
     kept_lines = F.transform(
         F.filter(
@@ -1480,6 +1657,7 @@ def incremental_line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 10,
+    lines: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingest companion to ``line_dedup``: dedup an ARRIVING
     batch's lines against a STANDING corpus-line-hash set (the CCNet
@@ -1508,27 +1686,17 @@ def incremental_line_dedup(
     is small, so AQE broadcasts it; the standing corpus is never
     rewritten, only appended to. One groupBy(doc) rebuild as in
     ``line_dedup``.
+
+    Pass ``lines`` (a prebuilt/persisted ``keyed_lines`` stream of the
+    BATCH docs) and the explode + hashing never re-runs — only the
+    window and the membership join do.
     """
     from pyspark.sql import Window
 
-    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
-    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
-
-    lines = ensure_parallelism(new_docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
-    norm = F.lower(F.trim(F.col("line")))
-    elig = F.length(norm) >= min_chars
-    key = F.when(elig, kmv_hash(norm)).otherwise(
-        kmv_hash(
-            F.concat_ws(
-                ":", F.col("doc_id").cast("string"), F.col("pos").cast("string"), norm
-            )
-        )
-    )
+    if lines is None:
+        lines = keyed_lines(new_docs, text_col, id_col, min_chars)
     w = Window.partitionBy("_k").orderBy("doc_id", "pos")
-    keyed = lines.select("doc_id", "pos", "line", elig.alias("_e"), key.alias("_k"))
+    keyed = lines.select("doc_id", "pos", "line", "_e", "_k")
     first = keyed.withColumn("_rn", F.row_number().over(w))
     # membership as a LEFT join + null marker (not anti-then-rejoin,
     # which would compute the windowed stream on both join sides): one

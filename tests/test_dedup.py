@@ -402,3 +402,24 @@ def test_edit_distance_pairs_respects_max_dist_and_cap(spark):
     assert edit_distance_pairs(df, max_dist=3).count() == 0
     # cap of 1 drops every bucket with >=2 members -> no candidates
     assert edit_distance_pairs(df, max_bucket_size=1).count() == 0
+
+
+def test_edit_distance_pairs_star_is_linear_star_cover(spark):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import edit_distance_pairs
+
+    # a planted 4-clone cluster: all-pairs emits C(4,2)=6, star emits 3
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(1, 5)]
+    rows.append((9, "entirely unrelated content about query planning"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    allp = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=10).collect()
+    }
+    star = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=10, pair_mode="star").collect()
+    }
+    assert len(allp) == 6
+    assert set(star) == {(1, 2), (1, 3), (1, 4)}  # member -> canonical only
+    for k, d in star.items():
+        assert allp[k] == d

@@ -74,3 +74,41 @@ def test_plan_is_single_shuffle_pair_expansion(records):
     # one exchange (the blocking-key shuffle), no join operator at all
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_star_mode_pairs_only_with_block_canonical(records):
+    # all-pairs at dist 2 includes (2, 3); star keeps only pairs whose
+    # left side is the block's minimum id
+    allp = {
+        (r.id_a, r.id_b)
+        for r in blocked_match_pairs(
+            records, "rid", "name", ["blk"], max_dist=2
+        ).collect()
+    }
+    star = {
+        (r.id_a, r.id_b)
+        for r in blocked_match_pairs(
+            records, "rid", "name", ["blk"], max_dist=2, pair_mode="star"
+        ).collect()
+    }
+    assert star <= allp
+    assert star == {(1, 2), (1, 3), (10, 11)}  # (2, 3) dropped: star
+    # star output is linear: <= m-1 pairs per block
+    assert all(a in (1, 10) for a, _ in star)
+
+
+def test_star_mode_distances_match_all_pairs(records):
+    allp = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_match_pairs(
+            records, "rid", "name", ["blk"], max_dist=2
+        ).collect()
+    }
+    star = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_match_pairs(
+            records, "rid", "name", ["blk"], max_dist=2, pair_mode="star"
+        ).collect()
+    }
+    for k, d in star.items():
+        assert allp[k] == d

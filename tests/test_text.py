@@ -350,6 +350,16 @@ def test_bm25_indexed_serving_is_bit_identical(spark):
         for r in T.bm25_search_indexed(idx, terms, n_docs, avgdl, k=10).collect()
     }
     assert served == one_shot  # exact doubles, not approx
+    # the lexicon (term → df) form must replay the window's integers
+    lex = {r["term"]: r["df"] for r in idx.groupBy("term").count()
+           .withColumnRenamed("count", "df").collect()}
+    served_lex = {
+        r.doc_id: r.score
+        for r in T.bm25_search_indexed(
+            idx, terms, n_docs, avgdl, k=10, lexicon=lex
+        ).collect()
+    }
+    assert served_lex == one_shot
 
 
 def test_hybrid_search_indexed_serving_is_bit_identical(spark):
