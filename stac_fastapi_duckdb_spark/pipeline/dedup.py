@@ -1007,56 +1007,120 @@ def edit_distance_pairs(
 
     Candidate blocking is the DELETION NEIGHBORHOOD at token level
     (the SymSpell/FastSS construction, word-granular): each document
-    emits md5 signatures of its token sequence and of every
-    single-token deletion — n+1 signatures per doc, shuffled as 16-hex
+    emits a signature of its token sequence and of every single-token
+    deletion — n+1 signatures per doc, shuffled as 16-hex
     fingerprints. Two docs share a signature iff one token deletion
     (or none) aligns them, which guarantees recall for token edit
     distance ≤ 2 of indel/substitution type (sub = one deletion from
     EACH side meeting at the same signature). Deterministic — no hash
     family miss probability — and replayable in SQL. Verification is
-    exact character-level Levenshtein (JVM built-in) on the candidate
-    pairs only, never all pairs; the usual ``max_bucket_size`` cap
-    bounds boilerplate-bucket blowup before pair expansion.
+    exact character-level Levenshtein (JVM banded/thresholded built-in)
+    on the candidate pairs only, never all pairs; the usual
+    ``max_bucket_size`` cap bounds boilerplate-bucket blowup before
+    pair expansion.
+
+    SIGNATURE CONSTRUCTION (round 8 — O(total tokens), not O(n²)
+    chars): hashing the n+1 deleted SEQUENCES directly costs n md5
+    passes over ~the whole document each (quadratic per doc — the
+    dominant cost at corpus scale). Instead each token is hashed ONCE
+    (60-bit md5), and a deleted sequence is summarized by the pair of
+    position-aware rolling sums
+
+        S' = S − h_i                (plain sum of remaining hashes)
+        W' = W − h_i·(i+1) − T_i    (position-weighted sum after the
+                                     left shift of tokens past i;
+                                     T_i = suffix hash sum beyond i)
+
+    computed per position from two window sums over the exploded
+    (doc, pos, h) stream — exact DECIMAL(38) integer arithmetic, taken
+    mod 2^60 only at the end, so both engines replay the same values —
+    and folded to the 16-hex signature md5(S' || ':' || W'). Identical
+    reduced sequences give identical (S', W') (recall unchanged);
+    unequal sequences collide with ~2⁻⁶⁴ probability and any collision
+    only ADDS a candidate pair that exact verification then rejects.
 
     → (id_a, id_b, dist) with ``dist ≤ max_dist`` chars, id_a < id_b.
     """
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    _M = F.lit(1 << 60).cast("decimal(38,0)")
+    dec0 = F.lit(0).cast("decimal(38,0)")
     toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    # signature 0 = the full sequence; i>0 = sequence minus token i
-    sigs = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n),
-            lambda i: F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.when(i == 0, toks).otherwise(
-                            F.concat(
-                                F.slice(toks, 1, i - 1),
-                                F.slice(toks, i + 1, n - i),
-                            )
-                        ),
-                    )
-                ),
-                1,
-                16,
+    ex0 = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("_p", "_tok"),
+    )
+    hd = kmv_hash(F.col("_tok")).cast("decimal(38,0)")
+    wdoc = Window.partitionBy("_id")
+    wsuf = (
+        Window.partitionBy("_id")
+        .orderBy(F.col("_p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = ex0.select(
+        "_id",
+        "_p",
+        hd.alias("_h"),
+        F.sum(hd).over(wdoc).alias("_S"),
+        F.sum(hd * (F.col("_p") + 1)).over(wdoc).alias("_W"),
+        F.coalesce(F.sum(hd).over(wsuf), dec0).alias("_T"),
+    )
+
+    def _sig(s_part: Column, w_part: Column) -> Column:
+        return F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.pmod(s_part, _M).cast("long").cast("string"),
+                    F.pmod(w_part, _M).cast("long").cast("string"),
+                )
             ),
+            1,
+            16,
         )
+
+    del_sigs = rows.select(
+        "_id",
+        _sig(
+            F.col("_S") - F.col("_h"),
+            F.col("_W") - F.col("_h") * (F.col("_p") + 1) - F.col("_T"),
+        ).alias("sig"),
     )
-    ex = (
-        ensure_parallelism(df)
-        .filter(n >= 1)
-        .select(F.col(id_col).alias("_id"), F.explode(sigs).alias("sig"))
+    full_sigs = rows.filter(F.col("_p") == 0).select(
+        "_id", _sig(F.col("_S"), F.col("_W")).alias("sig")
     )
+    ex = del_sigs.unionByName(full_sigs).distinct()
     cand = _bucket_pairs(
         ex, ["sig"], "_id", max_bucket_size, pair_mode
     ).distinct()
     a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    # THRESHOLDED Levenshtein (Spark 3.5+): the banded DP early-exits
+    # once the distance provably exceeds max_dist — O(len·max_dist)
+    # per pair instead of O(len²), the difference between seconds and
+    # minutes on kilobyte documents; returns -1 above the threshold,
+    # and the exact distance (identical to the unbounded form) for
+    # every pair the filter keeps.
+    #
+    # Join topology: SHUFFLE_HASH on both text attachments — the
+    # document table is never broadcast-built (kilobyte texts × corpus
+    # rows is a driver-side OOM at scale and a serial hash build even
+    # locally); both joins exchange on the id and probe in parallel.
+    # Catalyst inlines the `dist >= 0` filter into the second join as
+    # a residual condition (the banded DP then runs during the probe,
+    # parallel across the join's partitions, and the kept pairs —
+    # a tiny set — have the distance re-projected above; both
+    # evaluations are distributed, neither is the single-task
+    # coalesced plan AQE would pick for the bare filtered join).
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("dist", F.levenshtein("_ta", "_tb").cast("bigint"))
-        .filter(F.col("dist") <= max_dist)
+        cand.join(a.hint("SHUFFLE_HASH"), "id_a")
+        .join(b.hint("SHUFFLE_HASH"), "id_b")
+        .withColumn(
+            "dist",
+            F.levenshtein("_ta", "_tb", max_dist).cast("bigint"),
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )

@@ -95,11 +95,13 @@ def blocked_match_pairs(
             )
         )
     exploded = grouped.select(F.explode(pairs).alias("p")).select("p.*")
+    # thresholded Levenshtein: banded DP early-exits above max_dist
+    # (-1), exact distance for every kept pair — same values, O(len·d)
     return (
         exploded.withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("long")
+            "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 

@@ -5161,18 +5161,41 @@ UNION ALL
                    string_split_regex(lower(trim(text)), '\s+') AS toks,
                    text
             FROM documents
+        ), e AS (
+            -- one 60-bit md5 per TOKEN; deleted sequences are then
+            -- summarized by exact rolling sums (O(n) per doc), mod
+            -- 2^60 only at the end — replays the Spark construction
+            SELECT doc_id, g.i AS p1,
+                   CAST(CAST('0x' || substr(md5(toks[g.i]), 18, 15)
+                        AS UBIGINT) AS HUGEINT) AS h
+            FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        ), s AS (
+            SELECT doc_id, p1, h,
+                   SUM(h) OVER (PARTITION BY doc_id) AS sm,
+                   SUM(h * p1) OVER (PARTITION BY doc_id) AS wm,
+                   COALESCE(SUM(h) OVER (PARTITION BY doc_id
+                       ORDER BY p1 DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS tl
+            FROM e
         ), sigs AS (
-            SELECT DISTINCT doc_id, unnest(list_distinct(list_prepend(
-                       substr(md5(array_to_string(toks, ' ')), 1, 16),
-                       -- coalesce: array_to_string([]) is NULL in
-                       -- DuckDB but concat_ws over [] is '' in Spark
-                       list_transform(range(1, len(toks) + 1),
-                           i -> substr(md5(coalesce(array_to_string(
-                                    list_concat(toks[1:i-1],
-                                                toks[i+1:len(toks)]),
-                                    ' '), '')), 1, 16))
-                   ))) AS sig
-            FROM t
+            SELECT DISTINCT doc_id,
+                   substr(md5(
+                       CAST(CAST((sm - h) % 1152921504606846976
+                            AS BIGINT) AS VARCHAR)
+                       || ':' ||
+                       CAST(CAST((wm - h * p1 - tl) % 1152921504606846976
+                            AS BIGINT) AS VARCHAR)), 1, 16) AS sig
+            FROM s
+            UNION
+            SELECT DISTINCT doc_id,
+                   substr(md5(
+                       CAST(CAST(sm % 1152921504606846976
+                            AS BIGINT) AS VARCHAR)
+                       || ':' ||
+                       CAST(CAST(wm % 1152921504606846976
+                            AS BIGINT) AS VARCHAR)), 1, 16)
+            FROM s
         ), canon AS (
             -- star construction: every bucket member pairs only with
             -- the bucket's minimum-id member (linear pair output)
