@@ -68,6 +68,84 @@ def _sq_norm(vec_col: F.Column) -> F.Column:
     )
 
 
+# driver-greedy pool cap: same bound (and same rationale) as
+# pipeline.similarity._DRIVER_POOL_MAX — ~8k rows × dim doubles is a
+# few MB of driver memory, far under any realistic driver heap, and the
+# module contract says a 100 TB run feeds a hash_sample'd pool anyway
+_DRIVER_POOL_MAX = 8192
+
+
+def _round6_repl(x: float) -> float:
+    """java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)
+    .doubleValue() — the exact driver-side replication of Spark's
+    F.round(x, 6): valueOf goes through Double.toString (the shortest
+    round-trip decimal), which Python's repr matches numerically."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _sqd_repl(a: list, b: list) -> float:
+    """Sequential left fold matching _sq_dist's F.aggregate order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _k_center_driver(
+    spark: SparkSession, rows: list, id_col: str, k: int
+) -> DataFrame:
+    """Exact greedy k-center over a fully-fetched bounded pool: the
+    identical selection sequence as the distributed loop (same rounded
+    arithmetic — ``_round6_repl``/``_sqd_repl`` replicate
+    ``F.round(_sq_dist(...), 6)`` bit-for-bit, min over centers is
+    order-independent, argmax ties to the smallest id), with zero
+    further Spark jobs.  Selected points stay in the pool with
+    mind = 0 exactly as the distributed form keeps them in ``base``;
+    an argmax of 0 means every remaining point coincides with a center
+    — the same exhaustion stop."""
+    out_schema = StructType(
+        [
+            StructField("sel_rank", LongType(), False),
+            StructField(id_col, LongType(), False),
+            StructField("mind", DoubleType(), True),
+        ]
+    )
+    import numpy as np
+
+    ids = [r["__id"] for r in rows]
+    if not ids:
+        return spark.createDataFrame([], out_schema)
+    # float32 parquet values → exact float64 (widening); elementwise
+    # numpy ops are per-element IEEE and np.cumsum(...)[-1] IS the
+    # sequential left fold F.aggregate performs (verified bit-exact in
+    # tests), so only the final ROUND needs the Decimal replication
+    V = np.asarray([[float(x) for x in r["__v"]] for r in rows], dtype=np.float64)
+    norms = np.cumsum(V * V, axis=1)[:, -1]
+    n6 = [_round6_repl(float(x)) for x in norms]
+    # seed: argmax ROUND(squared norm, 6), smallest id on ties
+    si = min(range(len(ids)), key=lambda i: (-n6[i], ids[i]))
+    selected: list = [(0, ids[si], None)]
+    d0 = np.cumsum((V - V[si]) ** 2, axis=1)[:, -1]
+    mind = [_round6_repl(float(x)) for x in d0]
+    while len(selected) < k:
+        ai = min(range(len(ids)), key=lambda i: (-mind[i], ids[i]))
+        if mind[ai] <= 0.0:
+            break  # pool exhausted: every remaining point coincides
+        selected.append((len(selected), ids[ai], float(mind[ai])))
+        d = np.cumsum((V - V[ai]) ** 2, axis=1)[:, -1]
+        for i, x in enumerate(d):
+            # min over centers is order-independent; rounding first
+            # matches the distributed LEAST(ROUND(d),…) exactly
+            r = _round6_repl(float(x))
+            if r < mind[i]:
+                mind[i] = r
+    return spark.createDataFrame(selected, out_schema)
+
+
 def k_center_select(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -107,12 +185,23 @@ def k_center_select(
     shortest decimal repr — what java.math.BigDecimal.valueOf does).
     """
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     if k < 1:
         raise ValueError("k must be >= 1")
     spark: SparkSession = df.sparkSession
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    pool_probe = base.limit(_DRIVER_POOL_MAX + 1).collect()
+    if len(pool_probe) <= _DRIVER_POOL_MAX:
+        # BOUNDED-POOL fast path (same contract as mmr_rerank's driver
+        # greedy): the candidate pool fits the driver cap — at scale
+        # the pool is a hash_sample coreset by the module contract, so
+        # this is the common serving shape. ONE Spark job (the bounded
+        # CollectLimit fetch) + an exact driver greedy that replicates
+        # the distributed arithmetic bit-for-bit (_round6/_sqd are the
+        # same replications the chain-verify path already proves); the
+        # distributed loop below remains the >cap fallback and the
+        # equivalence is pinned by tests/test_select.py.
+        return _k_center_driver(spark, pool_probe, id_col, k)
     # don't re-cache a projection of an already-cached input: the
     # per-invocation cache build would dominate the whole selection
     own_cache = not df.is_cached
@@ -126,21 +215,8 @@ def k_center_select(
         ]
     )
 
-    _Q6 = Decimal("0.000001")
-
-    def _round6(x: float) -> float:
-        # java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP)
-        # .doubleValue(): valueOf goes through Double.toString (the
-        # shortest round-trip decimal), which Python's repr matches
-        # numerically
-        return float(Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP))
-
-    def _sqd(a: list, b: list) -> float:
-        # sequential left fold matching _sq_dist's F.aggregate order
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return acc
+    _round6 = _round6_repl
+    _sqd = _sqd_repl
 
     try:
         seed = (

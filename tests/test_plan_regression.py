@@ -56,6 +56,40 @@ _MARKERS = {
 }
 
 
+def _strip_cached(plan: str) -> str:
+    """Drop InMemoryRelation subtrees: the cached BUILD lineage runs
+    once per session (artifact amortization), not per query — the
+    golden signature pins the work each query actually executes. Tree
+    depth = length of the drawing prefix (spaces, ':', '+', '-'); a
+    subtree ends when depth returns to <= the relation's own depth."""
+    out = []
+    skip_depth = None
+    prev_skipped = False
+    for line in plan.splitlines():
+        rest = line.lstrip(" :+-")
+        depth = len(line) - len(rest)
+        # literal newlines inside expressions (e.g. split(text, "\n"))
+        # produce continuation lines that are NOT tree nodes — they
+        # follow the fate of the node they belong to
+        is_node = bool(rest) and (rest[0].isalnum() or rest[0] in "*=(")
+        if not is_node:
+            if not prev_skipped:
+                out.append(line)
+            continue
+        if skip_depth is not None:
+            if depth > skip_depth:
+                prev_skipped = True
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            prev_skipped = True
+            continue
+        prev_skipped = False
+        out.append(line)
+    return "\n".join(out)
+
+
 def _signature(plan: str) -> dict[str, int]:
     sig = {}
     for name, pat in _MARKERS.items():
@@ -65,19 +99,24 @@ def _signature(plan: str) -> dict[str, int]:
     return sig
 
 
-def _capture(spark) -> dict[str, dict[str, int]]:
+def _capture(spark, strip_cached: bool = False) -> dict[str, dict[str, int]]:
     out = {}
     for name, fn in QUERIES.items():
         if name in SKIP:
             continue
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        if strip_cached:
+            plan = _strip_cached(plan)
         out[name] = _signature(plan)
     return out
 
 
 def test_plan_signatures_match_golden(spark):
-    got = _capture(spark)
+    # goldens pin the PER-QUERY executed shape: cached-artifact build
+    # lineage (amortized once per session) is excluded; the full-plan
+    # invariant tests below still see it
+    got = _capture(spark, strip_cached=True)
     if os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1" or not GOLDEN.exists():
         GOLDEN.write_text(json.dumps(got, indent=1, sort_keys=True) + "\n")
         pytest.skip("golden plan signatures (re)generated")

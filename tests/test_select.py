@@ -73,3 +73,31 @@ def test_k_exceeding_pool_and_duplicates_stop_early(spark):
 def test_empty_input(spark):
     df = _emb(spark, []).filter(F.lit(False))
     assert k_center_select(df, k=3).count() == 0
+
+
+def test_driver_and_distributed_paths_identical(spark, monkeypatch):
+    """The bounded-pool driver greedy must reproduce the distributed
+    loop's selection sequence AND its rounded cover distances
+    bit-for-bit (same _round6/_sqd replication the chain-verify path
+    proves); forcing the cap to 0 routes the same input through the
+    distributed rounds."""
+    import stac_fastapi_duckdb_spark.pipeline.select as sel
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    # duplicate a few rows so exhaustion/tie handling is exercised too
+    vecs = np.vstack([vecs, vecs[:5]])
+    fast = [
+        (r.sel_rank, r.vec_id, r.mind)
+        for r in sel.k_center_select(_emb(spark, vecs), k=9)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    monkeypatch.setattr(sel, "_DRIVER_POOL_MAX", 0)
+    slow = [
+        (r.sel_rank, r.vec_id, r.mind)
+        for r in sel.k_center_select(_emb(spark, vecs), k=9)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert fast == slow

@@ -400,6 +400,129 @@ def test_hybrid_search_indexed_serving_is_bit_identical(spark):
     assert [tuple(r) for r in served] == [tuple(r) for r in base]
 
 
+def _hybrid_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join scan filter join scan"),
+            (2, "scan appears once here with filler words to pad length"),
+            (3, "completely unrelated text about gardening and soil"),
+            (4, "join scan join filter scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.25]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),
+            (4, [0.3, 0.3, 0.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return docs, embs
+
+
+def test_hybrid_search_local_serving_is_bit_identical(spark, tmp_path):
+    """The zero-Spark-job serving path (posting-list probe + bounded
+    vector point fetch + float64 rerank) must reproduce the distributed
+    retrieve-then-rerank result exactly — same doubles, same order —
+    including the float32 probe quantization the distributed plan
+    applies via the cast-to-element-type literal."""
+    docs, embs = _hybrid_fixture(spark)
+    terms = ["join", "scan", "filter"]
+    probe = [1.0, 0.0, 0.25]
+    base = T.hybrid_search(
+        docs, embs, terms, probe_id=0, k=3, n_candidates=3
+    ).collect()
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    lex = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term").count()
+        .withColumnRenamed("count", "df").collect()
+    }
+    tf_disk = str(tmp_path / "tf")
+    (
+        idx.repartition(1)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(tf_disk)
+    )
+    emb_disk = str(tmp_path / "embeddings.parquet")
+    embs.repartition(1).write.mode("overwrite").parquet(emb_disk)
+    served = T.hybrid_search(
+        None,
+        embs,
+        terms,
+        k=3,
+        n_candidates=3,
+        corpus_stats=(n_docs, avgdl),
+        probe_vec=probe,
+        lexicon=lex,
+        tf_index_path=tf_disk,
+        embeddings_path=emb_disk,
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in base]
+
+
+def test_hybrid_search_local_serving_degrades_to_distributed(spark, tmp_path):
+    """A missing/corrupt index artifact must fall back to the
+    distributed plan, never error — same discipline as get_one_item."""
+    docs, embs = _hybrid_fixture(spark)
+    terms = ["join", "scan", "filter"]
+    base = T.hybrid_search(
+        docs, embs, terms, probe_id=0, k=3, n_candidates=3
+    ).collect()
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    lex = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term").count()
+        .withColumnRenamed("count", "df").collect()
+    }
+    served = T.hybrid_search(
+        None,
+        embs,
+        terms,
+        k=3,
+        n_candidates=3,
+        tf_index=idx,
+        corpus_stats=(n_docs, avgdl),
+        probe_vec=[1.0, 0.0, 0.25],
+        lexicon=lex,
+        tf_index_path=str(tmp_path / "nope" / "tf"),
+        embeddings_path=str(tmp_path / "nope" / "emb"),
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in base]
+
+
+def test_bm25_probe_local_matches_indexed(spark, tmp_path):
+    """The driver posting-list probe replays bm25_search_indexed's
+    Column algebra term-for-term: identical (doc_id, score) doubles."""
+    docs, embs = _hybrid_fixture(spark)
+    terms = ["join", "filter"]
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    lex = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term").count()
+        .withColumnRenamed("count", "df").collect()
+    }
+    tf_disk = str(tmp_path / "tf")
+    idx.repartition(1).sortWithinPartitions("term", "doc_id").write.parquet(
+        tf_disk
+    )
+    dist = [
+        (r.doc_id, r.score)
+        for r in T.bm25_search_indexed(
+            idx, terms, n_docs, avgdl, k=10, lexicon=lex
+        ).orderBy(F.desc("score"), "doc_id").collect()
+    ]
+    local = T.bm25_probe_local(tf_disk, terms, n_docs, avgdl, lex, k=10)
+    assert local == dist
+
+
 # ---------------------------------------------------------------------------
 # fused curation pipeline
 # ---------------------------------------------------------------------------
