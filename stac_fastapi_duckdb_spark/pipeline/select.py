@@ -116,9 +116,11 @@ def _k_center_driver(
     )
     import numpy as np
 
+    from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
     ids = [r["__id"] for r in rows]
     if not ids:
-        return spark.createDataFrame([], out_schema)
+        return local_rows_df(spark, [], out_schema)
     # float32 parquet values → exact float64 (widening); elementwise
     # numpy ops are per-element IEEE and np.cumsum(...)[-1] IS the
     # sequential left fold F.aggregate performs (verified bit-exact in
@@ -143,7 +145,7 @@ def _k_center_driver(
             r = _round6_repl(float(x))
             if r < mind[i]:
                 mind[i] = r
-    return spark.createDataFrame(selected, out_schema)
+    return local_rows_df(spark, selected, out_schema)
 
 
 def k_center_select(
@@ -304,7 +306,11 @@ def k_center_select(
                 first_in_round = False
                 selected.append((len(selected), cid, float(cm)))
                 centers.append(cvec)
-        return spark.createDataFrame(selected, out_schema)
+        from stac_fastapi_duckdb_spark.functions.localrel import (
+            local_rows_df,
+        )
+
+        return local_rows_df(spark, selected, out_schema)
     finally:
         if own_cache:
             base.unpersist()

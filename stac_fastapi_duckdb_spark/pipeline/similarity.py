@@ -946,8 +946,10 @@ def mmr_rerank(
         picked.append((len(picked) + 1, rid, float(rel) + 0.0, float(score) + 0.0))
         sel_vecs.append(v)
         remaining = [t for t in remaining if t[0] != rid]
-    return spark.createDataFrame(
-        picked, f"rank int, {id_col} long, rel double, mmr_score double"
+    from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
+    return local_rows_df(
+        spark, picked, f"rank int, {id_col} long, rel double, mmr_score double"
     )
 
 
@@ -1002,8 +1004,10 @@ def _mmr_rounds_distributed(
         )
         sel_vecs.append(F.array(*[F.lit(float(x)) for x in row["_v"]]))
         remaining = remaining.filter(F.col(id_col) != row[id_col])
-    return spark.createDataFrame(
-        picked, f"rank int, {id_col} long, rel double, mmr_score double"
+    from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
+    return local_rows_df(
+        spark, picked, f"rank int, {id_col} long, rel double, mmr_score double"
     )
 
 

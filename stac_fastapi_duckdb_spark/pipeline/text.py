@@ -813,11 +813,13 @@ def _hybrid_serve_local(
             StructField("hybrid", DoubleType(), True),
         ]
     )
+    from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
     cands = bm25_probe_local(
         tf_index_path, query_terms, n_docs, avgdl, lexicon, k=n_candidates
     )
     if not cands:
-        return spark.createDataFrame([], schema)
+        return local_rows_df(spark, [], schema)
     vecs = fetch_vectors_local(embeddings_path, [d for d, _ in cands])
     # the distributed plan casts the probe literal to the embedding
     # column's element type (float32 for the bench tables) before the
@@ -851,7 +853,7 @@ def _hybrid_serve_local(
         hyb = _round6_repl(alpha * s + cos6) + 0.0
         out.append((d, s, cos6, hyb))
     out.sort(key=lambda t: (-t[3], t[0]))
-    return spark.createDataFrame(out[:k], schema)
+    return local_rows_df(spark, out[:k], schema)
 
 
 def hybrid_search(
