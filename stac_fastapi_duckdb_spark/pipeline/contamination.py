@@ -167,6 +167,7 @@ def decontaminate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
+    fp_stream: DataFrame | None = None,
 ) -> DataFrame:
     """GPT-3-style decontamination (Brown et al. 2020, Appendix C):
     REMOVE from every training document each ``window_tokens``-token
@@ -206,8 +207,13 @@ def decontaminate_spans(
         .select("fp")
         .distinct()
     )
+    # pass ``fp_stream`` (a prebuilt/persisted window_fp_stream of the
+    # corpus — the written fingerprint sidecar) and the corpus explode
+    # never re-runs; only the broadcast semi probe + rebuild do
+    if fp_stream is None:
+        fp_stream = window_fp_stream(docs, k, text_col, id_col)
     marked = (
-        window_fp_stream(docs, k, text_col, id_col)
+        fp_stream
         .join(F.broadcast(bench_fps), "fp", "left_semi")
         .select("doc_id", "pos")
         .distinct()

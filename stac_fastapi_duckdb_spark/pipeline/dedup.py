@@ -675,11 +675,12 @@ def shingle_containment_pairs(
 
 
 def duplicate_spans(
-    df: DataFrame,
+    df: DataFrame | None,
     window_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    annotated: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-substring detection at token-window
     granularity — the distributed restatement of suffix-array exact
@@ -704,32 +705,22 @@ def duplicate_spans(
     duplicated (doc, pos) rows, which in a healthy corpus is a small
     fraction of the input. The fingerprint is md5-derived (not
     xxhash64) so the oracle can rebuild it engine-neutrally.
+
+    Pass ``annotated`` (a prebuilt/persisted ``window_fp_annotated``
+    stream — the corpus-constant duplication verdict, in production a
+    written fingerprint sidecar) and neither the explode nor the fp
+    window shuffle re-runs; ``df`` is then unused and may be None.
     """
     from pyspark.sql.window import Window
 
     k = window_tokens
-    toks = tokens_col(F.col(text_col))
-    n = F.size(toks)
-    wins = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.substring(
-            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 16
-        ),
-    )
-    ex = (
-        ensure_parallelism(df)
-        .filter(n >= k)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp"))
-    )
-    # distinct-doc count per fingerprint, one shuffle on fp
-    dup = (
-        ex.withColumn(
-            "_docs",
-            F.size(F.collect_set("doc_id").over(Window.partitionBy("fp"))),
+    if annotated is None:
+        annotated = window_fp_annotated(
+            window_fp_stream(df, k, text_col, id_col)
         )
-        .filter(F.col("_docs") >= min_docs)
-        .select("doc_id", "pos")
-    )
+    # distinct-doc count per fingerprint (one shuffle on fp, already
+    # paid when a prebuilt annotated stream is passed)
+    dup = annotated.filter(F.col("_docs") >= min_docs).select("doc_id", "pos")
     # merge windows whose starts are within k tokens (overlap/adjacency)
     ws = Window.partitionBy("doc_id").orderBy("pos")
     run = ws.rowsBetween(Window.unboundedPreceding, 0)
@@ -855,6 +846,7 @@ def remove_duplicate_spans(
     window_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    annotated: DataFrame | None = None,
 ) -> DataFrame:
     """The CLEANING consumer of ``duplicate_spans``: rebuild each
     document with its cross-document duplicated runs removed, keeping
@@ -879,18 +871,20 @@ def remove_duplicate_spans(
     intervals per doc are few) and a map-side JVM rebuild: tokens are
     filtered by a fold over the interval array and re-joined — no
     token-level explode of the corpus.
-    """
-    from pyspark.sql.window import Window
 
+    Pass ``annotated`` (a prebuilt/persisted ``window_fp_annotated``
+    stream) and the explode + fp window shuffle never re-run — the
+    query pays only the islands pass and the rebuild join.
+    """
     k = window_tokens
-    ex = window_fp_stream(df, k, text_col, id_col)
-    wfp = Window.partitionBy("fp")
-    marked = (
-        ex.withColumn(
-            "_docs", F.size(F.collect_set("doc_id").over(wfp))
+    if annotated is None:
+        annotated = window_fp_annotated(
+            window_fp_stream(df, k, text_col, id_col)
         )
-        .withColumn("_owner", F.min("doc_id").over(wfp))
-        .filter((F.col("_docs") >= 2) & (F.col("doc_id") != F.col("_owner")))
+    marked = (
+        annotated.filter(
+            (F.col("_docs") >= 2) & (F.col("doc_id") != F.col("_owner"))
+        )
         .select("doc_id", "pos")
         .distinct()
     )
@@ -918,6 +912,24 @@ def window_fp_stream(
             F.col(id_col).alias("doc_id"), F.posexplode(wins).alias("pos", "fp")
         )
     )
+
+
+def window_fp_annotated(stream: DataFrame) -> DataFrame:
+    """Annotate a ``window_fp_stream`` with the corpus-constant
+    duplication verdict: per-fingerprint distinct-document count
+    (``_docs``) and owning (minimum) document (``_owner``) — ONE
+    shuffle on the 16-hex fingerprint, shared by the reporting
+    (:func:`duplicate_spans`) and cleaning
+    (:func:`remove_duplicate_spans`) consumers. The verdict depends
+    only on the corpus, so in production this is written once as the
+    fingerprint sidecar's two extra columns and every consumer reads
+    it instead of re-running the window."""
+    from pyspark.sql.window import Window
+
+    wfp = Window.partitionBy("fp")
+    return stream.withColumn(
+        "_docs", F.size(F.collect_set("doc_id").over(wfp))
+    ).withColumn("_owner", F.min("doc_id").over(wfp))
 
 
 def rebuild_without_spans(

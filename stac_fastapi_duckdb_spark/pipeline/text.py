@@ -1584,12 +1584,41 @@ def dsir_select(
     return w.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def novelty_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """The corpus-constant half of :func:`ngram_novelty`: per document,
+    how many distinct ``shingle_n``-grams make their FIRST corpus
+    appearance (min ``id_col``) in that document → (id, n_novel).
+    One explode + two partial-agged shuffles; the output is
+    doc-cardinality, so freezing it as an artifact is cheap."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shingles_col
+
+    df = ensure_parallelism(df)
+    gram = F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g")
+    key = F.xxhash64("_g") if hash_shingles else F.col("_g")
+    firsts = (
+        df.select(F.col(id_col), gram)
+        .select(F.col(id_col), key.alias("_k"))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias("_first"))
+    )
+    return firsts.groupBy(F.col("_first").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     hash_shingles: bool = True,
+    novel: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-order n-gram novelty: for each document, the fraction of
     its distinct word ``shingle_n``-grams whose FIRST corpus occurrence
@@ -1612,21 +1641,18 @@ def ngram_novelty(
     to one row per DISTINCT gram, and the final join is doc-keyed
     (corpus cardinality, not gram cardinality). Nothing quadratic,
     nothing driver-side.
+
+    Pass ``novel`` (a prebuilt/persisted :func:`novelty_counts` — the
+    corpus-constant per-doc first-occurrence totals, in production a
+    written ingest-time aggregate) and the explode + both shuffles
+    never re-run; the query is the map-only totals + one doc-keyed
+    join.
     """
     from stac_fastapi_duckdb_spark.pipeline.dedup import shingles_col
 
     df = ensure_parallelism(df)
-    gram = F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_g")
-    key = F.xxhash64("_g") if hash_shingles else F.col("_g")
-    firsts = (
-        df.select(F.col(id_col), gram)
-        .select(F.col(id_col), key.alias("_k"))
-        .groupBy("_k")
-        .agg(F.min(id_col).alias("_first"))
-    )
-    novel = firsts.groupBy(F.col("_first").alias(id_col)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_novel")
-    )
+    if novel is None:
+        novel = novelty_counts(df, text_col, id_col, shingle_n, hash_shingles)
     totals = df.select(
         F.col(id_col),
         F.size(shingles_col(F.col(text_col), shingle_n))
@@ -1962,11 +1988,57 @@ def incremental_line_dedup(
     return cleaned, new_hashes
 
 
+def span_dup_map(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """The corpus-constant half of :func:`span_dedup`: per affected
+    document, the token positions of windows whose 60-bit hash occurred
+    earlier in corpus (doc_id, pos) order → (doc_id, _dup_pos array).
+    One explode + one window shuffle on the hash; output cardinality is
+    affected-docs only, so freezing it as an artifact is cheap — in
+    production the written dup-position sidecar of the ExactSubstr
+    pass."""
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    empty_i = F.array().cast("array<int>")
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= k,
+                F.sequence(F.lit(0), F.size("_toks") - k),
+            ).otherwise(empty_i)
+        ).alias("pos"),
+        "_toks",
+    ).select(
+        "doc_id",
+        "pos",
+        kmv_hash(F.concat_ws("\x1f", F.slice("_toks", F.col("pos") + 1, k))).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    return (
+        wins.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_dup_pos"))
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    dup_map: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr-style repeated-span deduplication (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": remove
@@ -1998,36 +2070,18 @@ def span_dedup(
     probe side (identical plan, fewer rows) at a bounded recall
     loss. The DuckDB oracle replays hash, keep-first window, and
     coverage verbatim, including any hash collision.
+
+    Pass ``dup_map`` (a prebuilt/persisted :func:`span_dup_map` — the
+    corpus-constant dup-position sidecar) and the explode + hash
+    window shuffle never re-run; the query is the rebuild join only.
     """
-    from pyspark.sql import Window
-
-    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
-
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
     )
     empty_i = F.array().cast("array<int>")
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("_toks") >= k,
-                F.sequence(F.lit(0), F.size("_toks") - k),
-            ).otherwise(empty_i)
-        ).alias("pos"),
-        "_toks",
-    ).select(
-        "doc_id",
-        "pos",
-        kmv_hash(F.concat_ws("\x1f", F.slice("_toks", F.col("pos") + 1, k))).alias("_h"),
-    )
-    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
     dups = (
-        wins.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
-        .groupBy("doc_id")
-        .agg(F.collect_list("pos").alias("_dup_pos"))
+        span_dup_map(df, text_col, id_col, k) if dup_map is None else dup_map
     )
     covered = F.coalesce(
         F.array_distinct(

@@ -57,13 +57,17 @@ _MARKERS = {
 
 
 def _strip_cached(plan: str) -> str:
-    """Drop InMemoryRelation subtrees: the cached BUILD lineage runs
-    once per session (artifact amortization), not per query — the
-    golden signature pins the work each query actually executes. Tree
+    """Drop cached-build subtrees: everything beneath an
+    InMemoryTableScan is the artifact's BUILD lineage (the
+    InMemoryRelation and its child plan — sometimes inlined without
+    the relation line), which runs once per session (artifact
+    amortization), not per query — the golden signature pins the work
+    each query actually executes. The scan line itself is kept. Tree
     depth = length of the drawing prefix (spaces, ':', '+', '-'); a
-    subtree ends when depth returns to <= the relation's own depth."""
+    subtree ends when depth returns to <= the scan's own depth."""
     out = []
     skip_depth = None
+    section_floor = None
     prev_skipped = False
     for line in plan.splitlines():
         rest = line.lstrip(" :+-")
@@ -76,16 +80,33 @@ def _strip_cached(plan: str) -> str:
             if not prev_skipped:
                 out.append(line)
             continue
+        is_section = rest.startswith("== ")
         if skip_depth is not None:
-            if depth > skip_depth:
+            # a cached AdaptiveSparkPlan prints its == Final/Initial
+            # Plan == sections DEDENTED below the scan node, and the
+            # section CONTENT starts at the header's own depth — a
+            # header opens a separate >=-floor instead of ending the
+            # skip
+            if is_section:
+                section_floor = (
+                    depth
+                    if section_floor is None
+                    else min(section_floor, depth)
+                )
+                prev_skipped = True
+                continue
+            if depth > skip_depth or (
+                section_floor is not None and depth >= section_floor
+            ):
                 prev_skipped = True
                 continue
             skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            prev_skipped = True
-            continue
+            section_floor = None
         prev_skipped = False
+        if "InMemoryTableScan" in line:
+            skip_depth = depth
+            out.append(line)  # the scan itself IS per-query work
+            continue
         out.append(line)
     return "\n".join(out)
 
