@@ -994,6 +994,71 @@ def rebuild_without_spans(
     )
 
 
+def deletion_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus-constant blocking index of :func:`edit_distance_pairs`
+    (the SymSpell/FastSS deletion neighborhood, word-granular): per
+    document, the 16-hex signature of its token sequence and of every
+    single-token deletion → (_id, sig), distinct. One explode + the
+    per-doc window sums (the O(total tokens) rolling-sum construction
+    documented on the consumer); at 100 TB this is written once at
+    ingest as the near-identical blocking sidecar."""
+    from pyspark.sql import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
+
+    _M = F.lit(1 << 60).cast("decimal(38,0)")
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    toks = tokens_col(F.col(text_col))
+    ex0 = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("_p", "_tok"),
+    )
+    hd = kmv_hash(F.col("_tok")).cast("decimal(38,0)")
+    wdoc = Window.partitionBy("_id")
+    wsuf = (
+        Window.partitionBy("_id")
+        .orderBy(F.col("_p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = ex0.select(
+        "_id",
+        "_p",
+        hd.alias("_h"),
+        F.sum(hd).over(wdoc).alias("_S"),
+        F.sum(hd * (F.col("_p") + 1)).over(wdoc).alias("_W"),
+        F.coalesce(F.sum(hd).over(wsuf), dec0).alias("_T"),
+    )
+
+    def _sig(s_part: Column, w_part: Column) -> Column:
+        return F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.pmod(s_part, _M).cast("long").cast("string"),
+                    F.pmod(w_part, _M).cast("long").cast("string"),
+                )
+            ),
+            1,
+            16,
+        )
+
+    del_sigs = rows.select(
+        "_id",
+        _sig(
+            F.col("_S") - F.col("_h"),
+            F.col("_W") - F.col("_h") * (F.col("_p") + 1) - F.col("_T"),
+        ).alias("sig"),
+    )
+    full_sigs = rows.filter(F.col("_p") == 0).select(
+        "_id", _sig(F.col("_S"), F.col("_W")).alias("sig")
+    )
+    return del_sigs.unionByName(full_sigs).distinct()
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1001,6 +1066,7 @@ def edit_distance_pairs(
     max_dist: int = 10,
     max_bucket_size: int = 1000,
     pair_mode: str = "all",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Typo-level near-identical pairs: documents whose texts are a few
     character edits apart (template instantiations, OCR noise, version
@@ -1052,58 +1118,17 @@ def edit_distance_pairs(
     only ADDS a candidate pair that exact verification then rejects.
 
     → (id_a, id_b, dist) with ``dist ≤ max_dist`` chars, id_a < id_b.
+
+    Pass ``signatures`` (a prebuilt/persisted
+    :func:`deletion_signatures` stream — the written SymSpell blocking
+    index of the ingest pass) and the explode + window sums never
+    re-run; the query pays only the bucket join + Levenshtein verify.
     """
-    from pyspark.sql import Window
-
-    from stac_fastapi_duckdb_spark.pipeline.sketch import kmv_hash
-
-    _M = F.lit(1 << 60).cast("decimal(38,0)")
-    dec0 = F.lit(0).cast("decimal(38,0)")
-    toks = tokens_col(F.col(text_col))
-    ex0 = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(toks).alias("_p", "_tok"),
+    ex = (
+        deletion_signatures(df, text_col, id_col)
+        if signatures is None
+        else signatures
     )
-    hd = kmv_hash(F.col("_tok")).cast("decimal(38,0)")
-    wdoc = Window.partitionBy("_id")
-    wsuf = (
-        Window.partitionBy("_id")
-        .orderBy(F.col("_p").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    rows = ex0.select(
-        "_id",
-        "_p",
-        hd.alias("_h"),
-        F.sum(hd).over(wdoc).alias("_S"),
-        F.sum(hd * (F.col("_p") + 1)).over(wdoc).alias("_W"),
-        F.coalesce(F.sum(hd).over(wsuf), dec0).alias("_T"),
-    )
-
-    def _sig(s_part: Column, w_part: Column) -> Column:
-        return F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.pmod(s_part, _M).cast("long").cast("string"),
-                    F.pmod(w_part, _M).cast("long").cast("string"),
-                )
-            ),
-            1,
-            16,
-        )
-
-    del_sigs = rows.select(
-        "_id",
-        _sig(
-            F.col("_S") - F.col("_h"),
-            F.col("_W") - F.col("_h") * (F.col("_p") + 1) - F.col("_T"),
-        ).alias("sig"),
-    )
-    full_sigs = rows.filter(F.col("_p") == 0).select(
-        "_id", _sig(F.col("_S"), F.col("_W")).alias("sig")
-    )
-    ex = del_sigs.unionByName(full_sigs).distinct()
     cand = _bucket_pairs(
         ex, ["sig"], "_id", max_bucket_size, pair_mode
     ).distinct()

