@@ -198,6 +198,9 @@ _EXTRA_OPS = [
     "interval_overlap",
     "linear_attribution",
     "quarantine",
+    "pack_chunks",
+    "pack_greedy",
+    "mixture_sample",
 ]
 
 

@@ -380,3 +380,58 @@ def stratified_exact_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Target domain-mixture rebalancing: sample the corpus DOWN to a
+    token/document budget distributed across groups by target weights
+    (the data-mixing step of every pretraining recipe — DoReMi-style
+    domain reweighting applied as hard quotas). Group ``g`` gets
+    ``floor(budget · w_g / Σw)`` rows; a smaller group contributes
+    what it has, and groups absent from ``weights`` contribute
+    nothing. Within each group rows are ranked by the same
+    deterministic 60-bit md5 order as :func:`stratified_exact_sample`
+    (salt+key hash, key tiebreak — reruns, engines, and partitionings
+    all agree).
+
+    The integer quotas are computed driver-side from the weights and
+    embedded as a literal map, so the plan is ONE window shuffle on
+    the group key with WindowGroupLimit pushdown — identical shape to
+    the uniform-quota sampler, no second pass, no join.
+
+    → input columns + ``sample_rank`` (1..quota within the group).
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quotas = {g: int(budget * wt / total_w) for g, wt in weights.items()}
+    quota_lit = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    # same NULL-key discipline as stratified_exact_sample: per-row
+    # surrogate so NULL keys neither sort first nor cluster
+    row_surrogate = F.concat(
+        F.lit("\x00"),
+        F.xxhash64(*[F.col(c) for c in df.columns]).cast("string"),
+    )
+    key_str = F.coalesce(F.col(key_col).cast("string"), row_surrogate)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key_str)), 18, 15),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc_nulls_last(), key_str.asc()
+    )
+    quota = F.coalesce(quota_lit[F.col(group_col)], F.lit(0))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )

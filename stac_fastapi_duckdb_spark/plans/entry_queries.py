@@ -6750,3 +6750,153 @@ ORACLE_SQL["quarantine"] = """
                AND COALESCE(lang IN ('en','de','fr','es','zh'), FALSE)
                AND COALESCE(n_chars = length(text), FALSE))
 """
+
+
+# ---------------------------------------------------------------------------
+# round 8: sequence packing + domain-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def q_pack_chunks(spark, sf):
+    """GPT-style concatenated-stream sequence packing
+    (pipeline/packing.py pack_chunks): within each of 8 md5-derived
+    shards, documents concatenate in id order into one token stream
+    sliced every 512 tokens; each document maps to its shard, token
+    offset, and chunk span (documents may span boundaries — the
+    no-padding pretraining layout). ONE window shuffle on the shard
+    key (the exclusive running token sum); shards are independent
+    packing workers, so parallelism scales with n_shards at any corpus
+    size. Oracle replays shard hash, running sum, and chunk arithmetic
+    verbatim."""
+    from stac_fastapi_duckdb_spark.pipeline.packing import pack_chunks
+
+    return pack_chunks(
+        _t(spark, sf, "documents"), ctx_len=512, n_shards=8
+    )
+
+
+QUERIES["pack_chunks"] = q_pack_chunks
+
+ORACLE_SQL["pack_chunks"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS UBIGINT) % 8 AS BIGINT) AS shard,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, shard, n_toks,
+               CAST(COALESCE(SUM(n_toks) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset
+        FROM base
+    )
+    SELECT doc_id, shard, tok_offset, n_toks,
+           CAST(tok_offset // 512 AS BIGINT) AS chunk_first,
+           CAST(CASE WHEN n_toks > 0
+                     THEN (tok_offset + n_toks - 1) // 512
+                     ELSE tok_offset // 512 END AS BIGINT) AS chunk_last,
+           CAST(CASE WHEN n_toks > 0
+                     THEN (tok_offset + n_toks - 1) // 512
+                          - tok_offset // 512 + 1
+                     ELSE 0 END AS BIGINT) AS n_chunks
+    FROM off
+"""
+
+
+def q_pack_greedy(spark, sf):
+    """No-split first-fit sequence packing (pipeline/packing.py
+    pack_greedy): within each shard, documents in id order fill
+    512-token bins; a doc that would overflow opens a new bin;
+    oversize docs get a flagged bin of their own — the
+    instruction-tuning layout where examples stay intact. The greedy
+    state is inherently sequential PER SHARD, so it runs as a JVM
+    ``aggregate`` fold over the shard's sorted docs (one partial-agg
+    groupBy, zero Python); the oracle replays the identical fold as a
+    per-shard recursive CTE."""
+    from stac_fastapi_duckdb_spark.pipeline.packing import pack_greedy
+
+    return pack_greedy(
+        _t(spark, sf, "documents"), ctx_len=512, n_shards=8
+    )
+
+
+QUERIES["pack_greedy"] = q_pack_greedy
+
+ORACLE_SQL["pack_greedy"] = """
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS UBIGINT) % 8 AS BIGINT) AS shard,
+               CAST(len(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    ord AS (
+        SELECT doc_id, shard, n_toks,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base
+    ),
+    rec AS (
+        SELECT shard, doc_id, n_toks, rn,
+               n_toks > 512 AS oversize,
+               CAST(0 AS BIGINT) AS bin,
+               CAST(0 AS BIGINT) AS bin_offset,
+               CASE WHEN n_toks > 512 THEN CAST(513 AS BIGINT)
+                    ELSE n_toks END AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.doc_id, o.n_toks, o.rn,
+               o.n_toks > 512 AS oversize,
+               CASE WHEN o.n_toks > 512 OR r.fill + o.n_toks > 512
+                    THEN r.bin + 1 ELSE r.bin END AS bin,
+               CASE WHEN o.n_toks > 512 OR r.fill + o.n_toks > 512
+                    THEN CAST(0 AS BIGINT) ELSE r.fill END AS bin_offset,
+               CASE WHEN o.n_toks > 512 THEN CAST(513 AS BIGINT)
+                    WHEN r.fill + o.n_toks > 512 THEN o.n_toks
+                    ELSE r.fill + o.n_toks END AS fill
+        FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, bin, bin_offset, n_toks, oversize FROM rec
+"""
+
+
+def q_mixture_sample(spark, sf):
+    """Target domain-mixture rebalancing (pipeline/sampling.py
+    mixture_sample — the data-mixing step of a pretraining recipe,
+    DoReMi-style domain weights applied as hard quotas): a 300-doc
+    budget split across the 20 sources by weight (i %% 5 + 1 for
+    src<i> — a skewed target mix), each source contributing its
+    quota's top rows under the deterministic salted-md5 order (the
+    same order contract as stratified_exact_sample). ONE window
+    shuffle on the source key with WindowGroupLimit pushdown; quotas
+    ride as a literal map. Oracle replays hash order and the same
+    driver-computed integer quotas."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import mixture_sample
+
+    weights = {f"src{i}": (i % 5) + 1 for i in range(20)}
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return mixture_sample(docs, weights, budget=300)
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+ORACLE_SQL["mixture_sample"] = """
+    SELECT doc_id, source, sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(CAST('0x' || substr(md5(
+                       'mix-v1' || CAST(doc_id AS VARCHAR)), 18, 15)
+                       AS UBIGINT) AS BIGINT) ASC,
+                   doc_id ASC
+               ) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 10 WHEN 'src10' THEN 5 WHEN 'src11' THEN 10 WHEN 'src12' THEN 15 WHEN 'src13' THEN 20 WHEN 'src14' THEN 25 WHEN 'src15' THEN 5 WHEN 'src16' THEN 10 WHEN 'src17' THEN 15 WHEN 'src18' THEN 20 WHEN 'src19' THEN 25 WHEN 'src2' THEN 15 WHEN 'src3' THEN 20 WHEN 'src4' THEN 25 WHEN 'src5' THEN 5 WHEN 'src6' THEN 10 WHEN 'src7' THEN 15 WHEN 'src8' THEN 20 WHEN 'src9' THEN 25 ELSE 0 END
+"""
