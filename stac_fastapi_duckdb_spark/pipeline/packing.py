@@ -118,72 +118,57 @@ def pack_greedy(
 
     → (doc_id, shard, bin, bin_offset, n_toks, oversize).
 
-    Scale shape: the greedy state (current bin, current fill) is
-    inherently sequential PER SHARD, so it runs as a JVM ``aggregate``
-    fold over the shard's (id-sorted) documents — one partial-agged
-    groupBy on the shard key, zero Python, output exploded back to one
-    row per document. Shard count scales the parallelism; shard size
-    bounds the fold (array) length, the same contract as every
-    per-group fold in this codebase."""
+    Scale shape: the greedy state (current bin, current fill) is a
+    NONLINEAR recurrence — not prefix-decomposable, so no window/scan
+    expresses it — and a JVM ``aggregate`` fold accumulating the
+    per-doc assignments is O(shard²) in Catalyst (immutable-array
+    append copies the accumulator per element; measured 9.7 s/shard at
+    50k docs). The right physical operator is an Arrow-batched LINEAR
+    kernel per shard (``applyInPandas`` — the same built-ins-can't-
+    express-it precedent as semdedup's GEMM): one partial-agg-free
+    groupBy shuffle on the shard key, a python-loop fold that is pure
+    integer arithmetic over the Arrow batch, one output row per doc.
+    Shard count scales the parallelism; shard size bounds kernel
+    memory."""
+    import pandas as pd
+
     sid = _shard_col(F.col(id_col), n_shards)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         sid.alias("shard"),
         _n_tokens(F.col(text_col)).cast("bigint").alias("n_toks"),
     )
-    docs = base.groupBy("shard").agg(
-        F.array_sort(
-            F.collect_list(F.struct("doc_id", "n_toks"))
-        ).alias("_docs")
-    )
-    assign_t = (
-        "array<struct<doc_id:bigint,bin:bigint,bin_offset:bigint,"
-        "n_toks:bigint,oversize:boolean>>"
-    )
-    zero = F.struct(
-        F.lit([]).cast(assign_t).alias("a"),
-        F.lit(-1).cast("bigint").alias("bin"),
-        F.lit(ctx_len + 1).cast("bigint").alias("fill"),
-    )
 
-    def step(acc, x):
-        oversize = x["n_toks"] > ctx_len
-        fits = acc["fill"] + x["n_toks"] <= ctx_len
-        new_bin = F.when(oversize | ~fits, acc["bin"] + 1).otherwise(
-            acc["bin"]
-        )
-        offset = F.when(oversize | ~fits, F.lit(0).cast("bigint")).otherwise(
-            acc["fill"]
-        )
-        # an oversize doc FILLS its bin (next doc always opens a new
-        # one); otherwise the fill advances past this doc
-        new_fill = F.when(oversize, F.lit(ctx_len + 1).cast("bigint")).otherwise(
-            offset + x["n_toks"]
-        )
-        row = F.struct(
-            x["doc_id"].alias("doc_id"),
-            new_bin.alias("bin"),
-            offset.alias("bin_offset"),
-            x["n_toks"].alias("n_toks"),
-            oversize.alias("oversize"),
-        )
-        return F.struct(
-            F.concat(acc["a"], F.array(row)).alias("a"),
-            new_bin.alias("bin"),
-            new_fill.alias("fill"),
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs, overs = [], [], []
+        cur_bin, fill = -1, ctx_len + 1
+        for n in pdf["n_toks"]:
+            oversize = n > ctx_len
+            if oversize or fill + n > ctx_len:
+                cur_bin += 1
+                off = 0
+            else:
+                off = fill
+            # an oversize doc FILLS its bin (next doc always opens a
+            # new one); otherwise the fill advances past this doc
+            fill = ctx_len + 1 if oversize else off + n
+            bins.append(cur_bin)
+            offs.append(off)
+            overs.append(oversize)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "bin": pd.Series(bins, dtype="int64"),
+                "bin_offset": pd.Series(offs, dtype="int64"),
+                "n_toks": pdf["n_toks"],
+                "oversize": pd.Series(overs, dtype="bool"),
+            }
         )
 
-    folded = docs.select(
-        "shard",
-        F.aggregate(F.col("_docs"), zero, step)["a"].alias("_a"),
-    )
-    return folded.select(
-        "shard", F.explode("_a").alias("_r")
-    ).select(
-        F.col("_r.doc_id").alias("doc_id"),
-        "shard",
-        F.col("_r.bin").alias("bin"),
-        F.col("_r.bin_offset").alias("bin_offset"),
-        F.col("_r.n_toks").alias("n_toks"),
-        F.col("_r.oversize").alias("oversize"),
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        "doc_id long, shard long, bin long, bin_offset long, "
+        "n_toks long, oversize boolean",
     )

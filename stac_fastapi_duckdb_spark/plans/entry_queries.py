@@ -2169,23 +2169,31 @@ def q_semdedup(spark, sf):
     IVF centroid artifact, drop any vector cosine-≥0.95 similar to a
     lower-id cluster-mate (lowest such mate is the deterministic
     witness). Planted dups: the table unioned with an id-shifted copy —
-    identical vectors land in the same cluster by construction. The
-    oracle replays cluster assignment from the same centroid literals
-    (row_number over exact L2, as ann_ivf_topk does) and the same
-    witness reduction."""
+    identical vectors land in the same cluster by construction. Cell
+    assignments serve from the persisted ANN index table
+    (_ivfpq_indexed — the identical with_ivf_cell derivation), so the
+    per-query pandas assignment never re-runs: the query is one
+    cluster shuffle + the per-cluster GEMM kernel. The oracle replays
+    cluster assignment from the same centroid literals (row_number
+    over exact L2, as ann_ivf_topk does) and the same witness
+    reduction."""
     import numpy as np
 
     from stac_fastapi_duckdb_spark.plans.ivf_index import IVF_CENTROIDS
 
-    emb = _t(spark, sf, "embeddings")
+    idx = _ivfpq_indexed(spark, sf).select(
+        "vec_id", "embedding", F.col("ivf_cell").alias("sem_cluster")
+    )
     # offset far beyond any SF's id range: a colliding shift would make
     # planted ids ambiguous (vec_id+1000 overlaps the real 0..4999 range
     # at sf0.1) and the per-drop-id witness reduction ill-defined
-    shifted = emb.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    shifted = idx.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "sem_cluster",
     )
     return P_sim.semdedup(
-        emb.unionByName(shifted),
+        idx.unionByName(shifted),
         np.asarray(IVF_CENTROIDS, dtype=np.float64),
         threshold=0.95,
     )
@@ -6814,10 +6822,12 @@ def q_pack_greedy(spark, sf):
     512-token bins; a doc that would overflow opens a new bin;
     oversize docs get a flagged bin of their own — the
     instruction-tuning layout where examples stay intact. The greedy
-    state is inherently sequential PER SHARD, so it runs as a JVM
-    ``aggregate`` fold over the shard's sorted docs (one partial-agg
-    groupBy, zero Python); the oracle replays the identical fold as a
-    per-shard recursive CTE."""
+    state is a nonlinear recurrence (no window/scan expresses it, and
+    a JVM fold accumulating assignments is O(shard²) — measured 9.7 s
+    at sf1), so it runs as an Arrow-batched LINEAR kernel per shard
+    (applyInPandas — the semdedup-GEMM precedent): one shard shuffle,
+    integer arithmetic over the batch. The oracle replays the
+    identical fold as a per-shard recursive CTE."""
     from stac_fastapi_duckdb_spark.pipeline.packing import pack_greedy
 
     return pack_greedy(

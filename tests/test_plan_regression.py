@@ -180,6 +180,10 @@ def test_no_accidental_python_or_nested_loops(spark):
         # per-cluster GEMM kernel (applyInPandas) — the paper's own
         # compute shape; A/B'd 14× faster than the Column-fold join
         "semdedup",
+        # per-shard linear greedy fold (applyInPandas) — the bin
+        # recurrence is nonlinear (no window/scan) and the JVM
+        # array-append fold is O(shard²)
+        "pack_greedy",
     }
     # single-row broadcast side crossed against every embedding (brute
     # force ANN baseline / probe-vector rerank) — a

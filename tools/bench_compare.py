@@ -74,7 +74,14 @@ STREAMING_VS_BATCH = {"streaming_hourly_rollup"}
 # in the ratio would flatter Spark with the oracle's restatement cost,
 # symmetric to how QUADRATIC_ORACLES would flatter DuckDB — excluded
 # from the total, timed visibly
-ITERATIVE_ORACLES = {"pagerank_transitions"}
+ITERATIVE_ORACLES = {
+    "pagerank_transitions",
+    # the greedy bin-packing fold's oracle is a per-shard recursive
+    # CTE: DuckDB re-joins the shard stream once per row (depth =
+    # rows/shard — fine at sf0.01's ~60, quadratic-ish at sf1's
+    # ~6000), while the Spark operator folds each shard in one pass
+    "pack_greedy",
+}
 
 
 def main() -> None:
