@@ -87,6 +87,11 @@ PROBES = [
     "interval_overlap",
     # union + IGNORE-NULLS carry window (the as-of cost regime)
     "attribution",
+    # round-8 additions: shard-window packing, per-shard linear greedy
+    # kernel, literal-quota WindowGroupLimit sampling
+    "pack_chunks",
+    "pack_greedy",
+    "mixture_sample",
 ]
 
 
