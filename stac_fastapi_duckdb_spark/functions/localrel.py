@@ -71,8 +71,11 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
     ``schema`` is a StructType or a DDL string."""
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    if not rows:
-        return spark.createDataFrame([], schema)
+    if not rows or len(rows) > 1024:
+        # a serving answer is tens of rows; past ~1k the VALUES SQL
+        # string itself becomes the cost (parse + analyze scale with
+        # literal count) and the RDD path's task overhead amortizes
+        return spark.createDataFrame(rows, schema)
     value_rows = []
     for row in rows:
         lits = []

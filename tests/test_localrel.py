@@ -1,0 +1,82 @@
+"""LocalRelation result construction (functions/localrel.py)."""
+
+import math
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
+
+def test_values_path_plans_local_table_scan(spark):
+    df = local_rows_df(
+        spark, [(1, 2.5), (2, -3.0)], "a long, b double"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    assert [tuple(r) for r in df.collect()] == [(1, 2.5), (2, -3.0)]
+
+
+def test_exact_literal_round_trip(spark):
+    rows = [
+        (1, 0.1 + 0.2, None),
+        (2, float("nan"), -5.0),
+        (None, -0.0, 1e-300),
+        (4, float("inf"), float("-inf")),
+    ]
+    got = [
+        tuple(r)
+        for r in local_rows_df(
+            spark, rows, "a long, b double, c double"
+        ).collect()
+    ]
+    assert got[0] == (1, 0.30000000000000004, None)
+    assert got[1][0] == 2 and math.isnan(got[1][1]) and got[1][2] == -5.0
+    # negative zero survives (the SQL parser reads a bare -0.0 as a
+    # sign-less DECIMAL; the string cast preserves it)
+    assert got[2][0] is None and repr(got[2][1]) == "-0.0"
+    assert got[2][2] == 1e-300
+    assert got[3] == (4, float("inf"), float("-inf"))
+
+
+def test_non_numeric_schema_falls_back(spark):
+    df = local_rows_df(
+        spark,
+        [(1, "x")],
+        StructType(
+            [
+                StructField("a", LongType()),
+                StructField("s", StringType()),
+            ]
+        ),
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+
+
+def test_numpy_scalars_stay_exact(spark):
+    # np.float64 subclasses float but its repr is not a bare literal
+    # under numpy>=2 — the float() normalization inside _lit keeps the
+    # VALUES path exact rather than emitting invalid SQL
+    import numpy as np
+
+    v = np.float64(0.1) + np.float64(0.2)
+    df = local_rows_df(spark, [(1, v)], "a long, b double")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert df.collect()[0][1] == 0.30000000000000004
+
+
+def test_empty_and_oversize_fall_back(spark):
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", DoubleType())]
+    )
+    assert local_rows_df(spark, [], schema).count() == 0
+    big = [(i, float(i)) for i in range(1500)]
+    df = local_rows_df(spark, big, schema)
+    assert df.count() == 1500
