@@ -42,6 +42,13 @@ def _lit(value, dtype) -> str | None:
             return f"CAST(NULL AS {sql_t})"
         if isinstance(value, bool) or not isinstance(value, int):
             return None
+        # range-check before emitting the CAST: with ANSI off an
+        # out-of-range literal would silently wrap where the
+        # createDataFrame path raises — fall back so both paths are
+        # behavior-identical on bad input
+        bits = 64 if isinstance(dtype, LongType) else 32
+        if not -(1 << (bits - 1)) <= value < (1 << (bits - 1)):
+            return None
         return f"CAST({int(value)} AS {sql_t})"
     if isinstance(dtype, DoubleType):
         if value is None:

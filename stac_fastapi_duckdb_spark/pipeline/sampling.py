@@ -411,7 +411,16 @@ def mixture_sample(
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
-    quotas = {g: int(budget * wt / total_w) for g, wt in weights.items()}
+    # exact rational floor — float truncation of budget·w/Σw can be
+    # off by one when the weight ratio is not representable, silently
+    # diverging from the documented floor(budget·w/Σw)
+    from fractions import Fraction
+
+    total_f = sum(Fraction(wt) for wt in weights.values())
+    quotas = {
+        g: int(Fraction(budget) * Fraction(wt) / total_f)
+        for g, wt in weights.items()
+    }
     quota_lit = F.create_map(
         *[F.lit(x) for kv in quotas.items() for x in kv]
     )

@@ -692,8 +692,24 @@ def pii_scrub(
 
 class HybridServeUnavailable(Exception):
     """Raised when the driver-side hybrid serving path cannot answer
-    (missing artifact file, non-finite cosine, unexpected read error) —
-    callers degrade to the distributed plan, never to an error."""
+    (missing artifact file, non-finite cosine, oversized posting
+    fetch, unexpected read error) — callers degrade to the distributed
+    plan, never to an error."""
+
+
+#: Fallback telemetry: incremented every time a serving path degrades
+#: to the distributed plan, so artifact breakage is observable in
+#: benches and tests (a production deployment exports this counter).
+HYBRID_SERVE_FALLBACKS: dict = {"count": 0, "last_reason": None}
+
+
+#: Driver-side posting-list fetch ceiling (rows). A stop-word-ish term
+#: at corpus scale has millions of postings; past this the serving
+#: probe refuses and the caller's DISTRIBUTED plan answers — the cap is
+#: what makes the driver read bounded by design, not by luck. At
+#: artifact-build time the lexicon can additionally be pruned to
+#: sub-threshold-DF terms; this is the belt to that suspender.
+BM25_PROBE_MAX_POSTINGS = 100_000
 
 
 def bm25_probe_local(
@@ -705,12 +721,17 @@ def bm25_probe_local(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_postings: int | None = None,
 ) -> list[tuple[int, float]]:
     """Driver-side BM25 probe over the WRITTEN posting-list parquet
     (the ``_bm25_artifact`` disk form: term-sorted, small row groups so
     a term filter prunes on row-group stats): read the query terms'
     posting lists — the bounded fetch every lexical search engine does
-    per query, sized by the terms' document frequency, not the corpus —
+    per query, sized by the terms' document frequency, not the corpus,
+    and REFUSED past ``max_postings`` rows (lexicon-predicted before
+    any file is touched, re-checked on the actual fetch) so a
+    stop-word-ish term degrades to the distributed plan instead of
+    materializing millions of rows on the driver —
     and replay the ``_bm25_score_tf`` Column algebra term-for-term in
     float64 (same literal-lexicon idf, same tf normalization, same
     ROUND(sum, 6)).  Pre-round divergence is bounded to the last ulp
@@ -725,6 +746,19 @@ def bm25_probe_local(
 
     if n_docs == 0:
         return []
+    if max_postings is None:
+        max_postings = BM25_PROBE_MAX_POSTINGS
+    # the lexicon (term → document frequency) is the index dictionary:
+    # each query term contributes exactly df postings, so the fetch
+    # size is known BEFORE touching the data files. Past the cap the
+    # serving path refuses — the distributed plan (a filtered index
+    # scan, executor-side) answers instead. No data read is wasted.
+    expected = sum(int(lexicon.get(str(q), 0)) for q in query_terms)
+    if expected > max_postings:
+        raise HybridServeUnavailable(
+            f"posting lists too large for driver serving "
+            f"({expected} > {max_postings} rows)"
+        )
     try:
         import pyarrow.dataset as pads
 
@@ -734,7 +768,16 @@ def bm25_probe_local(
         )
     except Exception as exc:  # missing/corrupt artifact → distributed
         raise HybridServeUnavailable(f"index read failed: {exc}") from exc
-    scores: dict[int, float] = {}
+    if tbl.num_rows > max_postings:
+        # lexicon absent/stale for a term: the read itself is the check
+        raise HybridServeUnavailable(
+            f"posting fetch exceeded cap ({tbl.num_rows} > {max_postings})"
+        )
+    # accumulate per-doc term contributions with math.fsum (exactly
+    # rounded independent of posting order) rather than a running += in
+    # Arrow row order — keeps the pre-round value stable so ROUND(x,6)
+    # can't flip on a half-way boundary between runs/paths
+    contribs: dict[int, list[float]] = {}
     for r in tbl.to_pylist():
         dfq = float(lexicon.get(r["term"], 0))
         idf = math.log(1.0 + (float(n_docs) - dfq + 0.5) / (dfq + 0.5))
@@ -742,9 +785,8 @@ def bm25_probe_local(
         tf_part = (tf * (k1 + 1)) / (
             tf + k1 * ((1 - b) + b * float(r["dl"]) / float(avgdl))
         )
-        d = r["doc_id"]
-        scores[d] = scores.get(d, 0.0) + idf * tf_part
-    out = [(d, _round6_repl(s)) for d, s in scores.items()]
+        contribs.setdefault(r["doc_id"], []).append(idf * tf_part)
+    out = [(d, _round6_repl(math.fsum(parts))) for d, parts in contribs.items()]
     out.sort(key=lambda t: (-t[1], t[0]))
     return out[:k]
 
@@ -831,21 +873,17 @@ def _hybrid_serve_local(
         pv = [float(np.float32(x)) for x in probe_vec]
     else:
         pv = [float(x) for x in probe_vec]
-    nb = 0.0
-    for y in pv:
-        nb += y * y
-    nb = math.sqrt(nb)
+    # fsum: exactly-rounded sums regardless of element order, so the
+    # pre-round cosine can't drift onto a ROUND(x,6) half-way boundary
+    # between the serving and distributed paths (see ADVICE r8)
+    nb = math.sqrt(math.fsum(y * y for y in pv))
     out = []
     for d, s in cands:
         v = vecs.get(d)
         if v is None:
             continue  # absent vector row: the distributed filter drops it too
-        dot = 0.0
-        na = 0.0
-        for x, y in zip(v, pv):
-            dot += x * y
-        for x in v:
-            na += x * x
+        dot = math.fsum(x * y for x, y in zip(v, pv))
+        na = math.fsum(x * x for x in v)
         cos = dot / (math.sqrt(na) * nb)
         if not math.isfinite(cos):
             raise HybridServeUnavailable("non-finite cosine in candidates")
@@ -928,8 +966,21 @@ def hybrid_search(
                 alpha,
                 embeddings.schema["embedding"].dataType.elementType,
             )
-        except HybridServeUnavailable:
-            pass
+        except HybridServeUnavailable as exc:
+            # observable degradation: artifact breakage (bad index
+            # path, corrupt file, oversized posting fetch) must not be
+            # silent — the bench/tests would otherwise keep passing
+            # while timings quietly change (ADVICE r8)
+            import warnings
+
+            HYBRID_SERVE_FALLBACKS["count"] += 1
+            HYBRID_SERVE_FALLBACKS["last_reason"] = str(exc)
+            warnings.warn(
+                f"hybrid serving path unavailable ({exc}); "
+                "answering from the distributed plan",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     if tf_index is not None:
         n_docs, avgdl = corpus_stats

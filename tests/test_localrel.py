@@ -80,3 +80,31 @@ def test_empty_and_oversize_fall_back(spark):
     big = [(i, float(i)) for i in range(1500)]
     df = local_rows_df(spark, big, schema)
     assert df.count() == 1500
+
+
+def test_out_of_range_int_falls_back_not_wraps(spark):
+    """An out-of-int32-range value must NOT take the VALUES path (with
+    ANSI off the CAST would silently wrap where createDataFrame raises)
+    — the two paths must fail/succeed identically. In-range extremes
+    still take the VALUES path exactly."""
+    import pytest
+    from stac_fastapi_duckdb_spark.functions.localrel import _lit
+    from pyspark.sql.types import IntegerType
+
+    assert _lit(2**31, IntegerType()) is None
+    assert _lit(-(2**31) - 1, IntegerType()) is None
+    assert _lit(2**63, LongType()) is None
+    assert _lit(-(2**63) - 1, LongType()) is None
+    assert _lit(2**31 - 1, IntegerType()) == "CAST(2147483647 AS INT)"
+    assert _lit(-(2**63), LongType()) == "CAST(-9223372036854775808 AS BIGINT)"
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", DoubleType())]
+    )
+    # both paths now agree: the fallback (createDataFrame) raises
+    with pytest.raises(Exception):
+        local_rows_df(spark, [(2**31, 1.0)], schema).collect()
+    # extreme-but-valid values stay on the exact VALUES path
+    df = local_rows_df(spark, [(2**31 - 1, 1.0)], schema)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert df.collect()[0][0] == 2**31 - 1

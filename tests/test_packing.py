@@ -118,3 +118,43 @@ def test_mixture_sample_small_group_contributes_what_it_has(spark):
         r.source: r["count"] for r in out.groupBy("source").count().collect()
     }
     assert counts == {"a": 5, "b": 20}
+
+
+def test_mixture_sample_quotas_are_exact_floors(spark):
+    """Quota = floor(budget·w/Σw) computed in exact rational
+    arithmetic: non-representable weight ratios must not round a quota
+    off by one (ADVICE r8 — float truncation of budget·w/Σw)."""
+    from stac_fastapi_duckdb_spark.pipeline.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 500 else "b") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    # w = 0.1/0.2: float(0.1)/float(0.3) ≈ 0.33333333333333337 — naive
+    # int(3000 * 0.1 / 0.30000000000000004) = 999 while the exact floor
+    # of budget·w_a/(w_a+w_b) over the BINARY values of 0.1 and 0.2 is
+    # 1000·... — assert against the Fraction ground truth directly
+    from fractions import Fraction
+
+    budget = 3000
+    wa, wb = 0.1, 0.2
+    exact_a = int(Fraction(budget) * Fraction(wa) / (Fraction(wa) + Fraction(wb)))
+    out = mixture_sample(df, {"a": wa, "b": wb}, budget=budget)
+    counts = {
+        r.source: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    # group a has only 500 rows; quota exact_a (≈1000) caps at 500 —
+    # use a small-budget variant for the uncapped check
+    assert counts["a"] == min(500, exact_a)
+    budget = 7
+    exact = {
+        g: int(
+            Fraction(budget) * Fraction(w) / (Fraction(wa) + Fraction(wb))
+        )
+        for g, w in {"a": wa, "b": wb}.items()
+    }
+    out = mixture_sample(df, {"a": wa, "b": wb}, budget=budget)
+    counts = {
+        r.source: r["count"] for r in out.groupBy("source").count().collect()
+    }
+    assert counts == {g: q for g, q in exact.items() if q > 0}

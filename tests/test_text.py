@@ -523,6 +523,92 @@ def test_bm25_probe_local_matches_indexed(spark, tmp_path):
     assert local == dist
 
 
+def test_bm25_probe_local_refuses_oversized_posting_fetch(spark, tmp_path):
+    """A high-DF (stop-word-ish) term must make the driver probe refuse
+    BEFORE reading data — the fetch bound is lexicon-predicted, and the
+    caller's distributed plan answers instead."""
+    import pytest
+
+    docs, _ = _hybrid_fixture(spark)
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    tf_disk = str(tmp_path / "tf")
+    idx.repartition(1).sortWithinPartitions("term", "doc_id").write.parquet(
+        tf_disk
+    )
+    # a lexicon claiming 10M postings for 'scan' → predicted fetch > cap
+    lex = {"scan": 10_000_000, "join": 3}
+    with pytest.raises(T.HybridServeUnavailable, match="posting lists too large"):
+        T.bm25_probe_local(tf_disk, ["scan", "join"], n_docs, avgdl, lex, k=10)
+    # a stale/absent lexicon entry that underpredicts: the actual fetch
+    # size is the second gate
+    honest_lex = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term").count()
+        .withColumnRenamed("count", "df").collect()
+    }
+    with pytest.raises(T.HybridServeUnavailable, match="exceeded cap"):
+        T.bm25_probe_local(
+            tf_disk, ["scan", "join"], n_docs, avgdl,
+            {"scan": 0, "join": 0}, k=10, max_postings=1,
+        )
+    # under the cap everything still serves
+    assert T.bm25_probe_local(tf_disk, ["join"], n_docs, avgdl, honest_lex)
+
+
+def test_hybrid_search_high_df_term_degrades_to_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end: with the posting cap forced tiny, the serving path
+    refuses and hybrid_search answers from the distributed plan with
+    identical values — and the degradation is observable (warning +
+    fallback counter), never silent."""
+    import warnings
+
+    docs, embs = _hybrid_fixture(spark)
+    terms = ["join", "scan", "filter"]
+    base = T.hybrid_search(
+        docs, embs, terms, probe_id=0, k=3, n_candidates=3
+    ).collect()
+    n_docs, avgdl = T.bm25_corpus_stats(docs)
+    idx = T.bm25_tf_index(docs)
+    lex = {
+        r["term"]: r["df"]
+        for r in idx.groupBy("term").count()
+        .withColumnRenamed("count", "df").collect()
+    }
+    tf_disk = str(tmp_path / "tf")
+    idx.repartition(1).sortWithinPartitions("term", "doc_id").write.parquet(
+        tf_disk
+    )
+    emb_disk = str(tmp_path / "embeddings.parquet")
+    embs.repartition(1).write.mode("overwrite").parquet(emb_disk)
+    monkeypatch.setattr(T, "BM25_PROBE_MAX_POSTINGS", 2)
+    before = T.HYBRID_SERVE_FALLBACKS["count"]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        served = T.hybrid_search(
+            None,
+            embs,
+            terms,
+            k=3,
+            n_candidates=3,
+            tf_index=idx,
+            corpus_stats=(n_docs, avgdl),
+            probe_vec=[1.0, 0.0, 0.25],
+            lexicon=lex,
+            tf_index_path=tf_disk,
+            embeddings_path=emb_disk,
+        ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in base]
+    assert T.HYBRID_SERVE_FALLBACKS["count"] == before + 1
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "serving path unavailable" in str(w.message)
+        for w in caught
+    )
+
+
 # ---------------------------------------------------------------------------
 # fused curation pipeline
 # ---------------------------------------------------------------------------
