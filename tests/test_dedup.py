@@ -107,6 +107,49 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """The large-star/small-star default must reach the identical
+    fixpoint (component = min id) as min-label propagation on
+    adversarial shapes: a long chain (deep diameter), a star with a
+    non-min center, a multi-parent merge, dup/reversed/self edges."""
+    import random
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+
+    cases = [
+        # 30-hop chain: the diameter case star-alternation exists for
+        [(i, i + 1) for i in range(1, 31)],
+        # star centered at a NON-min node + reversed and self edges
+        [(50, 7), (50, 9), (50, 3), (9, 50), (3, 3)],
+        # two components merged through a shared large child
+        [(5, 1), (5, 2), (8, 6), (8, 7)],
+    ]
+    rng = random.Random(42)
+    nodes = list(range(100))
+    cases.append(
+        [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    )
+    for edges_py in cases:
+        edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+        ids = spark.createDataFrame(
+            [(n,) for n in sorted({x for e in edges_py for x in e})],
+            "doc_id long",
+        )
+        star = {
+            r.doc_id: r.component
+            for r in connected_components(
+                edges, all_ids=ids, algorithm="star"
+            ).collect()
+        }
+        minl = {
+            r.doc_id: r.component
+            for r in connected_components(
+                edges, all_ids=ids, algorithm="minlabel", max_iter=50
+            ).collect()
+        }
+        assert star == minl
+
+
 def test_minhash_dedup_transitive_planted_chain(spark):
     # planted 3-chain: adjacent docs share >=0.8 shingle jaccard, the
     # endpoints only ~0.73 — so no direct (a,c) pair is ever verified.
