@@ -671,6 +671,37 @@ def _session_artifact(spark: SparkSession, key, builder):
     return per_session[key]
 
 
+def _artifact_df(
+    spark: SparkSession,
+    family: str,
+    sf: str,
+    build,
+    sources: tuple[str, ...] = ("documents",),
+):
+    """Three-tier corpus-constant DataFrame artifact: session memory →
+    written fingerprint-validated sidecar (sources/sidecar.py) →
+    build. On first build the artifact is WRITTEN and then served from
+    the written form (the round-trip IS the tested path), so a new
+    session whose sources still fingerprint-match loads the parquet
+    with zero rebuild jobs; a source change invalidates and rebuilds.
+    ``build`` returns the unpersisted DataFrame; this wrapper owns
+    persist + eager materialization."""
+    from stac_fastapi_duckdb_spark.sources import sidecar as _sc
+
+    def full():
+        fp = _sc.source_fingerprint(*[f"{sf}/{t}.parquet" for t in sources])
+        tag = _sc.dataset_tag(sf)
+        df = _sc.load_sidecar(spark, family, tag, fp)
+        if df is None:
+            _sc.write_sidecar(build(), family, tag, fp)
+            df = spark.read.parquet(_sc.data_path(family, tag))
+        df = df.persist()
+        df.count()  # materialize the load eagerly, off the query path
+        return df
+
+    return _session_artifact(spark, (family, sf), full)
+
+
 def _ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN SERVING table: embeddings + precomputed ``ivf_cell`` +
     ``pq_code``, built and persisted ONCE per session/SF — the offline
@@ -690,13 +721,24 @@ def _ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _ANN_INDEX_CACHE.setdefault(spark, {})
     df = per_session.get(sf_dir)
     if df is None:
-        emb = _t(spark, sf_dir, "embeddings")
-        df = P_sim.with_pq_codes(
-            P_sim.with_ivf_cell(
-                emb, np.asarray(IVF_CENTROIDS, dtype=np.float64)
-            ),
-            np.asarray(PQ_CODEBOOKS, dtype=np.float64),
-        ).persist()
+        from stac_fastapi_duckdb_spark.sources import sidecar as _sc
+
+        fp = _sc.source_fingerprint(f"{sf_dir}/embeddings.parquet")
+        tag = _sc.dataset_tag(sf_dir)
+        df = _sc.load_sidecar(spark, "ivfpq_index", tag, fp)
+        if df is None:
+            emb = _t(spark, sf_dir, "embeddings")
+            built = P_sim.with_pq_codes(
+                P_sim.with_ivf_cell(
+                    emb, np.asarray(IVF_CENTROIDS, dtype=np.float64)
+                ),
+                np.asarray(PQ_CODEBOOKS, dtype=np.float64),
+            )
+            # written clustered by cell — the local-mode form of
+            # write_ivf_layout's cell-partitioned directories
+            _sc.write_sidecar(built, "ivfpq_index", tag, fp, sort_cols=("ivf_cell",))
+            df = spark.read.parquet(_sc.data_path("ivfpq_index", tag))
+        df = df.persist()
         df.count()  # materialize the build eagerly, off the query path
         per_session[sf_dir] = df
     return df
@@ -905,14 +947,14 @@ def _media_features_artifact(spark, sf) -> DataFrame:
     production multimodal pipeline writes at ingest (payload bytes are
     decoded exactly once; downstream queries read the small typed
     features, never the blobs). The live decode path stays exercised
-    by the phash/audio-frame queries and the package tests."""
+    by the phash/audio-frame queries and the package tests. Persisted
+    to a written sidecar (sources/sidecar.py): the decode runs once
+    per INGEST, not once per session."""
 
     def build():
-        feats = P_mm.extract_features(_media(spark, sf), codec="fake").persist()
-        feats.count()
-        return feats
+        return P_mm.extract_features(_media(spark, sf), codec="fake")
 
-    return _session_artifact(spark, ("media_features", sf), build)
+    return _artifact_df(spark, "media_features", sf, build)
 
 
 def q_multimodal_features(spark, sf):
@@ -1655,16 +1697,13 @@ def _bench_fps_artifact(spark, sf) -> DataFrame:
         bench = docs.filter(F.col("doc_id") % 23 == 0).select(
             F.col("doc_id").alias("bench_id"), "text"
         )
-        fps = (
+        return (
             window_fp_stream(bench, 8, "text", "bench_id")
             .select("fp")
             .distinct()
-            .persist()
         )
-        fps.count()
-        return fps
 
-    return _session_artifact(spark, ("bench_fps", sf), build)
+    return _artifact_df(spark, "bench_fps", sf, build)
 
 
 def q_funnel(spark, sf):
@@ -2037,51 +2076,70 @@ def _bm25_artifact(spark, sf) -> dict:
         bm25_corpus_stats,
         bm25_tf_index,
     )
+    from stac_fastapi_duckdb_spark.sources import sidecar as _sc
 
     def build():
-        docs = _t(spark, sf, "documents")
-        n_docs, avgdl = bm25_corpus_stats(docs)
-        # posting-list layout: co-locate + sort each term's rows so the
+        fp = _sc.source_fingerprint(f"{sf}/documents.parquet")
+        tag = _sc.dataset_tag(sf)
+        meta = _sc.load_meta("bm25_tf", tag, fp)
+        if meta is None:
+            docs = _t(spark, sf, "documents")
+            n_docs, avgdl = bm25_corpus_stats(docs)
+            raw = bm25_tf_index(docs).persist()
+            # the index DICTIONARY (term → document frequency) — what a
+            # search engine's lexicon holds — written as its own tiny
+            # sidecar table next to the postings
+            lex_df = raw.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df")
+            )
+            _sc.write_sidecar(lex_df, "bm25_lexicon", tag, fp, partitions=1)
+            # the index's ON-DISK form: globally term-sorted posting
+            # lists in small row groups, so a serving probe's term
+            # filter prunes on row-group stats and reads only the query
+            # terms' postings — written ONCE PER INGEST
+            # (sources/sidecar.py), then every session serves from it.
+            # bm25_probe_local reads THIS file driver-side.
+            _sc.write_sidecar(
+                raw,
+                "bm25_tf",
+                tag,
+                fp,
+                extra={"n_docs": n_docs, "avgdl": avgdl},
+                partitions=1,
+                sort_cols=("term", "doc_id"),
+                block_size=1 << 20,
+            )
+            raw.unpersist()
+            meta = {"n_docs": n_docs, "avgdl": avgdl}
+        disk = _sc.data_path("bm25_tf", tag)
+        # in-memory serving form: co-locate + sort each term's rows so
         # cached batches carry tight term min/max stats and a query's
         # term filter SKIPS every non-matching batch (the in-memory
-        # equivalent of reading only the query terms' posting lists;
-        # on disk this is the index written partitioned by term bucket)
+        # equivalent of reading only the query terms' posting lists)
         tf = (
-            bm25_tf_index(docs)
+            spark.read.parquet(disk)
             .repartition(32, "term")
             .sortWithinPartitions("term")
             .persist()
         )
         tf.count()
-        # the index DICTIONARY (term → document frequency): collected
-        # once next to the posting lists, exactly what a search engine's
-        # lexicon holds; lets serving skip the per-query dfreq window
-        lex = {
-            r["term"]: r["df"]
-            for r in tf.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .collect()
-        }
-        # the index's ON-DISK form: globally term-sorted posting lists
-        # in small row groups, so a serving probe's term filter prunes
-        # on row-group stats and reads only the query terms' postings —
-        # the literal "written bucketed by term" layout the docstring
-        # promises, produced once per session next to the in-memory
-        # form. Serving (bm25_probe_local) reads THIS file driver-side.
-        import tempfile as _tf_mod
+        # lexicon reload is a driver-side pyarrow read of the tiny
+        # (term, df) table — zero Spark jobs on a warm artifact
+        import pyarrow.dataset as _pads
 
-        disk = _tf_mod.mkdtemp(prefix="spark_graft_bm25_") + "/tf"
-        (
-            tf.repartition(1)
-            .sortWithinPartitions("term", "doc_id")
-            .write.option("parquet.block.size", str(1 << 20))
-            .mode("overwrite")
-            .parquet(disk)
+        lex_tbl = _pads.dataset(
+            _sc.data_path("bm25_lexicon", tag)
+        ).to_table()
+        lex = dict(
+            zip(
+                lex_tbl.column("term").to_pylist(),
+                lex_tbl.column("df").to_pylist(),
+            )
         )
         return {
             "tf": tf,
-            "n": n_docs,
-            "avgdl": avgdl,
+            "n": int(meta["n_docs"]),
+            "avgdl": float(meta["avgdl"]),
             "lex": lex,
             "path": disk,
         }
@@ -2236,13 +2294,11 @@ def _fp_stream_artifact(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.dedup import window_fp_stream
 
     def build():
-        s = window_fp_stream(
+        return window_fp_stream(
             _t(spark, sf, "documents").select("doc_id", "text"), 8
-        ).persist()
-        s.count()
-        return s
+        )
 
-    return _session_artifact(spark, ("fp_stream", sf), build)
+    return _artifact_df(spark, "fp_stream", sf, build)
 
 
 def _doubled_fp_annotated_artifact(spark, sf) -> DataFrame:
@@ -2260,11 +2316,9 @@ def _doubled_fp_annotated_artifact(spark, sf) -> DataFrame:
         doubled = s.unionByName(
             s.withColumn("doc_id", F.col("doc_id") + 10000)
         )
-        ann = window_fp_annotated(doubled).persist()
-        ann.count()
-        return ann
+        return window_fp_annotated(doubled)
 
-    return _session_artifact(spark, ("doubled_fp_annotated", sf), build)
+    return _artifact_df(spark, "doubled_fp_annotated", sf, build)
 
 
 def q_duplicate_spans(spark, sf):
@@ -2429,13 +2483,22 @@ def _lm_artifact(spark, sf) -> dict:
     broadcast build, no explode shuffle). Exactly the deployment shape
     train_unigram_lm documents (CCNet LMs are pretrained artifacts)."""
     from stac_fastapi_duckdb_spark.pipeline.text import train_unigram_lm
+    from stac_fastapi_duckdb_spark.sources import sidecar as _sc
 
     def build():
-        rows = train_unigram_lm(
-            _t(spark, sf, "documents"), vocab_size=300
-        ).collect()
+        # the trained LM is a ≤301-row (token, logprob) table — written
+        # once per ingest (sources/sidecar.py), reloaded driver-side in
+        # one tiny read by any later session
+        fp = _sc.source_fingerprint(f"{sf}/documents.parquet")
+        tag = _sc.dataset_tag(sf)
+        df = _sc.load_sidecar(spark, "unigram_lm", tag, fp)
+        if df is None:
+            lm = train_unigram_lm(_t(spark, sf, "documents"), vocab_size=300)
+            _sc.write_sidecar(lm, "unigram_lm", tag, fp, partitions=1)
+            df = spark.read.parquet(_sc.data_path("unigram_lm", tag))
+        rows = df.collect()
         return {
-            "df": spark.createDataFrame(rows, "token string, logprob double"),
+            "df": df,
             "vocab": {
                 r["token"]: r["logprob"] for r in rows if r["token"] is not None
             },
@@ -2476,11 +2539,9 @@ def _ngram_counts_artifact(spark, sf, n=2) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import corpus_ngrams
 
     def build():
-        g = corpus_ngrams(_t(spark, sf, "documents"), n=n).persist()
-        g.count()
-        return g
+        return corpus_ngrams(_t(spark, sf, "documents"), n=n)
 
-    return _session_artifact(spark, ("ngram_counts", sf, n), build)
+    return _artifact_df(spark, f"ngram_counts_{n}", sf, build)
 
 
 def q_top_bigrams(spark, sf):
@@ -2674,11 +2735,9 @@ def _deletion_sig_artifact(spark, sf) -> DataFrame:
     )
 
     def build():
-        s = deletion_signatures(_t(spark, sf, "documents")).persist()
-        s.count()
-        return s
+        return deletion_signatures(_t(spark, sf, "documents"))
 
-    return _session_artifact(spark, ("deletion_sigs", sf), build)
+    return _artifact_df(spark, "deletion_sigs", sf, build)
 
 
 def q_trend_fit(spark, sf):
@@ -2771,11 +2830,9 @@ def _keyed_lines_artifact(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import keyed_lines
 
     def build():
-        kl = keyed_lines(_t(spark, sf, "documents")).persist()
-        kl.count()
-        return kl
+        return keyed_lines(_t(spark, sf, "documents"))
 
-    return _session_artifact(spark, ("keyed_lines", sf), build)
+    return _artifact_df(spark, "keyed_lines", sf, build)
 
 
 def _flagged_lines_artifact(spark, sf) -> DataFrame:
@@ -2791,11 +2848,9 @@ def _flagged_lines_artifact(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import flag_first_lines
 
     def build():
-        fl = flag_first_lines(_keyed_lines_artifact(spark, sf)).persist()
-        fl.count()
-        return fl
+        return flag_first_lines(_keyed_lines_artifact(spark, sf))
 
-    return _session_artifact(spark, ("flagged_lines", sf), build)
+    return _artifact_df(spark, "flagged_lines", sf, build)
 
 
 def q_incremental_line_dedup(spark, sf):
@@ -2819,16 +2874,13 @@ def q_incremental_line_dedup(spark, sf):
     # session; eligible lines key on the normalized form, exactly the
     # standing set's hash, so it's a slim projection of keyed_lines
     def build_base():
-        b = (
+        return (
             kl.filter((F.col("doc_id") % 7 == 0) & F.col("_e"))
             .select(F.col("_k").alias("h"))
             .distinct()
-            .persist()
         )
-        b.count()
-        return b
 
-    base_lines = _session_artifact(spark, ("standing_lines", sf), build_base)
+    base_lines = _artifact_df(spark, "standing_lines", sf, build_base)
     cleaned, _new_hashes = incremental_line_dedup(
         None, base_lines, lines=batch
     )
@@ -3028,11 +3080,9 @@ def _novelty_counts_artifact(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import novelty_counts
 
     def build():
-        n = novelty_counts(_t(spark, sf, "documents")).persist()
-        n.count()
-        return n
+        return novelty_counts(_t(spark, sf, "documents"))
 
-    return _session_artifact(spark, ("novelty_counts", sf), build)
+    return _artifact_df(spark, "novelty_counts", sf, build)
 
 
 def q_hash_embed(spark, sf):
@@ -3061,11 +3111,9 @@ def _hashed_vecs(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import hash_embed
 
     def build():
-        v = hash_embed(_t(spark, sf, "documents"), dim=32).persist()
-        v.count()
-        return v
+        return hash_embed(_t(spark, sf, "documents"), dim=32)
 
-    return _session_artifact(spark, ("hashed_vecs", sf), build)
+    return _artifact_df(spark, "hashed_vecs", sf, build)
 
 
 def q_hashed_text_topk(spark, sf):
@@ -6255,11 +6303,9 @@ def _span_dup_map_artifact(spark, sf) -> DataFrame:
     from stac_fastapi_duckdb_spark.pipeline.text import span_dup_map
 
     def build():
-        m = span_dup_map(_t(spark, sf, "documents"), k=4).persist()
-        m.count()
-        return m
+        return span_dup_map(_t(spark, sf, "documents"), k=4)
 
-    return _session_artifact(spark, ("span_dup_map", sf), build)
+    return _artifact_df(spark, "span_dup_map", sf, build)
 
 
 QUERIES["span_dedup"] = q_span_dedup

@@ -1,0 +1,164 @@
+"""Written, fingerprint-validated sidecar tables for corpus-constant
+artifacts.
+
+The artifact tier (BM25 posting lists, line-keep verdicts, span
+fingerprints, deletion-neighborhood blocking signatures, n-gram
+frequency tables, hashed corpus vectors, decoded media features, ANN
+cells+codes) is state derived from the corpus by Spark jobs — build it
+once per INGEST, not once per session. This module is the disk tier
+under the session-memory cache: each artifact is a parquet directory
+plus a ``meta.json`` carrying a fingerprint of the SOURCE files it was
+derived from. A new session whose sources still match the fingerprint
+serves straight from the written table with zero rebuild jobs; a
+source change (new ingest batch, regenerated test data) invalidates
+the fingerprint and the artifact rebuilds and overwrites.
+
+Scale shape: at 100 TB the "fingerprint" is the source table's
+snapshot/commit id (Iceberg/Delta) and the sidecar is a table the
+ingest pipeline writes next to the data; here it is (file size,
+mtime) over plain parquet — same contract, same staleness semantics.
+The write is data-first, meta-last: a crash between the two leaves a
+data directory without a matching meta, which reads as "absent" and
+rebuilds — never a stale artifact served as fresh.
+
+Layout::
+
+    {root}/{family}/{dataset-tag}/data/   ← parquet
+    {root}/{family}/{dataset-tag}/meta.json
+        {"fingerprint": ..., "extra": {...scalar metadata...}}
+
+Root resolution: ``$SPARK_GRAFT_SIDECAR_DIR``, else ``.artifacts/``
+under the repository root (gitignored — derived state, never checked
+in).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import hashlib
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def default_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_SIDECAR_DIR")
+    if env:
+        return env
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, ".artifacts")
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Fingerprint of the source files an artifact derives from:
+    md5 over (relative name, size, mtime_ns) of every member file.
+    Missing paths contribute their name only — the artifact still
+    invalidates when the path starts existing. The 100 TB analogue is
+    the source table's snapshot id; this is the plain-parquet form of
+    the same contract."""
+    parts: list[str] = []
+    for p in sorted(paths):
+        if os.path.isfile(p):
+            files = [p]
+        elif os.path.isdir(p):
+            files = sorted(
+                f
+                for f in _glob.glob(os.path.join(p, "**"), recursive=True)
+                if os.path.isfile(f)
+            )
+        else:
+            parts.append(f"{p}:absent")
+            continue
+        base = os.path.dirname(p)
+        for f in files:
+            st = os.stat(f)
+            parts.append(
+                f"{os.path.relpath(f, base)}:{st.st_size}:{st.st_mtime_ns}"
+            )
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def dataset_tag(sf_dir: str) -> str:
+    """Stable directory name for a dataset: its basename plus a short
+    hash of the absolute path (two datasets named ``sf0.01`` in
+    different locations must not share a sidecar slot)."""
+    ap = os.path.abspath(sf_dir)
+    base = os.path.basename(os.path.normpath(ap)) or "root"
+    return f"{base}-{hashlib.md5(ap.encode()).hexdigest()[:8]}"
+
+
+def data_path(family: str, tag: str, root: str | None = None) -> str:
+    return os.path.join(root or default_root(), family, tag, "data")
+
+
+def _meta_path(family: str, tag: str, root: str | None) -> str:
+    return os.path.join(root or default_root(), family, tag, "meta.json")
+
+
+def load_meta(
+    family: str, tag: str, fingerprint: str, root: str | None = None
+) -> dict | None:
+    """The artifact's scalar metadata if (and only if) its recorded
+    source fingerprint matches; None = absent or stale → rebuild."""
+    try:
+        with open(_meta_path(family, tag, root)) as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if meta.get("fingerprint") != fingerprint:
+        return None
+    return meta.get("extra", {})
+
+
+def load_sidecar(
+    spark: SparkSession,
+    family: str,
+    tag: str,
+    fingerprint: str,
+    root: str | None = None,
+) -> DataFrame | None:
+    """The written artifact as a DataFrame when fresh, else None."""
+    if load_meta(family, tag, fingerprint, root) is None:
+        return None
+    try:
+        return spark.read.parquet(data_path(family, tag, root))
+    except Exception:
+        return None
+
+
+def write_sidecar(
+    df: DataFrame,
+    family: str,
+    tag: str,
+    fingerprint: str,
+    root: str | None = None,
+    extra: dict[str, Any] | None = None,
+    partitions: int | None = None,
+    sort_cols: tuple[str, ...] | None = None,
+    block_size: int | None = None,
+) -> str:
+    """Write the artifact (data first, meta last — see module
+    docstring) and return the data path. ``partitions``/``sort_cols``/
+    ``block_size`` shape the on-disk layout for serving-time pruning
+    (e.g. the BM25 index: one term-sorted file in small row groups so
+    a term filter skips on row-group stats)."""
+    d = data_path(family, tag, root)
+    w = df
+    if partitions is not None:
+        w = w.repartition(partitions)
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    writer = w.write.mode("overwrite")
+    if block_size is not None:
+        writer = writer.option("parquet.block.size", str(block_size))
+    writer.parquet(d)
+    mp = _meta_path(family, tag, root)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"fingerprint": fingerprint, "extra": extra or {}}, fh)
+    os.replace(tmp, mp)
+    return d

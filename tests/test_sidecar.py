@@ -1,0 +1,219 @@
+"""Written-sidecar artifact tier (sources/sidecar.py + the
+_artifact_df wiring in plans/entry_queries.py).
+
+Contract under test: corpus-constant artifacts are written once per
+ingest with a fingerprint of their SOURCE files; a new session whose
+sources still match serves from disk with zero rebuilds; a source
+change invalidates the fingerprint and the artifact rebuilds."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.sources import sidecar as sc
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def sidecar_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_DIR", root)
+    return root
+
+
+@pytest.fixture()
+def sf_copy(tmp_path):
+    """A mutable copy of the sf0.001 dataset (the real testdata is
+    read-only by contract)."""
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_fingerprint_tracks_content_and_mtime(tmp_path):
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"aaaa")
+    fp1 = sc.source_fingerprint(str(p))
+    assert fp1 == sc.source_fingerprint(str(p))  # stable
+    os.utime(p, ns=(1, 1))
+    fp2 = sc.source_fingerprint(str(p))
+    assert fp2 != fp1  # mtime change invalidates
+    p.write_bytes(b"bbbbbb")
+    assert sc.source_fingerprint(str(p)) != fp2  # size change invalidates
+    assert sc.source_fingerprint(str(tmp_path / "missing")) != fp1
+
+
+def test_dataset_tag_disambiguates_same_basename(tmp_path):
+    a = tmp_path / "x" / "sf0.01"
+    b = tmp_path / "y" / "sf0.01"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert sc.dataset_tag(str(a)) != sc.dataset_tag(str(b))
+    assert sc.dataset_tag(str(a)).startswith("sf0.01-")
+
+
+def test_write_load_round_trip_and_meta(spark, sidecar_root):
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 0.5).alias("v")
+    )
+    sc.write_sidecar(df, "fam", "tag", "fp1", extra={"n": 10, "a": 1.5})
+    got = sc.load_sidecar(spark, "fam", "tag", "fp1")
+    assert got is not None
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    assert sc.load_meta("fam", "tag", "fp1") == {"n": 10, "a": 1.5}
+    # wrong fingerprint → stale → absent
+    assert sc.load_sidecar(spark, "fam", "tag", "fp2") is None
+    assert sc.load_meta("fam", "tag", "fp2") is None
+    # unknown family → absent
+    assert sc.load_sidecar(spark, "nope", "tag", "fp1") is None
+
+
+def test_crash_between_data_and_meta_reads_as_absent(spark, sidecar_root):
+    df = spark.range(5)
+    sc.write_sidecar(df, "fam", "tag", "fp1")
+    # simulate the crash window: data exists, meta missing
+    os.remove(os.path.join(sidecar_root, "fam", "tag", "meta.json"))
+    assert sc.load_sidecar(spark, "fam", "tag", "fp1") is None
+
+
+# --- the wired artifact families -------------------------------------------
+
+# (artifact accessor name, expected sidecar family dir). Each accessor
+# lives in plans/entry_queries.py and returns the served DataFrame.
+FAMILIES = [
+    ("_media_features_artifact", "media_features"),
+    ("_fp_stream_artifact", "fp_stream"),
+    ("_doubled_fp_annotated_artifact", "doubled_fp_annotated"),
+    ("_deletion_sig_artifact", "deletion_sigs"),
+    ("_keyed_lines_artifact", "keyed_lines"),
+    ("_novelty_counts_artifact", "novelty_counts"),
+    ("_hashed_vecs", "hashed_vecs"),
+    ("_span_dup_map_artifact", "span_dup_map"),
+    ("_flagged_lines_artifact", "flagged_lines"),
+]
+
+
+def _fresh_session_caches(eq, spark):
+    eq._ARTIFACT_CACHE.pop(spark, None)
+    eq._ANN_INDEX_CACHE.pop(spark, None)
+
+
+@pytest.mark.parametrize("accessor,family", FAMILIES)
+def test_artifact_round_trips_across_sessions(
+    spark, sidecar_root, accessor, family, monkeypatch
+):
+    """Build writes the sidecar; a fresh session (cleared memory tier)
+    must serve the identical rows from disk WITHOUT rebuilding."""
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    fn = getattr(eq, accessor)
+    first = fn(spark, SF)
+    rows1 = sorted(tuple(r) for r in first.collect())
+    assert os.path.isdir(os.path.join(sidecar_root, family))
+    _fresh_session_caches(eq, spark)
+    monkeypatch.setattr(
+        sc,
+        "write_sidecar",
+        lambda *a, **k: pytest.fail(f"{family}: rebuild on warm sidecar"),
+    )
+    rows2 = sorted(tuple(r) for r in fn(spark, SF).collect())
+    assert rows2 == rows1
+
+
+def test_bm25_artifact_round_trips_with_lexicon_and_stats(
+    spark, sidecar_root, monkeypatch
+):
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    idx1 = eq._bm25_artifact(spark, SF)
+    assert idx1["n"] > 0 and idx1["avgdl"] > 0 and idx1["lex"]
+    assert os.path.isdir(os.path.join(sidecar_root, "bm25_tf"))
+    assert os.path.isdir(os.path.join(sidecar_root, "bm25_lexicon"))
+    _fresh_session_caches(eq, spark)
+    monkeypatch.setattr(
+        sc,
+        "write_sidecar",
+        lambda *a, **k: pytest.fail("bm25: rebuild on warm sidecar"),
+    )
+    idx2 = eq._bm25_artifact(spark, SF)
+    assert idx2["n"] == idx1["n"] and idx2["avgdl"] == idx1["avgdl"]
+    assert idx2["lex"] == idx1["lex"]
+    assert sorted(tuple(r) for r in idx2["tf"].collect()) == sorted(
+        tuple(r) for r in idx1["tf"].collect()
+    )
+
+
+def test_lm_artifact_round_trips_exact_doubles(
+    spark, sidecar_root, monkeypatch
+):
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    lm1 = eq._lm_artifact(spark, SF)
+    _fresh_session_caches(eq, spark)
+    monkeypatch.setattr(
+        sc,
+        "write_sidecar",
+        lambda *a, **k: pytest.fail("lm: rebuild on warm sidecar"),
+    )
+    lm2 = eq._lm_artifact(spark, SF)
+    assert lm2["vocab"] == lm1["vocab"]  # exact doubles, not approx
+    assert lm2["oov"] == lm1["oov"]
+
+
+def test_stale_source_triggers_rebuild(
+    spark, sidecar_root, sf_copy, monkeypatch
+):
+    """Mutating a source file (new ingest batch) must invalidate the
+    fingerprint: the artifact rebuilds and serves the NEW corpus."""
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    n1 = eq._novelty_counts_artifact(spark, sf_copy).count()
+    # "new ingest": halve the documents table in place
+    docs = spark.read.parquet(f"{sf_copy}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    tmp_out = f"{sf_copy}/documents_new.parquet"
+    half.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(
+        f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+    )
+    shutil.copyfile(
+        os.path.join(tmp_out, part), f"{sf_copy}/documents.parquet"
+    )
+    _fresh_session_caches(eq, spark)
+    writes = []
+    orig = sc.write_sidecar
+    monkeypatch.setattr(
+        sc, "write_sidecar", lambda *a, **k: (writes.append(a[1]), orig(*a, **k))[1]
+    )
+    n2 = eq._novelty_counts_artifact(spark, sf_copy).count()
+    assert "novelty_counts" in writes  # rebuilt, not served stale
+    assert 0 < n2 < n1
+
+
+def test_ivfpq_index_round_trips(spark, sidecar_root, monkeypatch):
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    df1 = eq._ivfpq_indexed(spark, SF)
+    rows1 = sorted((r["vec_id"], r["ivf_cell"]) for r in df1.collect())
+    _fresh_session_caches(eq, spark)
+    monkeypatch.setattr(
+        sc,
+        "write_sidecar",
+        lambda *a, **k: pytest.fail("ivfpq: rebuild on warm sidecar"),
+    )
+    df2 = eq._ivfpq_indexed(spark, SF)
+    assert sorted(
+        (r["vec_id"], r["ivf_cell"]) for r in df2.collect()
+    ) == rows1

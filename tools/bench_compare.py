@@ -83,9 +83,21 @@ ITERATIVE_ORACLES = {
     "pack_greedy",
 }
 
+# Queries served from the WRITTEN artifact tier (see bench.py): their
+# timed Spark pass measures the serving slice over materialized state,
+# while the DuckDB oracle recomputes the full pipeline from base
+# parquet every run. They stay in the table with an `art` marker and
+# get their OWN subtotal so the headline live-compute ratio never
+# mixes probe-vs-recompute rows; run with --cold-artifacts to time
+# build+write+serve instead (fresh sidecar root + cleared session tier
+# before every timed run — the once-per-ingest cost).
+from bench import ARTIFACT_SERVED  # noqa: E402
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cold_art = "--cold-artifacts" in sys.argv[1:]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     # warm-serving symmetry (see bench.py): DuckDB below benches warm
@@ -103,14 +115,34 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    total_s = total_d = 0.0
-    print(f"{'query':26s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
+    def _chill_artifacts() -> None:
+        """Make the next run pay the full once-per-ingest artifact
+        cost: clear the session tier and point the sidecar store at a
+        fresh empty root (build + write + serve all timed)."""
+        import tempfile
+
+        eq._ARTIFACT_CACHE.pop(spark, None)
+        eq._ANN_INDEX_CACHE.pop(spark, None)
+        os.environ["SPARK_GRAFT_SIDECAR_DIR"] = tempfile.mkdtemp(
+            prefix="bench_cold_art_"
+        )
+
+    if cold_art:
+        print("artifact-served queries timed COLD (build+write+serve per run)")
+    total_s = total_d = art_s = art_d = 0.0
+    print(f"{'query':26s} {'':3s} {'spark':>8s} {'duckdb':>8s} {'ratio':>7s}")
     for name in BENCH_QUERIES + _EXTRA_OPS:
         fn = eq.QUERIES[name]
-        _force(fn(spark, sf_dir))  # warm
-        best_s = min(
-            _timed(lambda: _force(fn(spark, sf_dir))) for _ in range(2)
-        )
+        is_art = name in ARTIFACT_SERVED
+        mark = "art" if is_art else ""
+
+        def run_spark() -> None:
+            if cold_art and is_art:
+                _chill_artifacts()
+            _force(fn(spark, sf_dir))
+
+        run_spark()  # warm (in cold-art mode: warms scans, not artifacts)
+        best_s = min(_timed(run_spark) for _ in range(2))
         osql = eq.ORACLE_SQL.get(name)
         if (
             osql is None
@@ -124,16 +156,36 @@ def main() -> None:
                 else "stream" if name in STREAMING_VS_BATCH
                 else "iter" if name in ITERATIVE_ORACLES else "—"
             )
-            print(f"{name:26s} {best_s:8.3f} {tag:>8s} {'—':>7s}")
+            print(f"{name:26s} {mark:3s} {best_s:8.3f} {tag:>8s} {'—':>7s}")
             continue
         con.execute(osql).fetchall()  # warm
         best_d = min(_timed(lambda: con.execute(osql).fetchall()) for _ in range(2))
-        total_s += best_s
-        total_d += best_d
-        print(f"{name:26s} {best_s:8.3f} {best_d:8.3f} {best_s / max(best_d, 1e-9):7.1f}")
+        if is_art:
+            art_s += best_s
+            art_d += best_d
+        else:
+            total_s += best_s
+            total_d += best_d
+        print(
+            f"{name:26s} {mark:3s} {best_s:8.3f} {best_d:8.3f}"
+            f" {best_s / max(best_d, 1e-9):7.1f}"
+        )
     print(
-        f"{'TOTAL (oracle set)':26s} {total_s:8.3f} {total_d:8.3f}"
+        f"{'TOTAL live-compute':26s} {'':3s} {total_s:8.3f} {total_d:8.3f}"
         f" {total_s / max(total_d, 1e-9):7.1f}"
+    )
+    art_mode = (
+        "cold: build+write+serve" if cold_art
+        else "warm probe vs full recompute — see PERF.md cold table"
+    )
+    print(
+        f"{'TOTAL artifact-served':26s} {'art':3s} {art_s:8.3f} {art_d:8.3f}"
+        f" {art_s / max(art_d, 1e-9):7.1f}  ({art_mode})"
+    )
+    print(
+        f"{'TOTAL (oracle set)':26s} {'':3s} {total_s + art_s:8.3f}"
+        f" {total_d + art_d:8.3f}"
+        f" {(total_s + art_s) / max(total_d + art_d, 1e-9):7.1f}"
     )
 
 
