@@ -1956,6 +1956,7 @@ def incremental_line_dedup(
     id_col: str = "doc_id",
     min_chars: int = 10,
     lines: DataFrame | None = None,
+    base_distinct: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingest companion to ``line_dedup``: dedup an ARRIVING
     batch's lines against a STANDING corpus-line-hash set (the CCNet
@@ -2000,11 +2001,15 @@ def incremental_line_dedup(
     # which would compute the windowed stream on both join sides): one
     # pass over the batch, the standing set never carries row bodies
     if base_lines is not None:
-        known = (
-            base_lines.select(F.col("h").alias("_k"))
-            .distinct()
-            .withColumn("_inbase", F.lit(True))
-        )
+        known = base_lines.select(F.col("h").alias("_k"))
+        if not base_distinct:
+            # a duplicate h in the standing set would fan out batch
+            # rows through the left join — dedup unless the caller
+            # vouches the set is already distinct (a MAINTAINED
+            # standing set is; re-aggregating it per batch would cost
+            # an extra exchange over the whole corpus set)
+            known = known.distinct()
+        known = known.withColumn("_inbase", F.lit(True))
         first = first.join(known, "_k", "left")
     else:
         first = first.withColumn("_inbase", F.lit(None).cast("boolean"))

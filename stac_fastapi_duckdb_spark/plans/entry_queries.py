@@ -2882,7 +2882,7 @@ def q_incremental_line_dedup(spark, sf):
 
     base_lines = _artifact_df(spark, "standing_lines", sf, build_base)
     cleaned, _new_hashes = incremental_line_dedup(
-        None, base_lines, lines=batch
+        None, base_lines, lines=batch, base_distinct=True
     )
     return cleaned
 
