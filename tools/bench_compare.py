@@ -115,17 +115,33 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    cold_roots: list[str] = []
+
     def _chill_artifacts() -> None:
         """Make the next run pay the full once-per-ingest artifact
         cost: clear the session tier and point the sidecar store at a
-        fresh empty root (build + write + serve all timed)."""
+        fresh empty root (build + write + serve all timed). The
+        previous cold root is deleted so a sweep doesn't pile sf0.1
+        artifact copies into /tmp."""
+        import shutil
         import tempfile
 
-        eq._ARTIFACT_CACHE.pop(spark, None)
-        eq._ANN_INDEX_CACHE.pop(spark, None)
-        os.environ["SPARK_GRAFT_SIDECAR_DIR"] = tempfile.mkdtemp(
-            prefix="bench_cold_art_"
-        )
+        def _unpersist(v) -> None:
+            if hasattr(v, "unpersist"):
+                v.unpersist()
+            elif isinstance(v, dict):
+                for x in v.values():
+                    _unpersist(x)
+
+        # drop the previous cold run's cached blocks — otherwise every
+        # chill leaks a persisted artifact copy into the block manager
+        _unpersist(eq._ARTIFACT_CACHE.pop(spark, {}) or {})
+        _unpersist(eq._ANN_INDEX_CACHE.pop(spark, {}) or {})
+        while cold_roots:
+            shutil.rmtree(cold_roots.pop(), ignore_errors=True)
+        root = tempfile.mkdtemp(prefix="bench_cold_art_")
+        cold_roots.append(root)
+        os.environ["SPARK_GRAFT_SIDECAR_DIR"] = root
 
     if cold_art:
         print("artifact-served queries timed COLD (build+write+serve per run)")
