@@ -21,11 +21,19 @@ The write is data-first, meta-last: a crash between the two leaves a
 data directory without a matching meta, which reads as "absent" and
 rebuilds — never a stale artifact served as fresh.
 
-Layout::
+Layout (pointer-commit, the same move a table format's metadata
+pointer makes)::
 
-    {root}/{family}/{dataset-tag}/data/   ← parquet
+    {root}/{family}/{dataset-tag}/data-{token}/   ← parquet, immutable
     {root}/{family}/{dataset-tag}/meta.json
-        {"fingerprint": ..., "extra": {...scalar metadata...}}
+        {"fingerprint": ..., "data": "data-{token}", "extra": {...}}
+
+A write lands in a fresh uniquely-named data directory and then
+atomically swings ``meta.json`` (os.replace) to point at it — readers
+either see the previous complete artifact or the new complete one,
+never a half-written directory, even with two builders racing
+(last-committer wins; both directories are complete). Superseded data
+directories are swept opportunistically on the next write.
 
 Root resolution: ``$SPARK_GRAFT_SIDECAR_DIR``, else ``.artifacts/``
 under the repository root (gitignored — derived state, never checked
@@ -91,12 +99,32 @@ def dataset_tag(sf_dir: str) -> str:
     return f"{base}-{hashlib.md5(ap.encode()).hexdigest()[:8]}"
 
 
-def data_path(family: str, tag: str, root: str | None = None) -> str:
-    return os.path.join(root or default_root(), family, tag, "data")
+def _slot_dir(family: str, tag: str, root: str | None) -> str:
+    return os.path.join(root or default_root(), family, tag)
 
 
 def _meta_path(family: str, tag: str, root: str | None) -> str:
-    return os.path.join(root or default_root(), family, tag, "meta.json")
+    return os.path.join(_slot_dir(family, tag, root), "meta.json")
+
+
+def _read_meta(family: str, tag: str, root: str | None) -> dict | None:
+    try:
+        with open(_meta_path(family, tag, root)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def data_path(family: str, tag: str, root: str | None = None) -> str:
+    """The CURRENT committed data directory (what meta.json points
+    at). Defined only after a successful write_sidecar; raises
+    FileNotFoundError when the artifact is absent."""
+    meta = _read_meta(family, tag, root)
+    if meta is None or "data" not in meta:
+        raise FileNotFoundError(
+            f"no committed sidecar for {family}/{tag}"
+        )
+    return os.path.join(_slot_dir(family, tag, root), meta["data"])
 
 
 def load_meta(
@@ -104,12 +132,8 @@ def load_meta(
 ) -> dict | None:
     """The artifact's scalar metadata if (and only if) its recorded
     source fingerprint matches; None = absent or stale → rebuild."""
-    try:
-        with open(_meta_path(family, tag, root)) as fh:
-            meta = json.load(fh)
-    except (OSError, ValueError):
-        return None
-    if meta.get("fingerprint") != fingerprint:
+    meta = _read_meta(family, tag, root)
+    if meta is None or meta.get("fingerprint") != fingerprint:
         return None
     return meta.get("extra", {})
 
@@ -122,10 +146,15 @@ def load_sidecar(
     root: str | None = None,
 ) -> DataFrame | None:
     """The written artifact as a DataFrame when fresh, else None."""
-    if load_meta(family, tag, fingerprint, root) is None:
+    meta = _read_meta(family, tag, root)
+    if meta is None or meta.get("fingerprint") != fingerprint:
+        return None
+    if "data" not in meta:
         return None
     try:
-        return spark.read.parquet(data_path(family, tag, root))
+        return spark.read.parquet(
+            os.path.join(_slot_dir(family, tag, root), meta["data"])
+        )
     except Exception:
         return None
 
@@ -141,12 +170,20 @@ def write_sidecar(
     sort_cols: tuple[str, ...] | None = None,
     block_size: int | None = None,
 ) -> str:
-    """Write the artifact (data first, meta last — see module
-    docstring) and return the data path. ``partitions``/``sort_cols``/
-    ``block_size`` shape the on-disk layout for serving-time pruning
-    (e.g. the BM25 index: one term-sorted file in small row groups so
-    a term filter skips on row-group stats)."""
-    d = data_path(family, tag, root)
+    """Write the artifact into a FRESH uniquely-named data directory,
+    then atomically commit meta.json to point at it (see module
+    docstring — readers never observe a half-written directory, racing
+    builders both produce complete directories and the last commit
+    wins). Returns the committed data path.
+    ``partitions``/``sort_cols``/``block_size`` shape the on-disk
+    layout for serving-time pruning (e.g. the BM25 index: one
+    term-sorted file in small row groups so a term filter skips on
+    row-group stats)."""
+    import uuid
+
+    slot = _slot_dir(family, tag, root)
+    token = f"data-{uuid.uuid4().hex[:12]}"
+    d = os.path.join(slot, token)
     w = df
     if partitions is not None:
         w = w.repartition(partitions)
@@ -156,9 +193,21 @@ def write_sidecar(
     if block_size is not None:
         writer = writer.option("parquet.block.size", str(block_size))
     writer.parquet(d)
+    prev = _read_meta(family, tag, root)
     mp = _meta_path(family, tag, root)
-    tmp = mp + ".tmp"
+    tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"fingerprint": fingerprint, "extra": extra or {}}, fh)
-    os.replace(tmp, mp)
+        json.dump(
+            {"fingerprint": fingerprint, "data": token, "extra": extra or {}},
+            fh,
+        )
+    os.replace(tmp, mp)  # the commit point
+    # opportunistic sweep of the directory we just superseded (another
+    # process may still be reading it this instant only if it loaded
+    # between our commit and now — the same already-open-file semantics
+    # any compaction has; new loads all see the new pointer)
+    if prev is not None and prev.get("data") and prev["data"] != token:
+        import shutil
+
+        shutil.rmtree(os.path.join(slot, prev["data"]), ignore_errors=True)
     return d

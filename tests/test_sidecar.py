@@ -78,9 +78,26 @@ def test_write_load_round_trip_and_meta(spark, sidecar_root):
 def test_crash_between_data_and_meta_reads_as_absent(spark, sidecar_root):
     df = spark.range(5)
     sc.write_sidecar(df, "fam", "tag", "fp1")
-    # simulate the crash window: data exists, meta missing
+    # simulate the crash window: data exists, meta (the commit) missing
     os.remove(os.path.join(sidecar_root, "fam", "tag", "meta.json"))
     assert sc.load_sidecar(spark, "fam", "tag", "fp1") is None
+    with pytest.raises(FileNotFoundError):
+        sc.data_path("fam", "tag")
+
+
+def test_pointer_commit_swings_and_sweeps(spark, sidecar_root):
+    """A rewrite lands in a fresh data dir, the meta pointer swings
+    atomically, and the superseded dir is swept — readers can never
+    observe a half-overwritten directory."""
+    sc.write_sidecar(spark.range(5), "fam", "tag", "fp1")
+    d1 = sc.data_path("fam", "tag")
+    assert sc.load_sidecar(spark, "fam", "tag", "fp1").count() == 5
+    sc.write_sidecar(spark.range(9), "fam", "tag", "fp2")
+    d2 = sc.data_path("fam", "tag")
+    assert d1 != d2
+    assert not os.path.exists(d1)  # superseded dir swept
+    assert sc.load_sidecar(spark, "fam", "tag", "fp1") is None  # stale
+    assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 9
 
 
 # --- the wired artifact families -------------------------------------------
