@@ -150,6 +150,47 @@ def test_connected_components_star_matches_minlabel(spark):
         assert star == minl
 
 
+def test_connected_components_star_fuzz_vs_minlabel(spark):
+    """Hypothesis differential gate for the CC default: on random edge
+    multisets (self loops, dups, reversed pairs, disconnected nodes)
+    the star fixpoint must equal min-label propagation's."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+
+    node = st.integers(min_value=0, max_value=40)
+    edges_strat = st.lists(st.tuples(node, node), min_size=1, max_size=40)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges_py=edges_strat)
+    def check(edges_py):
+        edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+        ids = spark.createDataFrame(
+            [(n,) for n in sorted({x for e in edges_py for x in e})],
+            "doc_id long",
+        )
+        star = {
+            r.doc_id: r.component
+            for r in connected_components(
+                edges, all_ids=ids, algorithm="star"
+            ).collect()
+        }
+        minl = {
+            r.doc_id: r.component
+            for r in connected_components(
+                edges, all_ids=ids, algorithm="minlabel", max_iter=50
+            ).collect()
+        }
+        assert star == minl
+
+    check()
+
+
 def test_minhash_dedup_transitive_planted_chain(spark):
     # planted 3-chain: adjacent docs share >=0.8 shingle jaccard, the
     # endpoints only ~0.73 — so no direct (a,c) pair is ever verified.
