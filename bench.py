@@ -139,12 +139,33 @@ def main() -> None:
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
+    # round-close hygiene (r7/r8 verdict nit): the full-results artifact
+    # must not sit dirty at round end — surface it loudly on stderr
+    # (stdout stays one parseable JSON line for the driver)
+    try:
+        import subprocess
+
+        dirty = subprocess.run(
+            ["git", "diff", "--quiet", "--", os.path.basename(full_path)],
+            cwd=os.path.dirname(full_path),
+        ).returncode != 0
+        if dirty:
+            print(
+                "note: BENCH_FULL_latest.json changed — commit it before "
+                "round close",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
     print(
         json.dumps(
             {
                 "full_results_file": os.path.basename(full_path),
                 "sf": full["sf"],
                 "mode": full["mode"],
+                "artifact_served": sorted(
+                    ARTIFACT_SERVED & set(timings)
+                ),
                 "queries": timings,
                 "metric": "headline_queries_total",
                 "unit": "sec",

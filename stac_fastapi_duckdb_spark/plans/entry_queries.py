@@ -6368,10 +6368,12 @@ def q_mmr_rerank(spark, sf):
     from stac_fastapi_duckdb_spark.pipeline.similarity import mmr_rerank
 
     emb = _t(spark, sf, "embeddings")
-    probe = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    # probe via the pyarrow row-group point read (_probe_embedding) —
+    # the same zero-Spark-job fetch the ANN queries use; a filter +
+    # collect would schedule a job per query call for one row
     return mmr_rerank(
         emb.filter(F.col("vec_id") != 0),
-        [float(x) for x in probe],
+        _probe_embedding(sf, 0),
         k=8,
         pool=64,
         lam=0.7,
