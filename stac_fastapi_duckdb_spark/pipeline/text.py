@@ -334,6 +334,45 @@ def bm25_corpus_stats(
     return stats["n"], (stats["a"] if stats["a"] is not None else 1.0)
 
 
+def bm25_corpus_totals(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[int, int, int]:
+    """The EXACT integer running totals behind :func:`bm25_corpus_stats`
+    — ``(n_docs, total_dl, n_text_docs)`` — for INCREMENTAL index
+    maintenance: totals of disjoint ingest batches merge by addition
+    (:func:`bm25_merge_totals`) and :func:`bm25_stats_from_totals`
+    reproduces the one-shot ``(n_docs, avgdl)`` bit-identically
+    (Spark's avg over a bigint column is exactly sum/count in one
+    double division — the same IEEE op the derivation performs). At
+    100 TB this triple lives in the index sidecar's meta and advances
+    per batch; the corpus is never re-aggregated."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import tokens_col
+
+    dl = F.size(tokens_col(F.col(text_col)))
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dl.cast("bigint")).alias("t"),
+        F.count(dl).alias("m"),
+    ).collect()[0]
+    return int(row["n"]), int(row["t"] or 0), int(row["m"])
+
+
+def bm25_merge_totals(
+    a: tuple[int, int, int], b: tuple[int, int, int]
+) -> tuple[int, int, int]:
+    """Merge two batches' exact corpus totals (disjoint doc sets)."""
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def bm25_stats_from_totals(
+    totals: tuple[int, int, int]
+) -> tuple[int, float]:
+    """``(n_docs, avgdl)`` from exact totals — bit-identical to
+    :func:`bm25_corpus_stats` on the concatenated corpus."""
+    n, total, m = totals
+    return n, (float(total) / float(m)) if m else 1.0
+
+
 def bm25_tf_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -115,16 +115,44 @@ def _read_meta(family: str, tag: str, root: str | None) -> dict | None:
         return None
 
 
+def _data_dirs(meta: dict, family: str, tag: str, root: str | None) -> list[str]:
+    d = meta.get("data")
+    names = [d] if isinstance(d, str) else list(d or [])
+    slot = _slot_dir(family, tag, root)
+    return [os.path.join(slot, n) for n in names]
+
+
 def data_path(family: str, tag: str, root: str | None = None) -> str:
     """The CURRENT committed data directory (what meta.json points
     at). Defined only after a successful write_sidecar; raises
-    FileNotFoundError when the artifact is absent."""
+    FileNotFoundError when the artifact is absent. An appended
+    (multi-directory) artifact returns its BASE directory's parent
+    listing via data_paths() instead — this accessor is for the
+    single-dir layouts (serving probes that hand one path to
+    pyarrow)."""
     meta = _read_meta(family, tag, root)
     if meta is None or "data" not in meta:
         raise FileNotFoundError(
             f"no committed sidecar for {family}/{tag}"
         )
-    return os.path.join(_slot_dir(family, tag, root), meta["data"])
+    dirs = _data_dirs(meta, family, tag, root)
+    if len(dirs) != 1:
+        raise ValueError(
+            f"sidecar {family}/{tag} has {len(dirs)} data dirs — "
+            "use data_paths()"
+        )
+    return dirs[0]
+
+
+def data_paths(family: str, tag: str, root: str | None = None) -> list[str]:
+    """All committed data directories (base + appended deltas), in
+    commit order."""
+    meta = _read_meta(family, tag, root)
+    if meta is None or "data" not in meta:
+        raise FileNotFoundError(
+            f"no committed sidecar for {family}/{tag}"
+        )
+    return _data_dirs(meta, family, tag, root)
 
 
 def load_meta(
@@ -152,9 +180,7 @@ def load_sidecar(
     if "data" not in meta:
         return None
     try:
-        return spark.read.parquet(
-            os.path.join(_slot_dir(family, tag, root), meta["data"])
-        )
+        return spark.read.parquet(*_data_dirs(meta, family, tag, root))
     except Exception:
         return None
 
@@ -202,12 +228,75 @@ def write_sidecar(
             fh,
         )
     os.replace(tmp, mp)  # the commit point
-    # opportunistic sweep of the directory we just superseded (another
-    # process may still be reading it this instant only if it loaded
-    # between our commit and now — the same already-open-file semantics
-    # any compaction has; new loads all see the new pointer)
-    if prev is not None and prev.get("data") and prev["data"] != token:
-        import shutil
+    # opportunistic sweep of the directories we just superseded
+    # (another process may still be reading one this instant only if
+    # it loaded between our commit and now — the same
+    # already-open-file semantics any compaction has; new loads all
+    # see the new pointer). A crash-orphaned dir from a writer that
+    # never committed is left alone: sweeping every unreferenced dir
+    # would race a concurrent builder mid-write.
+    import shutil
 
-        shutil.rmtree(os.path.join(slot, prev["data"]), ignore_errors=True)
+    if prev is not None:
+        for old in _data_dirs(prev, family, tag, root):
+            if os.path.basename(old) != token:
+                shutil.rmtree(old, ignore_errors=True)
     return d
+
+
+def append_sidecar(
+    df: DataFrame,
+    family: str,
+    tag: str,
+    fingerprint: str,
+    root: str | None = None,
+    extra: dict[str, Any] | None = None,
+    partitions: int | None = None,
+    sort_cols: tuple[str, ...] | None = None,
+) -> list[str]:
+    """Append an ingest-batch DELTA to an existing artifact: the new
+    rows land in their own data directory and the meta pointer commits
+    atomically to the grown directory list with the ADVANCED source
+    fingerprint. This is how corpus-constant artifacts actually evolve
+    at 100 TB — a standing line-hash set, posting lists, blocking
+    signatures grow by one delta per ingest batch; rebuilding them
+    from the full corpus per batch is the recompute the artifact tier
+    exists to avoid. Readers (`load_sidecar`) scan base + deltas as
+    one DataFrame; `write_sidecar` remains the compaction/rebuild path
+    and sweeps every superseded directory. ``extra`` REPLACES the
+    stored scalar metadata (pass the merged stats — e.g. the
+    n_docs/avgdl running totals — not the delta's).
+
+    Raises FileNotFoundError when there is no committed base — an
+    append without a base is a write, and silently promoting it would
+    hide a lost artifact."""
+    import uuid
+
+    prev = _read_meta(family, tag, root)
+    if prev is None or "data" not in prev:
+        raise FileNotFoundError(
+            f"no committed sidecar for {family}/{tag} to append to"
+        )
+    slot = _slot_dir(family, tag, root)
+    token = f"data-{uuid.uuid4().hex[:12]}"
+    w = df
+    if partitions is not None:
+        w = w.repartition(partitions)
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    w.write.mode("overwrite").parquet(os.path.join(slot, token))
+    names = [os.path.basename(p) for p in _data_dirs(prev, family, tag, root)]
+    names.append(token)
+    mp = _meta_path(family, tag, root)
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "data": names,
+                "extra": extra if extra is not None else prev.get("extra", {}),
+            },
+            fh,
+        )
+    os.replace(tmp, mp)  # the commit point
+    return [os.path.join(slot, n) for n in names]

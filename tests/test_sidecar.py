@@ -85,6 +85,143 @@ def test_crash_between_data_and_meta_reads_as_absent(spark, sidecar_root):
         sc.data_path("fam", "tag")
 
 
+def test_append_sidecar_grows_without_rewriting_base(spark, sidecar_root):
+    """The per-ingest-batch delta path: a delta lands in its OWN data
+    directory (the base is never rewritten), the pointer commits the
+    grown list atomically, and readers scan base+deltas as one
+    DataFrame. A full write_sidecar afterwards compacts and sweeps
+    every superseded directory."""
+    sc.write_sidecar(spark.range(0, 5), "fam", "tag", "fp1")
+    base = sc.data_path("fam", "tag")
+    base_mtimes = {
+        f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)
+    }
+    sc.append_sidecar(spark.range(5, 8), "fam", "tag", "fp2")
+    dirs = sc.data_paths("fam", "tag")
+    assert len(dirs) == 2 and dirs[0] == base
+    # the base directory was not touched by the append
+    assert {
+        f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)
+    } == base_mtimes
+    got = sc.load_sidecar(spark, "fam", "tag", "fp2")
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
+    # stale fingerprint (pre-append) no longer serves
+    assert sc.load_sidecar(spark, "fam", "tag", "fp1") is None
+    # single-path accessor refuses on a multi-dir artifact
+    with pytest.raises(ValueError):
+        sc.data_path("fam", "tag")
+    # compaction: a full rewrite sweeps base + delta
+    sc.write_sidecar(spark.range(0, 8), "fam", "tag", "fp3")
+    assert not os.path.exists(dirs[0]) and not os.path.exists(dirs[1])
+    assert sc.load_sidecar(spark, "fam", "tag", "fp3").count() == 8
+
+
+def test_append_sidecar_requires_a_base(spark, sidecar_root):
+    with pytest.raises(FileNotFoundError):
+        sc.append_sidecar(spark.range(3), "fam", "nobase", "fp1")
+
+
+def test_append_sidecar_replaces_extra_meta(spark, sidecar_root):
+    sc.write_sidecar(
+        spark.range(2), "fam", "tag", "fp1", extra={"n": 2}
+    )
+    sc.append_sidecar(
+        spark.range(2, 5), "fam", "tag", "fp2", extra={"n": 5}
+    )
+    assert sc.load_meta("fam", "tag", "fp2") == {"n": 5}
+    # omitting extra keeps the previous scalar metadata
+    sc.append_sidecar(spark.range(5, 6), "fam", "tag", "fp3")
+    assert sc.load_meta("fam", "tag", "fp3") == {"n": 5}
+
+
+def test_bm25_incremental_totals_match_one_shot(spark):
+    """Incremental index maintenance: exact corpus totals of disjoint
+    ingest batches merge by addition and reproduce the one-shot
+    (n_docs, avgdl) BIT-identically — including NULL-text rows, which
+    count toward n_docs but not toward avgdl."""
+    from stac_fastapi_duckdb_spark.pipeline import text as T
+
+    b1 = spark.createDataFrame(
+        [(1, "spark join scan"), (2, None), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(4, "one two"), (5, ""), (6, "x y z w")],
+        "doc_id long, text string",
+    )
+    one_shot = T.bm25_corpus_stats(b1.unionByName(b2))
+    merged = T.bm25_stats_from_totals(
+        T.bm25_merge_totals(
+            T.bm25_corpus_totals(b1), T.bm25_corpus_totals(b2)
+        )
+    )
+    assert merged == one_shot  # exact doubles, not approx
+    # postings of disjoint batches are the one-shot index's partition
+    full = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in T.bm25_tf_index(b1.unionByName(b2)).collect()
+    }
+    parts = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in T.bm25_tf_index(b1).collect()
+    } | {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in T.bm25_tf_index(b2).collect()
+    }
+    assert full == parts
+
+
+def test_standing_line_set_appends_equivalently(spark, sidecar_root):
+    """The standing line-hash set maintained by appends must dedup a
+    later batch identically to a set rebuilt from the full corpus —
+    the incremental_line_dedup new_hashes delta IS the append."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_line_dedup,
+        keyed_lines,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "first shared line of text\nunique to batch one yes")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "second batch adds this line\nfirst shared line of text")],
+        "doc_id long, text string",
+    )
+    batch3 = spark.createDataFrame(
+        [
+            (
+                3,
+                "first shared line of text\nsecond batch adds this line\n"
+                "a genuinely new third line",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    kl1 = keyed_lines(batch1)
+    base = (
+        kl1.filter(F.col("_e"))
+        .select(F.col("_k").alias("h"))
+        .distinct()
+    )
+    sc.write_sidecar(base, "standing", "t", "fp1", extra=None)
+    standing1 = sc.load_sidecar(spark, "standing", "t", "fp1")
+    _, delta = incremental_line_dedup(batch2, standing1, base_distinct=True)
+    sc.append_sidecar(delta, "standing", "t", "fp2")
+    standing2 = sc.load_sidecar(spark, "standing", "t", "fp2")
+    got, _ = incremental_line_dedup(batch3, standing2, base_distinct=True)
+    # rebuilt-from-scratch reference: all batch1+2 SURVIVING lines
+    rebuilt = base.unionByName(
+        incremental_line_dedup(batch2, base, base_distinct=True)[1]
+    )
+    want, _ = incremental_line_dedup(batch3, rebuilt, base_distinct=True)
+    assert [tuple(r) for r in got.orderBy("doc_id").collect()] == [
+        tuple(r) for r in want.orderBy("doc_id").collect()
+    ]
+    # and the survivor is only the genuinely new line
+    assert got.collect()[0]["text_deduped"] == "a genuinely new third line"
+
+
 def test_pointer_commit_swings_and_sweeps(spark, sidecar_root):
     """A rewrite lands in a fresh data dir, the meta pointer swings
     atomically, and the superseded dir is swept — readers can never
