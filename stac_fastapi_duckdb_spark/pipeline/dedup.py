@@ -418,11 +418,12 @@ def connected_components(
     component DIAMETER — the property that matters at 100 TB, where a
     long chain of pairwise near-dups would cost min-label propagation
     one full join+agg round per hop. Each round is two groupBy-min +
-    two joins on the node id plus an O(|E|) fingerprint job for the
-    fixpoint check; the working set is only the nodes that appear in an
-    edge (singletons never enter the loop — they are label-joined once
-    at the end), so the iteration's shuffles are sized by the pair
-    graph, not the corpus.
+    two joins on the node id plus one O(|E|) union+groupBy job that
+    detects the star-forest fixpoint the same round it is reached (no
+    confirm round); the working set is only the nodes that appear in
+    an edge (singletons never enter the loop — they are label-joined
+    once at the end), so the iteration's shuffles are sized by the
+    pair graph, not the corpus.
 
     ``algorithm="minlabel"`` is the previous per-round min-label
     propagation (O(diameter) rounds), kept for A/B equivalence tests.
@@ -442,22 +443,29 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_fp = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
-        # fixpoint check: (count, XOR of xxhash64(u,v)) is an
-        # order-free fingerprint of the (deduped) edge set — one cheap
-        # agg job instead of an exceptAll shuffle; a changed edge set
-        # collides with probability ~2⁻⁶⁴ (XOR, not SUM: ANSI mode
-        # would overflow a 64-bit sum of hashes)
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        fp = (row["n"], row["h"])
-        if fp == prev_fp:
+        # DIRECT fixpoint check, no confirm round: after small-star
+        # every edge points child → smaller parent, so the edge set is
+        # a (necessarily min-rooted) star forest — i.e. the algorithm's
+        # fixpoint — iff no node is both a child and a parent AND no
+        # child has two parents. One union+groupBy job on the deduped
+        # edge set detects it the same round it is reached, where a
+        # changed-set fingerprint would pay one more full LS+SS round
+        # just to observe "no change".
+        roles = e.select(
+            F.col("u").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+        ).unionByName(
+            e.select(F.col("v").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+        )
+        bad = (
+            roles.groupBy("n")
+            .agg(F.sum("c").alias("nc"), F.sum("p").alias("np"))
+            .filter((F.col("nc") > 0) & (F.col("np") > 0) | (F.col("nc") > 1))
+            .count()
+        )
+        if bad == 0:
             break
-        prev_fp = fp
     # at the fixpoint the edges form min-rooted stars: child → component
     # min, roots absent from the child side. Singletons (and roots) map
     # to themselves via the left join.
