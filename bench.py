@@ -117,7 +117,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-load stamp: ±50% timing swings on this box are load
+    # noise, not regressions — a dirty number should self-diagnose
+    # (1/5/15-min loadavg at the END of the timed passes; "idle" for a
+    # 32-cpu box ≈ anything the bench itself didn't generate, so quote
+    # the raw triple rather than a threshold verdict)
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     full = {
+        "loadavg": loadavg,
         "pipeline_ops": _pipeline_ops(spark, sf_dir),
         "streaming": _streaming_components(spark, sf_dir),
         "layout": _layout_components(spark, sf_dir),
@@ -163,6 +173,7 @@ def main() -> None:
                 "full_results_file": os.path.basename(full_path),
                 "sf": full["sf"],
                 "mode": full["mode"],
+                "loadavg": loadavg,
                 "artifact_served": sorted(
                     ARTIFACT_SERVED & set(timings)
                 ),

@@ -437,12 +437,18 @@ def connected_components(
         return _connected_components_minlabel(
             edges, all_ids, src, dst, id_col, max_iter
         )
+    if algorithm != "star":
+        raise ValueError(
+            f"connected_components: unknown algorithm {algorithm!r} "
+            "(expected 'star' or 'minlabel')"
+        )
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         # DIRECT fixpoint check, no confirm round: after small-star
@@ -465,7 +471,22 @@ def connected_components(
             .count()
         )
         if bad == 0:
+            converged = True
             break
+    if not converged:
+        # truncated run: the edge set is not yet a star forest, so the
+        # mapping below is a VALID merge step but not the final
+        # components — surface it instead of silently returning
+        # non-minimal labels (a typo'd algorithm is rejected above).
+        import warnings
+
+        warnings.warn(
+            f"connected_components: star fixpoint not reached within "
+            f"max_iter={max_iter} rounds — returned labels may be "
+            "non-minimal; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # at the fixpoint the edges form min-rooted stars: child → component
     # min, roots absent from the child side. Singletons (and roots) map
     # to themselves via the left join.

@@ -788,11 +788,15 @@ def bm25_probe_local(
     if max_postings is None:
         max_postings = BM25_PROBE_MAX_POSTINGS
     # the lexicon (term → document frequency) is the index dictionary:
-    # each query term contributes exactly df postings, so the fetch
-    # size is known BEFORE touching the data files. Past the cap the
-    # serving path refuses — the distributed plan (a filtered index
-    # scan, executor-side) answers instead. No data read is wasted.
-    expected = sum(int(lexicon.get(str(q), 0)) for q in query_terms)
+    # each DISTINCT query term contributes exactly df postings (the
+    # isin filter below returns a term's rows once however often the
+    # term repeats in the query), so the fetch size is known BEFORE
+    # touching the data files. Past the cap the serving path refuses —
+    # the distributed plan (a filtered index scan, executor-side)
+    # answers instead. No data read is wasted.
+    expected = sum(
+        int(lexicon.get(q, 0)) for q in {str(t) for t in query_terms}
+    )
     if expected > max_postings:
         raise HybridServeUnavailable(
             f"posting lists too large for driver serving "

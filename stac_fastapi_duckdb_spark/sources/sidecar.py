@@ -32,8 +32,21 @@ A write lands in a fresh uniquely-named data directory and then
 atomically swings ``meta.json`` (os.replace) to point at it — readers
 either see the previous complete artifact or the new complete one,
 never a half-written directory, even with two builders racing
-(last-committer wins; both directories are complete). Superseded data
-directories are swept opportunistically on the next write.
+(last-committer wins; both directories are complete).
+
+Garbage collection is age-gated, not commit-time: a non-live data
+directory (superseded by a newer commit, or crash-orphaned by a writer
+that never committed) is swept on a later write only once its mtime is
+older than the grace window (``SPARK_GRAFT_SIDECAR_GC_SECONDS``,
+default 15 min; 0 = immediate). The grace protects (a) a lazy
+DataFrame handed out by :func:`load_sidecar` in another process just
+before a rebuild — it keeps resolving for the window; readers that
+outlive the window must eagerly materialize — and (b) a concurrent
+builder mid-write, whose uncommitted directory is necessarily younger
+than the grace. Delta chains compact automatically: past
+``max_deltas`` appended directories, :func:`append_sidecar` rewrites
+base+deltas through :func:`write_sidecar` so readers never fan over an
+unbounded directory list.
 
 Root resolution: ``$SPARK_GRAFT_SIDECAR_DIR``, else ``.artifacts/``
 under the repository root (gitignored — derived state, never checked
@@ -49,6 +62,62 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+#: Retention grace (seconds) for non-live data directories — see the
+#: module docstring. Overridable via $SPARK_GRAFT_SIDECAR_GC_SECONDS.
+SIDECAR_GC_GRACE_SECONDS = 900.0
+
+#: Delta-chain length past which append_sidecar compacts (rewrites
+#: base+deltas as one directory). Keeps the reader's
+#: ``spark.read.parquet(*dirs)`` fan bounded under standing ingest.
+SIDECAR_MAX_DELTAS = 8
+
+
+def _gc_grace() -> float:
+    env = os.environ.get("SPARK_GRAFT_SIDECAR_GC_SECONDS")
+    if env is not None and env != "":
+        return float(env)
+    return SIDECAR_GC_GRACE_SECONDS
+
+
+def _gc_slot(family: str, tag: str, root: str | None) -> list[str]:
+    """Sweep non-live data directories in the slot: every ``data-*``
+    entry the committed meta does not reference and whose mtime is
+    older than the grace window. Covers superseded directories from
+    earlier rewrites AND crash-orphans from writers that never reached
+    their commit. Young directories are preserved — they are either a
+    concurrent builder mid-write or still within the lazy-reader
+    grace. Returns the swept paths."""
+    import shutil
+    import time
+
+    slot = _slot_dir(family, tag, root)
+    meta = _read_meta(family, tag, root)
+    live = (
+        {os.path.basename(p) for p in _data_dirs(meta, family, tag, root)}
+        if meta is not None
+        else set()
+    )
+    grace = _gc_grace()
+    now = time.time()
+    swept: list[str] = []
+    try:
+        entries = os.listdir(slot)
+    except OSError:
+        return swept
+    for name in entries:
+        if not name.startswith("data-") or name in live:
+            continue
+        p = os.path.join(slot, name)
+        try:
+            age = now - os.path.getmtime(p)
+        except OSError:
+            continue
+        if age >= grace:
+            shutil.rmtree(p, ignore_errors=True)
+            swept.append(p)
+    return swept
 
 
 def default_root() -> str:
@@ -219,7 +288,6 @@ def write_sidecar(
     if block_size is not None:
         writer = writer.option("parquet.block.size", str(block_size))
     writer.parquet(d)
-    prev = _read_meta(family, tag, root)
     mp = _meta_path(family, tag, root)
     tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -228,19 +296,12 @@ def write_sidecar(
             fh,
         )
     os.replace(tmp, mp)  # the commit point
-    # opportunistic sweep of the directories we just superseded
-    # (another process may still be reading one this instant only if
-    # it loaded between our commit and now — the same
-    # already-open-file semantics any compaction has; new loads all
-    # see the new pointer). A crash-orphaned dir from a writer that
-    # never committed is left alone: sweeping every unreferenced dir
-    # would race a concurrent builder mid-write.
-    import shutil
-
-    if prev is not None:
-        for old in _data_dirs(prev, family, tag, root):
-            if os.path.basename(old) != token:
-                shutil.rmtree(old, ignore_errors=True)
+    # age-gated GC of everything non-live — superseded directories AND
+    # crash-orphans — once older than the grace window (module
+    # docstring): a lazy reader that loaded just before this commit
+    # keeps resolving for the window, and a concurrent builder's
+    # in-flight directory is younger than the grace by construction.
+    _gc_slot(family, tag, root)
     return d
 
 
@@ -253,6 +314,7 @@ def append_sidecar(
     extra: dict[str, Any] | None = None,
     partitions: int | None = None,
     sort_cols: tuple[str, ...] | None = None,
+    max_deltas: int | None = None,
 ) -> list[str]:
     """Append an ingest-batch DELTA to an existing artifact: the new
     rows land in their own data directory and the meta pointer commits
@@ -266,6 +328,15 @@ def append_sidecar(
     and sweeps every superseded directory. ``extra`` REPLACES the
     stored scalar metadata (pass the merged stats — e.g. the
     n_docs/avgdl running totals — not the delta's).
+
+    Once the committed directory list exceeds ``max_deltas`` (default
+    :data:`SIDECAR_MAX_DELTAS`), the chain COMPACTS: base+deltas are
+    read back and rewritten through :func:`write_sidecar` as one
+    directory under the same fingerprint and scalar metadata, and the
+    superseded chain is age-gate swept. Row content is unchanged —
+    compaction is a layout rewrite, exactly the small-file compaction
+    any table format schedules; it bounds the reader's directory fan
+    under standing per-batch ingest.
 
     Raises FileNotFoundError when there is no committed base — an
     append without a base is a write, and silently promoting it would
@@ -287,6 +358,7 @@ def append_sidecar(
     w.write.mode("overwrite").parquet(os.path.join(slot, token))
     names = [os.path.basename(p) for p in _data_dirs(prev, family, tag, root)]
     names.append(token)
+    merged_extra = extra if extra is not None else prev.get("extra", {})
     mp = _meta_path(family, tag, root)
     tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -294,9 +366,31 @@ def append_sidecar(
             {
                 "fingerprint": fingerprint,
                 "data": names,
-                "extra": extra if extra is not None else prev.get("extra", {}),
+                "extra": merged_extra,
             },
             fh,
         )
     os.replace(tmp, mp)  # the commit point
+    if max_deltas is None:
+        max_deltas = SIDECAR_MAX_DELTAS
+    if len(names) > max_deltas:
+        # compaction: rewrite the whole chain as one directory. The
+        # parquet read+write completes before write_sidecar's commit,
+        # so the source directories are fully consumed before they
+        # become sweep-eligible.
+        full = df.sparkSession.read.parquet(
+            *[os.path.join(slot, n) for n in names]
+        )
+        compacted = write_sidecar(
+            full,
+            family,
+            tag,
+            fingerprint,
+            root=root,
+            extra=merged_extra,
+            partitions=partitions,
+            sort_cols=sort_cols,
+        )
+        return [compacted]
+    _gc_slot(family, tag, root)
     return [os.path.join(slot, n) for n in names]

@@ -107,6 +107,36 @@ def test_connected_components_transitive_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
 
 
+def test_connected_components_rejects_unknown_algorithm(spark):
+    """A typo'd algorithm must raise, not silently run 'star'; a run
+    that exhausts max_iter before the star-forest fixpoint must WARN —
+    the caller can't otherwise tell a truncated run from a converged
+    one."""
+    import pytest
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(edges, algorithm="strar")
+    # a 40-node chain cannot reach the star fixpoint in one round
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
+        connected_components(chain, max_iter=1)
+    # and a converged run stays silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(chain).collect()
+        }
+    assert set(got.values()) == {0}
+
+
 def test_connected_components_star_matches_minlabel(spark):
     """The large-star/small-star default must reach the identical
     fixpoint (component = min id) as min-label propagation on

@@ -85,12 +85,15 @@ def test_crash_between_data_and_meta_reads_as_absent(spark, sidecar_root):
         sc.data_path("fam", "tag")
 
 
-def test_append_sidecar_grows_without_rewriting_base(spark, sidecar_root):
+def test_append_sidecar_grows_without_rewriting_base(
+    spark, sidecar_root, monkeypatch
+):
     """The per-ingest-batch delta path: a delta lands in its OWN data
     directory (the base is never rewritten), the pointer commits the
     grown list atomically, and readers scan base+deltas as one
-    DataFrame. A full write_sidecar afterwards compacts and sweeps
-    every superseded directory."""
+    DataFrame. A full write_sidecar afterwards compacts and (grace 0
+    here) sweeps every superseded directory."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
     sc.write_sidecar(spark.range(0, 5), "fam", "tag", "fp1")
     base = sc.data_path("fam", "tag")
     base_mtimes = {
@@ -222,10 +225,11 @@ def test_standing_line_set_appends_equivalently(spark, sidecar_root):
     assert got.collect()[0]["text_deduped"] == "a genuinely new third line"
 
 
-def test_pointer_commit_swings_and_sweeps(spark, sidecar_root):
+def test_pointer_commit_swings_and_sweeps(spark, sidecar_root, monkeypatch):
     """A rewrite lands in a fresh data dir, the meta pointer swings
-    atomically, and the superseded dir is swept — readers can never
-    observe a half-overwritten directory."""
+    atomically, and the superseded dir is swept (grace 0) — readers can
+    never observe a half-overwritten directory."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
     sc.write_sidecar(spark.range(5), "fam", "tag", "fp1")
     d1 = sc.data_path("fam", "tag")
     assert sc.load_sidecar(spark, "fam", "tag", "fp1").count() == 5
@@ -237,6 +241,74 @@ def test_pointer_commit_swings_and_sweeps(spark, sidecar_root):
     assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 9
 
 
+def test_append_chain_compacts_past_max_deltas(
+    spark, sidecar_root, monkeypatch
+):
+    """Standing ingest must not grow the reader's directory fan without
+    bound: past max_deltas appended directories the chain compacts back
+    to ONE directory with identical rows and preserved scalar
+    metadata, and (grace 0) the superseded chain is swept."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
+    sc.write_sidecar(
+        spark.range(0, 3), "fam", "tag", "fp0", extra={"n": 3}
+    )
+    paths = None
+    for i in range(3):
+        paths = sc.append_sidecar(
+            spark.range(3 * (i + 1), 3 * (i + 2)),
+            "fam",
+            "tag",
+            f"fp{i + 1}",
+            extra={"n": 3 * (i + 2)},
+            max_deltas=1,
+        )
+    # every append pushes the chain to 2 dirs > max_deltas=1 → compacts
+    assert paths is not None and len(paths) == 1
+    assert sc.data_paths("fam", "tag") == paths  # committed pointer
+    slot = os.path.join(sidecar_root, "fam", "tag")
+    data_dirs = [d for d in os.listdir(slot) if d.startswith("data-")]
+    assert data_dirs == [os.path.basename(paths[0])]  # chain swept
+    got = sc.load_sidecar(spark, "fam", "tag", "fp3")
+    assert sorted(r["id"] for r in got.collect()) == list(range(12))
+    assert sc.load_meta("fam", "tag", "fp3") == {"n": 12}
+    # single-path accessor works again on the compacted artifact
+    assert sc.data_path("fam", "tag") == paths[0]
+
+
+def test_orphan_gc_sweeps_stale_preserves_fresh(spark, sidecar_root, monkeypatch):
+    """Crash-orphaned data dirs (a writer that never committed) are
+    swept on a later write once OLDER than the grace window; a fresh
+    uncommitted dir — possibly a concurrent builder mid-write — is
+    preserved."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "100")
+    sc.write_sidecar(spark.range(3), "fam", "tag", "fp1")
+    slot = os.path.join(sidecar_root, "fam", "tag")
+    stale = os.path.join(slot, "data-stale000000")
+    fresh = os.path.join(slot, "data-fresh000000")
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+    os.utime(stale, (1, 1))  # ancient mtime: well past the grace
+    sc.write_sidecar(spark.range(4), "fam", "tag", "fp2")
+    assert not os.path.exists(stale)  # orphan swept
+    assert os.path.exists(fresh)  # in-flight builder preserved
+    assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 4
+
+
+def test_superseded_dir_retained_within_grace(spark, sidecar_root):
+    """A lazy DataFrame loaded just before a rebuild keeps resolving:
+    the superseded directory is retained for the (default 15 min) grace
+    window instead of vanishing at commit time."""
+    sc.write_sidecar(spark.range(7), "fam", "tag", "fp1")
+    d1 = sc.data_path("fam", "tag")
+    reader = sc.load_sidecar(spark, "fam", "tag", "fp1")  # lazy
+    sc.write_sidecar(spark.range(2), "fam", "tag", "fp2")
+    assert os.path.exists(d1)  # retained within grace
+    assert reader.count() == 7  # pre-rebuild reader still resolves
+    assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 2
+
+
 # --- the wired artifact families -------------------------------------------
 
 # (artifact accessor name, expected sidecar family dir). Each accessor
@@ -246,6 +318,7 @@ FAMILIES = [
     ("_fp_stream_artifact", "fp_stream"),
     ("_doubled_fp_annotated_artifact", "doubled_fp_annotated"),
     ("_deletion_sig_artifact", "deletion_sigs"),
+    ("_edit_pairs_artifact", "edit_pairs"),
     ("_keyed_lines_artifact", "keyed_lines"),
     ("_novelty_counts_artifact", "novelty_counts"),
     ("_hashed_vecs", "hashed_vecs"),
@@ -304,6 +377,41 @@ def test_bm25_artifact_round_trips_with_lexicon_and_stats(
     assert sorted(tuple(r) for r in idx2["tf"].collect()) == sorted(
         tuple(r) for r in idx1["tf"].collect()
     )
+
+
+def test_bm25_artifact_rebuilds_on_missing_or_stale_lexicon(
+    spark, sidecar_root
+):
+    """The lexicon lives in its OWN sidecar slot: if it is missing (or
+    committed at a different fingerprint) while bm25_tf still
+    fingerprint-matches, the whole artifact must rebuild — never raise
+    FileNotFoundError, never serve a lexicon inconsistent with the
+    postings/stats."""
+    import shutil as _sh
+
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    idx1 = eq._bm25_artifact(spark, SF)
+    # simulate the race/crash: lexicon slot vanishes, bm25_tf stays
+    _sh.rmtree(os.path.join(sidecar_root, "bm25_lexicon"))
+    _fresh_session_caches(eq, spark)
+    idx2 = eq._bm25_artifact(spark, SF)  # rebuilds, no FileNotFoundError
+    assert idx2["lex"] == idx1["lex"]
+    assert os.path.isdir(os.path.join(sidecar_root, "bm25_lexicon"))
+    # lexicon committed at a DIFFERENT fingerprint → also a rebuild
+    tag = sc.dataset_tag(SF)
+    lexdir = os.path.join(sidecar_root, "bm25_lexicon", tag, "meta.json")
+    import json as _json
+
+    with open(lexdir) as fh:
+        meta = _json.load(fh)
+    meta["fingerprint"] = "someone-elses-corpus"
+    with open(lexdir, "w") as fh:
+        _json.dump(meta, fh)
+    _fresh_session_caches(eq, spark)
+    idx3 = eq._bm25_artifact(spark, SF)
+    assert idx3["lex"] == idx1["lex"]
 
 
 def test_lm_artifact_round_trips_exact_doubles(

@@ -554,6 +554,18 @@ def test_bm25_probe_local_refuses_oversized_posting_fetch(spark, tmp_path):
         )
     # under the cap everything still serves
     assert T.bm25_probe_local(tf_disk, ["join"], n_docs, avgdl, honest_lex)
+    # a REPEATED query term must not double-count its df toward the
+    # cap: the isin filter returns each term's postings once, so the
+    # prediction sums over DISTINCT terms — this fetch is under the cap
+    # even though the naive per-occurrence sum would refuse it
+    df_join = int(honest_lex["join"])
+    got = T.bm25_probe_local(
+        tf_disk, ["join", "join", "join"], n_docs, avgdl, honest_lex,
+        k=10, max_postings=df_join,
+    )
+    assert got == T.bm25_probe_local(
+        tf_disk, ["join", "join", "join"], n_docs, avgdl, honest_lex, k=10
+    )
 
 
 def test_hybrid_search_high_df_term_degrades_to_distributed(
