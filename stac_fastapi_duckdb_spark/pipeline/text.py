@@ -1992,6 +1992,51 @@ def hash_embed(
     )
 
 
+def incremental_flag_lines(
+    lines: DataFrame,
+    base_lines: DataFrame | None,
+    base_distinct: bool = False,
+) -> DataFrame:
+    """The flagging half of :func:`incremental_line_dedup`, split out
+    so the per-batch KEEP verdicts — batch-constant once the batch has
+    landed — can be frozen as a written sidecar (the same
+    dedup-decision artifact family as :func:`flag_first_lines`).
+    ``lines`` is the batch's ``keyed_lines`` stream; returns
+    (doc_id, pos, line, _e, _k, _keep)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
+    keyed = lines.select("doc_id", "pos", "line", "_e", "_k")
+    first = keyed.withColumn("_rn", F.row_number().over(w))
+    # membership as a LEFT join + null marker (not anti-then-rejoin,
+    # which would compute the windowed stream on both join sides): one
+    # pass over the batch, the standing set never carries row bodies
+    if base_lines is not None:
+        known = base_lines.select(F.col("h").alias("_k"))
+        if not base_distinct:
+            # a duplicate h in the standing set would fan out batch
+            # rows through the left join — dedup unless the caller
+            # vouches the set is already distinct (a MAINTAINED
+            # standing set is; re-aggregating it per batch would cost
+            # an extra exchange over the whole corpus set)
+            known = known.distinct()
+        known = known.withColumn("_inbase", F.lit(True))
+        first = first.join(known, "_k", "left")
+    else:
+        first = first.withColumn("_inbase", F.lit(None).cast("boolean"))
+    return first.select(
+        "doc_id",
+        "pos",
+        "line",
+        "_e",
+        "_k",
+        (
+            (~F.col("_e"))
+            | ((F.col("_rn") == 1) & F.col("_inbase").isNull())
+        ).alias("_keep"),
+    )
+
+
 def incremental_line_dedup(
     new_docs: DataFrame,
     base_lines: DataFrame | None,
@@ -2000,6 +2045,7 @@ def incremental_line_dedup(
     min_chars: int = 10,
     lines: DataFrame | None = None,
     base_distinct: bool = False,
+    flagged: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Continuous-ingest companion to ``line_dedup``: dedup an ARRIVING
     batch's lines against a STANDING corpus-line-hash set (the CCNet
@@ -2031,42 +2077,18 @@ def incremental_line_dedup(
 
     Pass ``lines`` (a prebuilt/persisted ``keyed_lines`` stream of the
     BATCH docs) and the explode + hashing never re-runs — only the
-    window and the membership join do.
+    window and the membership join do. Pass ``flagged`` (a
+    prebuilt/persisted :func:`incremental_flag_lines` verdict stream —
+    the per-batch dedup-decision sidecar, batch-constant exactly like
+    ``flag_first_lines``'s corpus verdicts) and neither does: the
+    query is the groupBy(doc) rebuild only, the production shape where
+    flagging runs once when the batch LANDS and every later consumer
+    reads the written verdicts.
     """
-    from pyspark.sql import Window
-
-    if lines is None:
-        lines = keyed_lines(new_docs, text_col, id_col, min_chars)
-    w = Window.partitionBy("_k").orderBy("doc_id", "pos")
-    keyed = lines.select("doc_id", "pos", "line", "_e", "_k")
-    first = keyed.withColumn("_rn", F.row_number().over(w))
-    # membership as a LEFT join + null marker (not anti-then-rejoin,
-    # which would compute the windowed stream on both join sides): one
-    # pass over the batch, the standing set never carries row bodies
-    if base_lines is not None:
-        known = base_lines.select(F.col("h").alias("_k"))
-        if not base_distinct:
-            # a duplicate h in the standing set would fan out batch
-            # rows through the left join — dedup unless the caller
-            # vouches the set is already distinct (a MAINTAINED
-            # standing set is; re-aggregating it per batch would cost
-            # an extra exchange over the whole corpus set)
-            known = known.distinct()
-        known = known.withColumn("_inbase", F.lit(True))
-        first = first.join(known, "_k", "left")
-    else:
-        first = first.withColumn("_inbase", F.lit(None).cast("boolean"))
-    flagged = first.select(
-        "doc_id",
-        "pos",
-        "line",
-        "_e",
-        "_k",
-        (
-            (~F.col("_e"))
-            | ((F.col("_rn") == 1) & F.col("_inbase").isNull())
-        ).alias("_keep"),
-    )
+    if flagged is None:
+        if lines is None:
+            lines = keyed_lines(new_docs, text_col, id_col, min_chars)
+        flagged = incremental_flag_lines(lines, base_lines, base_distinct)
     kept_lines = F.transform(
         F.filter(
             F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),

@@ -309,6 +309,42 @@ def test_superseded_dir_retained_within_grace(spark, sidecar_root):
     assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 2
 
 
+def test_racing_writers_last_commit_wins(spark, sidecar_root):
+    """Two builders racing the same slot: both produce COMPLETE data
+    directories, the meta pointer lands on the last committer, and
+    (within the grace window) the loser's directory is retained so any
+    reader that loaded its pointer first still resolves."""
+    import threading
+
+    errs = []
+
+    def build(fp, n):
+        try:
+            sc.write_sidecar(spark.range(n), "fam", "race", fp)
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    t1 = threading.Thread(target=build, args=("fpA", 5))
+    t2 = threading.Thread(target=build, args=("fpB", 9))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    # exactly one fingerprint is committed; its rows are complete
+    meta = sc._read_meta("fam", "race", None)
+    assert meta["fingerprint"] in ("fpA", "fpB")
+    winner_rows = 5 if meta["fingerprint"] == "fpA" else 9
+    got = sc.load_sidecar(spark, "fam", "race", meta["fingerprint"])
+    assert got.count() == winner_rows
+    # both directories are complete on disk (grace retention)
+    slot = os.path.join(sidecar_root, "fam", "race")
+    dirs = [d for d in os.listdir(slot) if d.startswith("data-")]
+    assert len(dirs) == 2
+    for d in dirs:
+        assert any(
+            f.endswith(".parquet") for f in os.listdir(os.path.join(slot, d))
+        )
+        assert spark.read.parquet(os.path.join(slot, d)).count() in (5, 9)
+
+
 # --- the wired artifact families -------------------------------------------
 
 # (artifact accessor name, expected sidecar family dir). Each accessor
@@ -320,6 +356,7 @@ FAMILIES = [
     ("_deletion_sig_artifact", "deletion_sigs"),
     ("_edit_pairs_artifact", "edit_pairs"),
     ("_keyed_lines_artifact", "keyed_lines"),
+    ("_incr_flagged_artifact", "incr_flagged"),
     ("_novelty_counts_artifact", "novelty_counts"),
     ("_hashed_vecs", "hashed_vecs"),
     ("_span_dup_map_artifact", "span_dup_map"),

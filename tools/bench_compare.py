@@ -97,6 +97,7 @@ from bench import ARTIFACT_SERVED  # noqa: E402
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cold_art = "--cold-artifacts" in sys.argv[1:]
+    oracle_art = "--oracle-artifacts" in sys.argv[1:]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
@@ -142,6 +143,10 @@ def main() -> None:
         root = tempfile.mkdtemp(prefix="bench_cold_art_")
         cold_roots.append(root)
         os.environ["SPARK_GRAFT_SIDECAR_DIR"] = root
+
+    if oracle_art:
+        _oracle_artifact_table(spark, con, sf_dir)
+        return
 
     if cold_art:
         print("artifact-served queries timed COLD (build+write+serve per run)")
@@ -203,6 +208,71 @@ def main() -> None:
         f" {total_d + art_d:8.3f}"
         f" {(total_s + art_s) / max(total_d + art_d, 1e-9):7.1f}"
     )
+
+
+def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
+    """--oracle-artifacts: the true engine-vs-engine SERVING comparison
+    for the artifact-served queries. The DuckDB side runs the
+    serve-from-artifact form (tools/oracle_artifact_sql.py — sidecar
+    parquet registered via read_parquet, only the query-side residual
+    recomputed) instead of the full-recompute oracle, symmetric to the
+    Spark warm-serving path. Every serve form is first VALIDATED
+    against the full oracle (sorted rows, floats at the contract's
+    round-6 scale); a mismatching form is reported and not timed."""
+    from tools.oracle_artifact_sql import SERVE_SQL, ArtifactCtx
+
+    names = sorted(ARTIFACT_SERVED & set(SERVE_SQL) & set(eq.QUERIES))
+    print("artifact-served queries: Spark warm serve vs DuckDB serve-from-artifact")
+    print(f"{'query':26s} {'spark':>8s} {'serveSQL':>9s} {'fullSQL':>8s} {'ratio':>7s}  valid")
+    tot_s = tot_d = tot_full = 0.0
+    n_bad = 0
+    for name in names:
+        fn = eq.QUERIES[name]
+        _force(fn(spark, sf_dir))  # builds + warms the artifact tier
+        best_s = min(_timed(lambda: _force(fn(spark, sf_dir))) for _ in range(2))
+        ctx = ArtifactCtx(sf_dir)
+        try:
+            serve_sql = SERVE_SQL[name](ctx)
+        except FileNotFoundError as exc:
+            print(f"{name:26s} {best_s:8.3f} {'—':>9s} {'—':>8s} {'—':>7s}  SKIP ({exc})")
+            continue
+        full_rows = _norm_rows(con.execute(eq.ORACLE_SQL[name]).fetchall())
+        best_full = min(
+            _timed(lambda: con.execute(eq.ORACLE_SQL[name]).fetchall())
+            for _ in range(2)
+        )
+        serve_rows = _norm_rows(con.execute(serve_sql).fetchall())
+        valid = serve_rows == full_rows
+        best_d = min(_timed(lambda: con.execute(serve_sql).fetchall()) for _ in range(2))
+        if valid:
+            tot_s += best_s
+            tot_d += best_d
+            tot_full += best_full
+        else:
+            n_bad += 1
+        print(
+            f"{name:26s} {best_s:8.3f} {best_d:9.3f} {best_full:8.3f}"
+            f" {best_s / max(best_d, 1e-9):7.2f}  {'ok' if valid else 'MISMATCH'}"
+        )
+    print(
+        f"{'TOTAL (validated rows)':26s} {tot_s:8.3f} {tot_d:9.3f} {tot_full:8.3f}"
+        f" {tot_s / max(tot_d, 1e-9):7.2f}"
+    )
+    if n_bad:
+        print(f"WARNING: {n_bad} serve form(s) mismatched the full oracle — excluded")
+
+
+def _norm_rows(rows):
+    """Order- and float-noise-insensitive row canonicalization at the
+    contract's round-6 scale."""
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                round(x, 6) if isinstance(x, float) else x for x in r
+            )
+        )
+    return sorted(out, key=repr)
 
 
 def _force(df) -> None:
