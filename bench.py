@@ -93,6 +93,13 @@ def main() -> None:
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     if not cold:
         os.environ["SPARK_GRAFT_CACHE_INPUTS"] = "1"
+    # external-load baseline BEFORE any Spark work: the end-of-run
+    # triple mostly measures the bench's own 32-thread load, so the
+    # start value is the one that diagnoses a noisy box
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
     spark = get_spark("stac-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -127,6 +134,7 @@ def main() -> None:
     except OSError:
         loadavg = None
     full = {
+        "loadavg_start": loadavg_start,
         "loadavg": loadavg,
         "pipeline_ops": _pipeline_ops(spark, sf_dir),
         "streaming": _streaming_components(spark, sf_dir),
@@ -173,6 +181,7 @@ def main() -> None:
                 "full_results_file": os.path.basename(full_path),
                 "sf": full["sf"],
                 "mode": full["mode"],
+                "loadavg_start": loadavg_start,
                 "loadavg": loadavg,
                 "artifact_served": sorted(
                     ARTIFACT_SERVED & set(timings)
