@@ -309,6 +309,37 @@ def test_superseded_dir_retained_within_grace(spark, sidecar_root):
     assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 2
 
 
+def test_artifact_df_resplits_single_file_sidecar(spark, sidecar_root):
+    """A row-heavy artifact written as ONE file (AQE small-output
+    coalescing, or a pre-round-10 sidecar) must not serialize its
+    consumers' partial aggregates: _artifact_df's `partitions` hint
+    re-splits the cached form on load."""
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+
+    _fresh_session_caches(eq, spark)
+    # plant a committed single-file sidecar under the family's slot
+    fp = sc.source_fingerprint("/root/testdata/sf0.001/documents.parquet")
+    tag = sc.dataset_tag("/root/testdata/sf0.001")
+    sc.write_sidecar(
+        spark.range(50_000).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("line")
+        ),
+        "resplit_fam",
+        tag,
+        fp,
+        partitions=1,
+    )
+    served = eq._artifact_df(
+        spark,
+        "resplit_fam",
+        "/root/testdata/sf0.001",
+        build=lambda: pytest.fail("must serve from the planted sidecar"),
+        partitions=16,
+    )
+    assert served.rdd.getNumPartitions() >= 16
+    assert served.count() == 50_000
+
+
 def test_racing_writers_last_commit_wins(spark, sidecar_root):
     """Two builders racing the same slot: both produce COMPLETE data
     directories, the meta pointer lands on the last committer, and
