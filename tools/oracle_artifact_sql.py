@@ -390,14 +390,8 @@ def decontaminate(ctx):
         FROM documents
     ), bfp AS (
         SELECT fp FROM read_parquet({ctx.art("bench_fps")})
-    ), w AS (
-        SELECT doc_id,
-               unnest(generate_series(1, len(toks) - 7)) AS i, toks
-        FROM t WHERE len(toks) >= 8
     ), fps AS (
-        SELECT doc_id, i - 1 AS pos,
-               substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS fp
-        FROM w
+        SELECT doc_id, pos, fp FROM read_parquet({ctx.art("fp_stream")})
     ), marked AS (
         SELECT DISTINCT f.doc_id, f.pos FROM fps f JOIN bfp USING (fp)
     ), mk AS (
