@@ -64,6 +64,18 @@ def _serve_names():
     return sorted(SERVE_SQL)
 
 
+def test_every_artifact_served_query_has_a_serve_form():
+    """Coverage guard: a query added to bench.py's ARTIFACT_SERVED set
+    (and having a full oracle) must ship a serve-from-artifact form,
+    or the --oracle-artifacts fairness table silently loses it."""
+    from bench import ARTIFACT_SERVED
+    from stac_fastapi_duckdb_spark.plans.entry_queries import ORACLE_SQL
+    from tools.oracle_artifact_sql import SERVE_SQL
+
+    missing = ARTIFACT_SERVED & set(ORACLE_SQL) - set(SERVE_SQL)
+    assert not missing, f"artifact-served queries without a serve form: {missing}"
+
+
 @pytest.mark.parametrize("name", _serve_names())
 def test_serve_form_matches_full_oracle(served, name):
     eq, con, ctx = served
