@@ -81,24 +81,39 @@ def _gc_grace() -> float:
     return SIDECAR_GC_GRACE_SECONDS
 
 
+def _touch_superseded(prev: dict | None, family: str, tag: str, root: str | None) -> None:
+    """Restart the grace clock on directories a commit just superseded:
+    the grace protects lazy readers FROM THE MOMENT OF SUPERSESSION,
+    not from the directory's creation — an artifact rebuilt an hour
+    after it was written would otherwise be sweep-eligible the instant
+    it stops being live."""
+    if prev is None:
+        return
+    for p in _data_dirs(prev, family, tag, root):
+        try:
+            os.utime(p)
+        except OSError:
+            pass
+
+
 def _gc_slot(family: str, tag: str, root: str | None) -> list[str]:
     """Sweep non-live data directories in the slot: every ``data-*``
     entry the committed meta does not reference and whose mtime is
     older than the grace window. Covers superseded directories from
-    earlier rewrites AND crash-orphans from writers that never reached
-    their commit. Young directories are preserved — they are either a
-    concurrent builder mid-write or still within the lazy-reader
-    grace. Returns the swept paths."""
+    earlier rewrites (whose mtime is reset to the supersession moment
+    by :func:`_touch_superseded`, so the grace counts from when they
+    stopped being live) AND crash-orphans from writers that never
+    reached their commit. Young directories are preserved — they are
+    either a concurrent builder mid-write or still within the
+    lazy-reader grace. The live set is read AFTER the directory
+    listing, so a directory committed by a racing writer between the
+    two reads is seen as live; with grace 0 (tests / single-writer
+    deployments) that ordering is the only protection, which is why 0
+    is not the default. Returns the swept paths."""
     import shutil
     import time
 
     slot = _slot_dir(family, tag, root)
-    meta = _read_meta(family, tag, root)
-    live = (
-        {os.path.basename(p) for p in _data_dirs(meta, family, tag, root)}
-        if meta is not None
-        else set()
-    )
     grace = _gc_grace()
     now = time.time()
     swept: list[str] = []
@@ -106,6 +121,14 @@ def _gc_slot(family: str, tag: str, root: str | None) -> list[str]:
         entries = os.listdir(slot)
     except OSError:
         return swept
+    # meta is read AFTER listdir: any directory that was committed
+    # live before we listed is guaranteed to be in this live set
+    meta = _read_meta(family, tag, root)
+    live = (
+        {os.path.basename(p) for p in _data_dirs(meta, family, tag, root)}
+        if meta is not None
+        else set()
+    )
     for name in entries:
         if not name.startswith("data-") or name in live:
             continue
@@ -288,19 +311,36 @@ def write_sidecar(
     if block_size is not None:
         writer = writer.option("parquet.block.size", str(block_size))
     writer.parquet(d)
+    prev = _read_meta(family, tag, root)
     mp = _meta_path(family, tag, root)
     tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"fingerprint": fingerprint, "data": token, "extra": extra or {}},
+            {
+                "fingerprint": fingerprint,
+                "data": token,
+                "extra": extra or {},
+                # the serving layout is part of the artifact's contract
+                # (a term-sorted small-row-group index prunes on stats;
+                # an unsorted rewrite silently degrades every probe) —
+                # record it so compaction can reproduce it
+                "layout": {
+                    "partitions": partitions,
+                    "sort_cols": list(sort_cols) if sort_cols else None,
+                    "block_size": block_size,
+                },
+            },
             fh,
         )
     os.replace(tmp, mp)  # the commit point
     # age-gated GC of everything non-live — superseded directories AND
     # crash-orphans — once older than the grace window (module
-    # docstring): a lazy reader that loaded just before this commit
-    # keeps resolving for the window, and a concurrent builder's
-    # in-flight directory is younger than the grace by construction.
+    # docstring): the supersession touch restarts the grace clock, so
+    # a lazy reader that loaded just before this commit keeps resolving
+    # for a FULL window however old the artifact was, and a concurrent
+    # builder's in-flight directory is younger than the grace by
+    # construction.
+    _touch_superseded(prev, family, tag, root)
     _gc_slot(family, tag, root)
     return d
 
@@ -359,6 +399,7 @@ def append_sidecar(
     names = [os.path.basename(p) for p in _data_dirs(prev, family, tag, root)]
     names.append(token)
     merged_extra = extra if extra is not None else prev.get("extra", {})
+    layout = prev.get("layout") or {}
     mp = _meta_path(family, tag, root)
     tmp = f"{mp}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -367,6 +408,9 @@ def append_sidecar(
                 "fingerprint": fingerprint,
                 "data": names,
                 "extra": merged_extra,
+                # the BASE's serving layout travels with the chain so a
+                # later compaction reproduces it
+                "layout": layout,
             },
             fh,
         )
@@ -374,23 +418,74 @@ def append_sidecar(
     if max_deltas is None:
         max_deltas = SIDECAR_MAX_DELTAS
     if len(names) > max_deltas:
-        # compaction: rewrite the whole chain as one directory. The
-        # parquet read+write completes before write_sidecar's commit,
-        # so the source directories are fully consumed before they
-        # become sweep-eligible.
-        full = df.sparkSession.read.parquet(
+        # compaction: rewrite the whole chain as one directory in the
+        # BASE's recorded serving layout (falling back to this call's
+        # shape args) — an unsorted rewrite of a stat-pruned index
+        # would silently degrade every later probe. The pointer swing
+        # is OPTIMISTIC: the rewrite is a long Spark job, and a
+        # concurrent appender may commit a new delta meanwhile — its
+        # rows must not vanish, so the compacted pointer commits only
+        # if the chain is still exactly the one that was read; losing
+        # the race abandons the compacted directory to the age gate
+        # and keeps the winner's chain. (The residual window between
+        # the re-read and os.replace is microseconds of json I/O — the
+        # same order as the plain append race — not the full rewrite.)
+        c_parts = partitions if partitions is not None else layout.get("partitions")
+        c_sort = (
+            tuple(sort_cols)
+            if sort_cols
+            else (tuple(layout["sort_cols"]) if layout.get("sort_cols") else None)
+        )
+        c_block = layout.get("block_size")
+        ctoken = f"data-{uuid.uuid4().hex[:12]}"
+        cd = os.path.join(slot, ctoken)
+        w2 = df.sparkSession.read.parquet(
             *[os.path.join(slot, n) for n in names]
         )
-        compacted = write_sidecar(
-            full,
-            family,
-            tag,
-            fingerprint,
-            root=root,
-            extra=merged_extra,
-            partitions=partitions,
-            sort_cols=sort_cols,
+        if c_parts is not None:
+            w2 = w2.repartition(c_parts)
+        if c_sort:
+            w2 = w2.sortWithinPartitions(*c_sort)
+        wr = w2.write.mode("overwrite")
+        if c_block is not None:
+            wr = wr.option("parquet.block.size", str(c_block))
+        wr.parquet(cd)
+        cur = _read_meta(family, tag, root)
+        cur_names = (
+            [os.path.basename(p) for p in _data_dirs(cur, family, tag, root)]
+            if cur is not None and "data" in cur
+            else []
         )
-        return [compacted]
+        if (
+            cur is not None
+            and cur.get("fingerprint") == fingerprint
+            and cur_names == names
+        ):
+            tmp2 = f"{mp}.tmp-{os.getpid()}"
+            with open(tmp2, "w") as fh:
+                json.dump(
+                    {
+                        "fingerprint": fingerprint,
+                        "data": ctoken,
+                        "extra": merged_extra,
+                        "layout": {
+                            "partitions": c_parts,
+                            "sort_cols": list(c_sort) if c_sort else None,
+                            "block_size": c_block,
+                        },
+                    },
+                    fh,
+                )
+            os.replace(tmp2, mp)  # compaction commit
+            _touch_superseded(cur, family, tag, root)
+            _gc_slot(family, tag, root)
+            return [cd]
+        # lost the race: a concurrent appender advanced the chain while
+        # we rewrote — keep the winner's pointer, abandon our directory
+        # (not referenced by any meta → swept by the age gate later)
+        _gc_slot(family, tag, root)
+        if cur is not None and "data" in cur:
+            return _data_dirs(cur, family, tag, root)
+        return [os.path.join(slot, n) for n in names]
     _gc_slot(family, tag, root)
     return [os.path.join(slot, n) for n in names]

@@ -125,11 +125,15 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     )
     with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
         connected_components(chain, max_iter=1)
-    # and a converged run stays silent
+    # and a converged run emits no fixpoint warning (only that one is
+    # escalated — unrelated pyspark Deprecation/Resource warnings from
+    # a future version bump must not fail this test)
     import warnings
 
     with warnings.catch_warnings():
-        warnings.simplefilter("error")
+        warnings.filterwarnings(
+            "error", message=".*fixpoint not reached.*", category=RuntimeWarning
+        )
         got = {
             r.doc_id: r.component
             for r in connected_components(chain).collect()

@@ -49,13 +49,10 @@ def served(spark, tmp_path_factory):
 
 
 def _norm(rows):
-    return sorted(
-        (
-            tuple(round(x, 6) if isinstance(x, float) else x for x in r)
-            for r in rows
-        ),
-        key=repr,
-    )
+    # the ONE canonicalization shared with the bench runtime validation
+    from tools.oracle_artifact_sql import norm_rows
+
+    return norm_rows(rows)
 
 
 def _serve_names():

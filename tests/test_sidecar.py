@@ -309,6 +309,122 @@ def test_superseded_dir_retained_within_grace(spark, sidecar_root):
     assert sc.load_sidecar(spark, "fam", "tag", "fp2").count() == 2
 
 
+def test_grace_counts_from_supersession_not_creation(
+    spark, sidecar_root, monkeypatch
+):
+    """An artifact OLDER than the grace window must still protect its
+    lazy readers when it is superseded: the commit restarts the grace
+    clock on the superseded directory (mtime touch), so 'retained for
+    the window' means the window after the REBUILD, not after the
+    original write."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "100")
+    sc.write_sidecar(spark.range(6), "fam", "tag", "fp1")
+    d1 = sc.data_path("fam", "tag")
+    os.utime(d1, (1, 1))  # artifact written "long ago"
+    reader = sc.load_sidecar(spark, "fam", "tag", "fp1")  # lazy
+    sc.write_sidecar(spark.range(3), "fam", "tag", "fp2")  # rebuild
+    assert os.path.exists(d1)  # grace restarted at supersession
+    assert reader.count() == 6  # pre-rebuild reader still resolves
+    # and the touched dir becomes sweep-eligible once the (new) clock
+    # runs out
+    os.utime(d1, (1, 1))
+    sc.write_sidecar(spark.range(2), "fam", "tag", "fp3")
+    assert not os.path.exists(d1)
+
+
+def test_compaction_preserves_recorded_layout(spark, sidecar_root, monkeypatch):
+    """The base's serving layout (partitions/sort order/row-group
+    size) is part of the artifact contract: a compaction that rewrote
+    a term-sorted stat-pruned index unsorted would silently degrade
+    every later probe. The layout is recorded at write and reproduced
+    at compaction."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
+    base = spark.range(100).select(
+        (F.col("id") % 7).alias("term"), F.col("id").alias("doc_id")
+    )
+    sc.write_sidecar(
+        base, "fam", "tag", "fp0",
+        partitions=1, sort_cols=("term", "doc_id"), block_size=1 << 20,
+    )
+    sc.append_sidecar(
+        spark.range(100, 110).select(
+            (F.col("id") % 7).alias("term"), F.col("id").alias("doc_id")
+        ),
+        "fam", "tag", "fp1", max_deltas=0,
+    )
+    meta = sc._read_meta("fam", "tag", None)
+    assert isinstance(meta["data"], str)  # compacted to one dir
+    assert meta["layout"]["partitions"] == 1
+    assert meta["layout"]["sort_cols"] == ["term", "doc_id"]
+    assert meta["layout"]["block_size"] == 1 << 20
+    # one file (partitions=1), rows sorted by (term, doc_id) within it
+    got = sc.load_sidecar(spark, "fam", "tag", "fp1")
+    rows = [(r["term"], r["doc_id"]) for r in got.collect()]
+    assert len(rows) == 110
+    d = sc.data_path("fam", "tag")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(d, files[0]))
+    pairs = list(zip(tbl["term"].to_pylist(), tbl["doc_id"].to_pylist()))
+    assert pairs == sorted(pairs)  # sort order reproduced on disk
+
+
+def test_compaction_loses_race_to_concurrent_append(
+    spark, sidecar_root, monkeypatch
+):
+    """A delta committed by a concurrent appender DURING the compaction
+    rewrite must not be discarded: the compacted pointer commits only
+    if the chain is unchanged; otherwise the winner's chain stands and
+    the compacted directory is abandoned to the age gate."""
+    import json as _json
+
+    sc.write_sidecar(spark.range(0, 5), "fam", "tag", "fp0")
+    sc.append_sidecar(spark.range(5, 8), "fam", "tag", "fp1", max_deltas=9)
+    slot = os.path.join(sidecar_root, "fam", "tag")
+    mp = os.path.join(slot, "meta.json")
+    real_read_meta = sc._read_meta
+    state = {"calls": 0}
+
+    def racing_read_meta(family, tag, root):
+        state["calls"] += 1
+        # the SECOND read inside this append_sidecar call is the
+        # compaction's optimistic re-read — land a concurrent append
+        # just before it
+        if state["calls"] == 2:
+            spark.range(100, 104).coalesce(1).write.parquet(
+                os.path.join(slot, "data-concurrent0")
+            )
+            m = _json.load(open(mp))
+            m["data"] = (
+                [m["data"]] if isinstance(m["data"], str) else m["data"]
+            ) + ["data-concurrent0"]
+            m["fingerprint"] = "fpB"
+            with open(mp, "w") as fh:
+                _json.dump(m, fh)
+        return real_read_meta(family, tag, root)
+
+    monkeypatch.setattr(sc, "_read_meta", racing_read_meta)
+    paths = sc.append_sidecar(
+        spark.range(8, 10), "fam", "tag", "fp2", max_deltas=1
+    )
+    monkeypatch.setattr(sc, "_read_meta", real_read_meta)
+    # the winner's chain stands: 4 dirs (base + 2 deltas + concurrent)
+    meta = sc._read_meta("fam", "tag", None)
+    assert meta["fingerprint"] == "fpB"
+    assert len(meta["data"]) == 4
+    assert paths == sc.data_paths("fam", "tag")
+    # every row — including the concurrent append's — is served
+    got = sc.load_sidecar(spark, "fam", "tag", "fpB")
+    assert sorted(r["id"] for r in got.collect()) == list(range(10)) + [
+        100, 101, 102, 103,
+    ]
+    # the abandoned compacted dir exists but is unreferenced (grace)
+    dirs = {d for d in os.listdir(slot) if d.startswith("data-")}
+    assert len(dirs) == 5  # 4 live + the abandoned compaction output
+
+
 def test_artifact_df_resplits_single_file_sidecar(spark, sidecar_root):
     """A row-heavy artifact written as ONE file (AQE small-output
     coalescing, or a pre-round-10 sidecar) must not serialize its

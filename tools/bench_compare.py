@@ -217,9 +217,10 @@ def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
     parquet registered via read_parquet, only the query-side residual
     recomputed) instead of the full-recompute oracle, symmetric to the
     Spark warm-serving path. Every serve form is first VALIDATED
-    against the full oracle (sorted rows, floats at the contract's
-    round-6 scale); a mismatching form is reported and not timed."""
-    from tools.oracle_artifact_sql import SERVE_SQL, ArtifactCtx
+    against the full oracle (the same ``norm_rows`` canonicalization
+    the pytest pin uses); a mismatching form is reported and not
+    timed."""
+    from tools.oracle_artifact_sql import SERVE_SQL, ArtifactCtx, norm_rows
 
     names = sorted(ARTIFACT_SERVED & set(SERVE_SQL) & set(eq.QUERIES))
     print("artifact-served queries: Spark warm serve vs DuckDB serve-from-artifact")
@@ -236,14 +237,23 @@ def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
         except FileNotFoundError as exc:
             print(f"{name:26s} {best_s:8.3f} {'—':>9s} {'—':>8s} {'—':>7s}  SKIP ({exc})")
             continue
-        full_rows = _norm_rows(con.execute(eq.ORACLE_SQL[name]).fetchall())
+        # the validation fetch doubles as each side's first timing
+        # sample — an expensive full oracle must not run a third,
+        # untimed pass just to be compared
+        t0 = time.perf_counter()
+        full_fetch = con.execute(eq.ORACLE_SQL[name]).fetchall()
+        t_full_1 = time.perf_counter() - t0
         best_full = min(
-            _timed(lambda: con.execute(eq.ORACLE_SQL[name]).fetchall())
-            for _ in range(2)
+            t_full_1,
+            _timed(lambda: con.execute(eq.ORACLE_SQL[name]).fetchall()),
         )
-        serve_rows = _norm_rows(con.execute(serve_sql).fetchall())
-        valid = serve_rows == full_rows
-        best_d = min(_timed(lambda: con.execute(serve_sql).fetchall()) for _ in range(2))
+        t0 = time.perf_counter()
+        serve_fetch = con.execute(serve_sql).fetchall()
+        t_serve_1 = time.perf_counter() - t0
+        valid = norm_rows(serve_fetch) == norm_rows(full_fetch)
+        best_d = min(
+            t_serve_1, _timed(lambda: con.execute(serve_sql).fetchall())
+        )
         if valid:
             tot_s += best_s
             tot_d += best_d
@@ -260,19 +270,6 @@ def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
     )
     if n_bad:
         print(f"WARNING: {n_bad} serve form(s) mismatched the full oracle — excluded")
-
-
-def _norm_rows(rows):
-    """Order- and float-noise-insensitive row canonicalization at the
-    contract's round-6 scale."""
-    out = []
-    for r in rows:
-        out.append(
-            tuple(
-                round(x, 6) if isinstance(x, float) else x for x in r
-            )
-        )
-    return sorted(out, key=repr)
 
 
 def _force(df) -> None:

@@ -134,6 +134,86 @@ def _bm25_core(ctx: ArtifactCtx) -> str:
         )"""
 
 
+def norm_rows(rows):
+    """Order- and float-noise-insensitive row canonicalization at the
+    contract's round-6 scale — the ONE definition shared by the bench
+    runtime validation (tools/bench_compare.py) and the pytest pin
+    (tests/test_oracle_artifact_sql.py), so the two gates cannot
+    silently diverge."""
+    out = []
+    for r in rows:
+        out.append(
+            tuple(round(x, 6) if isinstance(x, float) else x for x in r)
+        )
+    return sorted(out, key=repr)
+
+
+def _span_removal_tail(k: int = 8) -> str:
+    """The shared islands → intervals → token-rebuild SQL tail over a
+    ``marked(doc_id, pos)`` CTE of duplicated window positions and a
+    ``t(doc_id, toks)`` CTE of the documents being cleaned — identical
+    (including the interval bound arithmetic) for every span-removal
+    consumer, factored so a fix to the math cannot drift between
+    forms."""
+    return f"""mk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos, 1, -9) OVER
+                                (PARTITION BY doc_id ORDER BY pos) > {k}
+                        THEN 1 ELSE 0 END AS nw
+            FROM marked
+        ), isl AS (
+            SELECT doc_id, pos,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+            FROM mk
+        ), iv AS (
+            SELECT doc_id, min(pos) AS lo, max(pos) + {k} - 1 AS hi
+            FROM isl GROUP BY doc_id, isl
+        ), tok AS (
+            SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
+                   toks
+            FROM t
+        ), tk AS (
+            SELECT doc_id, p, toks[p + 1] AS tk FROM tok
+        ), rm AS (
+            SELECT DISTINCT k.doc_id, k.p
+            FROM tk k JOIN iv ON k.doc_id = iv.doc_id
+                            AND k.p BETWEEN iv.lo AND iv.hi
+        ), kept AS (
+            SELECT tk.doc_id,
+                   coalesce(string_agg(tk.tk, ' ' ORDER BY tk.p), '')
+                       AS clean_text
+            FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p
+            WHERE rm.p IS NULL
+            GROUP BY tk.doc_id
+        ), rmn AS (
+            SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id
+        )
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+           LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+    """
+
+
+def _line_keep_agg(art_sql: str, keep_col: str = "_keep") -> str:
+    """The shared keep-verdict groupBy rebuild over a written
+    (doc_id, pos, line, _keep) verdict sidecar — line_dedup and
+    incremental_line_dedup differ only in which family they read."""
+    return f"""
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN {keep_col} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(
+                   string_agg(CASE WHEN {keep_col} THEN line END, chr(10)
+                              ORDER BY pos),
+                   '') AS text_deduped
+        FROM read_parquet({art_sql}) GROUP BY doc_id
+    """
+
+
 def bm25_search(ctx):
     return f"""
         WITH {_bm25_core(ctx)}
@@ -239,29 +319,11 @@ def edit_distance_pairs(ctx):
 
 
 def line_dedup(ctx):
-    return f"""
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CASE WHEN _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               COALESCE(
-                   string_agg(CASE WHEN _keep THEN line END, chr(10)
-                              ORDER BY pos),
-                   '') AS text_deduped
-        FROM read_parquet({ctx.art("flagged_lines")}) GROUP BY doc_id
-    """
+    return _line_keep_agg(ctx.art("flagged_lines"))
 
 
 def incremental_line_dedup(ctx):
-    return f"""
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CASE WHEN _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               COALESCE(
-                   string_agg(CASE WHEN _keep THEN line END, chr(10)
-                              ORDER BY pos),
-                   '') AS text_deduped
-        FROM read_parquet({ctx.art("incr_flagged")}) GROUP BY doc_id
-    """
+    return _line_keep_agg(ctx.art("incr_flagged"))
 
 
 def span_dedup(ctx):
@@ -339,46 +401,7 @@ def remove_duplicate_spans(ctx):
             SELECT DISTINCT doc_id, pos
             FROM read_parquet({ctx.art("doubled_fp_annotated")})
             WHERE _docs >= 2 AND doc_id <> _owner
-        ), mk AS (
-            SELECT doc_id, pos,
-                   CASE WHEN pos - lag(pos, 1, -9) OVER
-                                (PARTITION BY doc_id ORDER BY pos) > 8
-                        THEN 1 ELSE 0 END AS nw
-            FROM marked
-        ), isl AS (
-            SELECT doc_id, pos,
-                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                                 ROWS UNBOUNDED PRECEDING) AS isl
-            FROM mk
-        ), iv AS (
-            SELECT doc_id, min(pos) AS lo, max(pos) + 8 - 1 AS hi
-            FROM isl GROUP BY doc_id, isl
-        ), tok AS (
-            SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
-                   toks
-            FROM t
-        ), tk AS (
-            SELECT doc_id, p, toks[p + 1] AS tk FROM tok
-        ), rm AS (
-            SELECT DISTINCT k.doc_id, k.p
-            FROM tk k JOIN iv ON k.doc_id = iv.doc_id
-                            AND k.p BETWEEN iv.lo AND iv.hi
-        ), kept AS (
-            SELECT tk.doc_id,
-                   coalesce(string_agg(tk.tk, ' ' ORDER BY tk.p), '')
-                       AS clean_text
-            FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p
-            WHERE rm.p IS NULL
-            GROUP BY tk.doc_id
-        ), rmn AS (
-            SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id
-        )
-        SELECT t.doc_id,
-               coalesce(k.clean_text, '') AS clean_text,
-               CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
-        FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
-               LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+        ), {_span_removal_tail(8)}
     """
 
 
@@ -394,46 +417,7 @@ def decontaminate(ctx):
         SELECT doc_id, pos, fp FROM read_parquet({ctx.art("fp_stream")})
     ), marked AS (
         SELECT DISTINCT f.doc_id, f.pos FROM fps f JOIN bfp USING (fp)
-    ), mk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos, 1, -9) OVER
-                            (PARTITION BY doc_id ORDER BY pos) > 8
-                    THEN 1 ELSE 0 END AS nw
-        FROM marked
-    ), isl AS (
-        SELECT doc_id, pos,
-               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                             ROWS UNBOUNDED PRECEDING) AS isl
-        FROM mk
-    ), iv AS (
-        SELECT doc_id, min(pos) AS lo, max(pos) + 8 - 1 AS hi
-        FROM isl GROUP BY doc_id, isl
-    ), tok AS (
-        SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS p,
-               toks
-        FROM t
-    ), tk AS (
-        SELECT doc_id, p, toks[p + 1] AS tk FROM tok
-    ), rm AS (
-        SELECT DISTINCT k.doc_id, k.p
-        FROM tk k JOIN iv ON k.doc_id = iv.doc_id
-                        AND k.p BETWEEN iv.lo AND iv.hi
-    ), kept AS (
-        SELECT tk.doc_id,
-               coalesce(string_agg(tk.tk, ' ' ORDER BY tk.p), '')
-                   AS clean_text
-        FROM tk LEFT JOIN rm ON tk.doc_id = rm.doc_id AND tk.p = rm.p
-        WHERE rm.p IS NULL
-        GROUP BY tk.doc_id
-    ), rmn AS (
-        SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           coalesce(k.clean_text, '') AS clean_text,
-           CAST(len(t.toks) AS BIGINT) AS n_tokens,
-           CAST(coalesce(rmn.n_removed, 0) AS BIGINT) AS n_removed
-    FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
-           LEFT JOIN rmn ON t.doc_id = rmn.doc_id
+    ), {_span_removal_tail(8)}
     """
 
 
