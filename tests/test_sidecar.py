@@ -492,6 +492,52 @@ def test_racing_writers_last_commit_wins(spark, sidecar_root):
         assert spark.read.parquet(os.path.join(slot, d)).count() in (5, 9)
 
 
+def test_lifecycle_sequences_always_serve_expected_rows(
+    spark, sidecar_root, monkeypatch
+):
+    """Property over randomized lifecycle sequences: whatever order of
+    writes and appends (with compaction triggering at varying chain
+    lengths and grace 0 or large), load_sidecar at the latest
+    fingerprint always returns exactly the expected row set, and the
+    committed pointer only references directories that exist."""
+    import random
+
+    rng = random.Random(20260816)
+    for case in range(4):
+        grace = rng.choice(["0", "900"])
+        monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", grace)
+        fam, tag = "fam", f"seq{case}"
+        expected: set[int] = set()
+        nxt = 0
+        fp = "fp0"
+        # first op must be a write (append requires a base)
+        ops = ["write"] + [
+            rng.choice(["write", "append", "append"]) for _ in range(5)
+        ]
+        for i, op in enumerate(ops):
+            lo, hi = nxt, nxt + rng.randint(1, 4)
+            nxt = hi
+            fp = f"fp{i}"
+            if op == "write":
+                sc.write_sidecar(spark.range(lo, hi), fam, tag, fp)
+                expected = set(range(lo, hi))
+            else:
+                sc.append_sidecar(
+                    spark.range(lo, hi), fam, tag, fp,
+                    max_deltas=rng.choice([1, 2, 8]),
+                )
+                expected |= set(range(lo, hi))
+            got = sc.load_sidecar(spark, fam, tag, fp)
+            assert got is not None, (case, i, op, grace)
+            assert {r["id"] for r in got.collect()} == expected, (
+                case, i, op, grace,
+            )
+            for p in sc.data_paths(fam, tag):
+                assert os.path.isdir(p), (case, i, op, grace, p)
+        # stale fingerprints never serve
+        assert sc.load_sidecar(spark, fam, tag, "fp0-stale") is None
+
+
 # --- the wired artifact families -------------------------------------------
 
 # (artifact accessor name, expected sidecar family dir). Each accessor
