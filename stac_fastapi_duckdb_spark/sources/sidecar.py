@@ -195,6 +195,17 @@ def _slot_dir(family: str, tag: str, root: str | None) -> str:
     return os.path.join(root or default_root(), family, tag)
 
 
+def _commit_meta(family: str, tag: str, root: str | None, meta: dict) -> None:
+    """THE commit point, shared by every pointer swing (write, append,
+    compaction) so the meta schema and the tmp-write + os.replace
+    sequence exist exactly once."""
+    mp = _meta_path(family, tag, root)
+    tmp = f"{mp}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, mp)
+
+
 def _meta_path(family: str, tag: str, root: str | None) -> str:
     return os.path.join(_slot_dir(family, tag, root), "meta.json")
 
@@ -312,35 +323,36 @@ def write_sidecar(
         writer = writer.option("parquet.block.size", str(block_size))
     writer.parquet(d)
     prev = _read_meta(family, tag, root)
-    mp = _meta_path(family, tag, root)
-    tmp = f"{mp}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "fingerprint": fingerprint,
-                "data": token,
-                "extra": extra or {},
-                # the serving layout is part of the artifact's contract
-                # (a term-sorted small-row-group index prunes on stats;
-                # an unsorted rewrite silently degrades every probe) —
-                # record it so compaction can reproduce it
-                "layout": {
-                    "partitions": partitions,
-                    "sort_cols": list(sort_cols) if sort_cols else None,
-                    "block_size": block_size,
-                },
-            },
-            fh,
-        )
-    os.replace(tmp, mp)  # the commit point
     # age-gated GC of everything non-live — superseded directories AND
     # crash-orphans — once older than the grace window (module
     # docstring): the supersession touch restarts the grace clock, so
     # a lazy reader that loaded just before this commit keeps resolving
     # for a FULL window however old the artifact was, and a concurrent
     # builder's in-flight directory is younger than the grace by
-    # construction.
+    # construction. The touch happens BEFORE the commit: touching a
+    # still-live directory is harmless, while touch-after-commit would
+    # leave a crash window in which the old dir is non-live with its
+    # original (possibly ancient) mtime — instantly sweep-eligible.
     _touch_superseded(prev, family, tag, root)
+    _commit_meta(
+        family,
+        tag,
+        root,
+        {
+            "fingerprint": fingerprint,
+            "data": token,
+            "extra": extra or {},
+            # the serving layout is part of the artifact's contract
+            # (a term-sorted small-row-group index prunes on stats;
+            # an unsorted rewrite silently degrades every probe) —
+            # record it so compaction can reproduce it
+            "layout": {
+                "partitions": partitions,
+                "sort_cols": list(sort_cols) if sort_cols else None,
+                "block_size": block_size,
+            },
+        },
+    )
     _gc_slot(family, tag, root)
     return d
 
@@ -400,28 +412,29 @@ def append_sidecar(
     names.append(token)
     merged_extra = extra if extra is not None else prev.get("extra", {})
     layout = prev.get("layout") or {}
-    mp = _meta_path(family, tag, root)
-    tmp = f"{mp}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "fingerprint": fingerprint,
-                "data": names,
-                "extra": merged_extra,
-                # the BASE's serving layout travels with the chain so a
-                # later compaction reproduces it
-                "layout": layout,
-            },
-            fh,
-        )
-    os.replace(tmp, mp)  # the commit point
+    _commit_meta(
+        family,
+        tag,
+        root,
+        {
+            "fingerprint": fingerprint,
+            "data": names,
+            "extra": merged_extra,
+            # the BASE's serving layout travels with the chain so a
+            # later compaction reproduces it
+            "layout": layout,
+        },
+    )
     if max_deltas is None:
         max_deltas = SIDECAR_MAX_DELTAS
     if len(names) > max_deltas:
         # compaction: rewrite the whole chain as one directory in the
-        # BASE's recorded serving layout (falling back to this call's
-        # shape args) — an unsorted rewrite of a stat-pruned index
-        # would silently degrade every later probe. The pointer swing
+        # BASE's RECORDED serving layout — the record wins over this
+        # call's shape args, which describe the tiny delta just
+        # written, not the artifact (compacting a 16-file term-sorted
+        # index into the delta's 1 unsorted partition would silently
+        # degrade every later probe); the call args are only the
+        # fallback for pre-layout-record sidecars. The pointer swing
         # is OPTIMISTIC: the rewrite is a long Spark job, and a
         # concurrent appender may commit a new delta meanwhile — its
         # rows must not vanish, so the compacted pointer commits only
@@ -430,11 +443,15 @@ def append_sidecar(
         # and keeps the winner's chain. (The residual window between
         # the re-read and os.replace is microseconds of json I/O — the
         # same order as the plain append race — not the full rewrite.)
-        c_parts = partitions if partitions is not None else layout.get("partitions")
+        c_parts = (
+            layout.get("partitions")
+            if layout.get("partitions") is not None
+            else partitions
+        )
         c_sort = (
-            tuple(sort_cols)
-            if sort_cols
-            else (tuple(layout["sort_cols"]) if layout.get("sort_cols") else None)
+            tuple(layout["sort_cols"])
+            if layout.get("sort_cols")
+            else (tuple(sort_cols) if sort_cols else None)
         )
         c_block = layout.get("block_size")
         ctoken = f"data-{uuid.uuid4().hex[:12]}"
@@ -461,23 +478,25 @@ def append_sidecar(
             and cur.get("fingerprint") == fingerprint
             and cur_names == names
         ):
-            tmp2 = f"{mp}.tmp-{os.getpid()}"
-            with open(tmp2, "w") as fh:
-                json.dump(
-                    {
-                        "fingerprint": fingerprint,
-                        "data": ctoken,
-                        "extra": merged_extra,
-                        "layout": {
-                            "partitions": c_parts,
-                            "sort_cols": list(c_sort) if c_sort else None,
-                            "block_size": c_block,
-                        },
-                    },
-                    fh,
-                )
-            os.replace(tmp2, mp)  # compaction commit
+            # touch-before-commit, same rationale as write_sidecar: the
+            # chain's base may be arbitrarily old, and a crash between
+            # commit and touch would leave it instantly sweep-eligible
             _touch_superseded(cur, family, tag, root)
+            _commit_meta(
+                family,
+                tag,
+                root,
+                {
+                    "fingerprint": fingerprint,
+                    "data": ctoken,
+                    "extra": merged_extra,
+                    "layout": {
+                        "partitions": c_parts,
+                        "sort_cols": list(c_sort) if c_sort else None,
+                        "block_size": c_block,
+                    },
+                },
+            )
             _gc_slot(family, tag, root)
             return [cd]
         # lost the race: a concurrent appender advanced the chain while

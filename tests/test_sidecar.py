@@ -371,6 +371,38 @@ def test_compaction_preserves_recorded_layout(spark, sidecar_root, monkeypatch):
     assert pairs == sorted(pairs)  # sort order reproduced on disk
 
 
+def test_compaction_layout_record_wins_over_delta_shape_args(
+    spark, sidecar_root, monkeypatch
+):
+    """An appender's shape args describe the DELTA it just wrote, not
+    the artifact: compaction must reproduce the base's recorded layout
+    even when the triggering append passed its own (smaller) shape."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
+    sc.write_sidecar(
+        spark.range(60).select(
+            (F.col("id") % 5).alias("term"), F.col("id").alias("doc_id")
+        ),
+        "fam", "tag", "fp0",
+        partitions=4, sort_cols=("term", "doc_id"),
+    )
+    sc.append_sidecar(
+        spark.range(60, 66).select(
+            (F.col("id") % 5).alias("term"), F.col("id").alias("doc_id")
+        ),
+        "fam", "tag", "fp1",
+        partitions=1,  # delta shaping — must NOT become the layout
+        max_deltas=0,
+    )
+    meta = sc._read_meta("fam", "tag", None)
+    assert isinstance(meta["data"], str)  # compacted
+    assert meta["layout"]["partitions"] == 4  # base layout reproduced
+    assert meta["layout"]["sort_cols"] == ["term", "doc_id"]
+    d = sc.data_path("fam", "tag")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 4  # not collapsed to the delta's 1 partition
+    assert sc.load_sidecar(spark, "fam", "tag", "fp1").count() == 66
+
+
 def test_compaction_loses_race_to_concurrent_append(
     spark, sidecar_root, monkeypatch
 ):

@@ -237,9 +237,12 @@ def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
         except FileNotFoundError as exc:
             print(f"{name:26s} {best_s:8.3f} {'—':>9s} {'—':>8s} {'—':>7s}  SKIP ({exc})")
             continue
-        # the validation fetch doubles as each side's first timing
-        # sample — an expensive full oracle must not run a third,
-        # untimed pass just to be compared
+        # the EXPENSIVE side (full-recompute oracle) reuses its
+        # validation fetch as the first timing sample — it must not run
+        # a third, untimed pass just to be compared. The cheap serve
+        # side keeps a clean min-of-2 over WARM runs (its validation
+        # fetch is the warm-up), since the table's per-query ratios are
+        # only as reproducible as their noisiest sample.
         t0 = time.perf_counter()
         full_fetch = con.execute(eq.ORACLE_SQL[name]).fetchall()
         t_full_1 = time.perf_counter() - t0
@@ -247,12 +250,11 @@ def _oracle_artifact_table(spark, con, sf_dir: str) -> None:
             t_full_1,
             _timed(lambda: con.execute(eq.ORACLE_SQL[name]).fetchall()),
         )
-        t0 = time.perf_counter()
-        serve_fetch = con.execute(serve_sql).fetchall()
-        t_serve_1 = time.perf_counter() - t0
+        serve_fetch = con.execute(serve_sql).fetchall()  # warm + validate
         valid = norm_rows(serve_fetch) == norm_rows(full_fetch)
         best_d = min(
-            t_serve_1, _timed(lambda: con.execute(serve_sql).fetchall())
+            _timed(lambda: con.execute(serve_sql).fetchall())
+            for _ in range(2)
         )
         if valid:
             tot_s += best_s
