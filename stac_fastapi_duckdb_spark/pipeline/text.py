@@ -1562,6 +1562,23 @@ def quality_tiers(
         j = perplexity_score(
             df, lm, text_col, id_col, carry_cols=(group_col,)
         ).withColumn("avg_nll", F.round("avg_nll", 6))
+    return quality_tiers_from_scores(j, tiers=tiers, group_col=group_col)
+
+
+def quality_tiers_from_scores(
+    scores: DataFrame,
+    tiers: int = 3,
+    group_col: str = "lang",
+) -> DataFrame:
+    """The TIERING slice of :func:`quality_tiers` over a pre-scored
+    (doc_id, group, n_tokens, avg_nll) table — the serving form when
+    the LM scores are a written artifact (they are exactly as
+    corpus-constant as the LM that produced them: CCNet scores the
+    corpus once per snapshot, then cuts tiers per consumer). The plan
+    is ONE window exchange on the group over the slim scored table —
+    the per-token scoring fold never runs on the query path.
+    ``avg_nll`` must already carry the determinism rounding the scorer
+    applies (quality_tiers rounds to 6 decimals before tiering)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(group_col).orderBy(
@@ -1576,7 +1593,7 @@ def quality_tiers(
         )
     else:
         label = F.concat(F.lit("t"), tier.cast("string"))
-    return j.select(
+    return scores.select(
         "doc_id",
         group_col,
         "n_tokens",

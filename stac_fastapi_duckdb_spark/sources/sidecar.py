@@ -77,7 +77,15 @@ SIDECAR_MAX_DELTAS = 8
 def _gc_grace() -> float:
     env = os.environ.get("SPARK_GRAFT_SIDECAR_GC_SECONDS")
     if env is not None and env != "":
-        return float(env)
+        # malformed values fall back to the default rather than failing
+        # a write AFTER its data directory landed; negative values are
+        # clamped to 0 — a negative grace would make every non-live
+        # directory (including a concurrent builder's fresh in-flight
+        # one) instantly sweep-eligible, defeating the grace entirely
+        try:
+            return max(0.0, float(env))
+        except ValueError:
+            return SIDECAR_GC_GRACE_SECONDS
     return SIDECAR_GC_GRACE_SECONDS
 
 
@@ -195,15 +203,51 @@ def _slot_dir(family: str, tag: str, root: str | None) -> str:
     return os.path.join(root or default_root(), family, tag)
 
 
-def _commit_meta(family: str, tag: str, root: str | None, meta: dict) -> None:
+def _commit_meta(
+    family: str,
+    tag: str,
+    root: str | None,
+    meta: dict,
+    expect_epoch: int | None = None,
+) -> int | None:
     """THE commit point, shared by every pointer swing (write, append,
     compaction) so the meta schema and the tmp-write + os.replace
-    sequence exist exactly once."""
+    sequence exist exactly once.
+
+    Commits are serialized by a per-slot ``flock`` held only for the
+    epoch read + pointer replace (never across a rewrite job). Every
+    committed meta carries a monotonically increasing ``epoch``; with
+    ``expect_epoch`` set the commit is a compare-and-swap that succeeds
+    only while the live epoch still equals it — this is how compaction
+    guarantees a concurrent appender's delta can never be overwritten
+    by a pointer built from the older chain. The tmp name is unique per
+    commit (pid + uuid), so two threads in one process can never
+    interleave writes into a shared tmp file and publish torn JSON.
+    Returns the committed epoch, or None when the CAS lost."""
+    import fcntl
+    import uuid
+
+    slot = _slot_dir(family, tag, root)
+    os.makedirs(slot, exist_ok=True)
     mp = _meta_path(family, tag, root)
-    tmp = f"{mp}.tmp-{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, mp)
+    with open(os.path.join(slot, ".lock"), "a") as lf:
+        # flock, not lockf: flock conflicts across fds even within one
+        # process, so it serializes both threads and processes
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            cur = _read_meta(family, tag, root)
+            cur_epoch = int(cur.get("epoch", 0)) if cur is not None else 0
+            if expect_epoch is not None and cur_epoch != expect_epoch:
+                return None
+            out = dict(meta)
+            out["epoch"] = cur_epoch + 1
+            tmp = f"{mp}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(out, fh)
+            os.replace(tmp, mp)
+            return out["epoch"]
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _meta_path(family: str, tag: str, root: str | None) -> str:
@@ -412,7 +456,7 @@ def append_sidecar(
     names.append(token)
     merged_extra = extra if extra is not None else prev.get("extra", {})
     layout = prev.get("layout") or {}
-    _commit_meta(
+    append_epoch = _commit_meta(
         family,
         tag,
         root,
@@ -437,12 +481,14 @@ def append_sidecar(
         # fallback for pre-layout-record sidecars. The pointer swing
         # is OPTIMISTIC: the rewrite is a long Spark job, and a
         # concurrent appender may commit a new delta meanwhile — its
-        # rows must not vanish, so the compacted pointer commits only
-        # if the chain is still exactly the one that was read; losing
-        # the race abandons the compacted directory to the age gate
-        # and keeps the winner's chain. (The residual window between
-        # the re-read and os.replace is microseconds of json I/O — the
-        # same order as the plain append race — not the full rewrite.)
+        # rows must not vanish, so the compacted pointer is an epoch
+        # compare-and-swap against the epoch OUR append committed,
+        # executed under the per-slot commit lock: ANY commit in
+        # between (append, rebuild, another compaction) advances the
+        # epoch and the CAS loses, abandoning the compacted directory
+        # to the age gate and keeping the winner's chain. There is no
+        # residual window — the re-check and the replace are atomic
+        # with respect to every other commit.
         c_parts = (
             layout.get("partitions")
             if layout.get("partitions") is not None
@@ -467,42 +513,38 @@ def append_sidecar(
         if c_block is not None:
             wr = wr.option("parquet.block.size", str(c_block))
         wr.parquet(cd)
-        cur = _read_meta(family, tag, root)
-        cur_names = (
-            [os.path.basename(p) for p in _data_dirs(cur, family, tag, root)]
-            if cur is not None and "data" in cur
-            else []
+        # touch-before-commit, same rationale as write_sidecar: the
+        # chain's base may be arbitrarily old, and a crash between
+        # commit and touch would leave it instantly sweep-eligible.
+        # Touching a still-live chain (if the CAS below loses) is
+        # harmless — mtime only gates sweeps of NON-live directories.
+        _touch_superseded(
+            {"data": names}, family, tag, root
         )
-        if (
-            cur is not None
-            and cur.get("fingerprint") == fingerprint
-            and cur_names == names
-        ):
-            # touch-before-commit, same rationale as write_sidecar: the
-            # chain's base may be arbitrarily old, and a crash between
-            # commit and touch would leave it instantly sweep-eligible
-            _touch_superseded(cur, family, tag, root)
-            _commit_meta(
-                family,
-                tag,
-                root,
-                {
-                    "fingerprint": fingerprint,
-                    "data": ctoken,
-                    "extra": merged_extra,
-                    "layout": {
-                        "partitions": c_parts,
-                        "sort_cols": list(c_sort) if c_sort else None,
-                        "block_size": c_block,
-                    },
+        committed = _commit_meta(
+            family,
+            tag,
+            root,
+            {
+                "fingerprint": fingerprint,
+                "data": ctoken,
+                "extra": merged_extra,
+                "layout": {
+                    "partitions": c_parts,
+                    "sort_cols": list(c_sort) if c_sort else None,
+                    "block_size": c_block,
                 },
-            )
+            },
+            expect_epoch=append_epoch,
+        )
+        if committed is not None:
             _gc_slot(family, tag, root)
             return [cd]
-        # lost the race: a concurrent appender advanced the chain while
+        # lost the race: a concurrent commit advanced the epoch while
         # we rewrote — keep the winner's pointer, abandon our directory
         # (not referenced by any meta → swept by the age gate later)
         _gc_slot(family, tag, root)
+        cur = _read_meta(family, tag, root)
         if cur is not None and "data" in cur:
             return _data_dirs(cur, family, tag, root)
         return [os.path.join(slot, n) for n in names]

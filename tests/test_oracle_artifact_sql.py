@@ -82,3 +82,40 @@ def test_serve_form_matches_full_oracle(served, name):
     got = _norm(con.execute(SERVE_SQL[name](ctx)).fetchall())
     assert len(full) > 0
     assert got == full
+
+
+def test_ctx_rejects_stale_artifact(spark, tmp_path, monkeypatch):
+    """A serve form invoked outside the bench flow must fail loudly if
+    the committed artifact was built from a DIFFERENT corpus state —
+    never silently time a stale artifact (r10 ADVICE finding)."""
+    import shutil
+
+    from stac_fastapi_duckdb_spark.sources import sidecar as sc
+    from tools.oracle_artifact_sql import ArtifactCtx
+
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_DIR", root)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    sfd = str(d)
+    # commit an artifact under a fingerprint that does NOT match sfd's
+    # current files (simulates an artifact from an older ingest state)
+    sc.write_sidecar(
+        spark.range(3), "edit_pairs", sc.dataset_tag(sfd), "stale-fp"
+    )
+    ctx = ArtifactCtx(sfd)
+    with pytest.raises(RuntimeError, match="absent or stale"):
+        ctx.art("edit_pairs")
+    with pytest.raises(RuntimeError, match="absent or stale"):
+        ctx.meta("edit_pairs")
+    # opting out serves whatever is committed (bench flow owns staleness)
+    loose = ArtifactCtx(sfd, validate_fingerprint=False)
+    assert "data-" in loose.art("edit_pairs")
+    # a FRESH commit under the true fingerprint validates clean
+    fp = sc.source_fingerprint(f"{sfd}/documents.parquet")
+    sc.write_sidecar(
+        spark.range(3), "edit_pairs", sc.dataset_tag(sfd), fp
+    )
+    assert "data-" in ArtifactCtx(sfd).art("edit_pairs")

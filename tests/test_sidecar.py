@@ -407,9 +407,11 @@ def test_compaction_loses_race_to_concurrent_append(
     spark, sidecar_root, monkeypatch
 ):
     """A delta committed by a concurrent appender DURING the compaction
-    rewrite must not be discarded: the compacted pointer commits only
-    if the chain is unchanged; otherwise the winner's chain stands and
-    the compacted directory is abandoned to the age gate."""
+    rewrite must not be discarded: the compacted pointer is an epoch
+    compare-and-swap, so ANY commit landing after the compaction's
+    chain was read advances the epoch and the CAS loses — the winner's
+    chain stands and the compacted directory is abandoned to the age
+    gate."""
     import json as _json
 
     sc.write_sidecar(spark.range(0, 5), "fam", "tag", "fp0")
@@ -421,10 +423,12 @@ def test_compaction_loses_race_to_concurrent_append(
 
     def racing_read_meta(family, tag, root):
         state["calls"] += 1
-        # the SECOND read inside this append_sidecar call is the
-        # compaction's optimistic re-read — land a concurrent append
-        # just before it
-        if state["calls"] == 2:
+        # _read_meta call order inside the racing append_sidecar:
+        # 1 = prev chain read, 2 = the append's own commit (inside
+        # _commit_meta), 3 = the compaction CAS's epoch re-read — land
+        # a concurrent append (epoch-bumped, as any real commit through
+        # _commit_meta would be) just before the CAS reads
+        if state["calls"] == 3:
             spark.range(100, 104).coalesce(1).write.parquet(
                 os.path.join(slot, "data-concurrent0")
             )
@@ -433,6 +437,7 @@ def test_compaction_loses_race_to_concurrent_append(
                 [m["data"]] if isinstance(m["data"], str) else m["data"]
             ) + ["data-concurrent0"]
             m["fingerprint"] = "fpB"
+            m["epoch"] = int(m.get("epoch", 0)) + 1
             with open(mp, "w") as fh:
                 _json.dump(m, fh)
         return real_read_meta(family, tag, root)
@@ -741,3 +746,45 @@ def test_ivfpq_index_round_trips(spark, sidecar_root, monkeypatch):
     assert sorted(
         (r["vec_id"], r["ivf_cell"]) for r in df2.collect()
     ) == rows1
+
+
+def test_gc_grace_malformed_or_negative_env(monkeypatch):
+    """A malformed SPARK_GRAFT_SIDECAR_GC_SECONDS must not raise inside
+    a write AFTER the data directory landed; a negative grace must not
+    make every non-live directory (including a concurrent builder's
+    fresh in-flight one) instantly sweep-eligible."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "banana")
+    assert sc._gc_grace() == sc.SIDECAR_GC_GRACE_SECONDS
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "-5")
+    assert sc._gc_grace() == 0.0
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "12.5")
+    assert sc._gc_grace() == 12.5
+
+
+def test_commit_epoch_monotonic_and_cas(spark, sidecar_root):
+    """Every pointer commit bumps a monotone epoch; a commit carrying a
+    stale expect_epoch is rejected (returns None, pointer unchanged) —
+    the invariant the compaction race-safety rests on."""
+    sc.write_sidecar(spark.range(0, 3), "fam", "tag", "fp0")
+    m1 = sc._read_meta("fam", "tag", None)
+    e1 = m1["epoch"]
+    sc.append_sidecar(spark.range(3, 5), "fam", "tag", "fp1", max_deltas=9)
+    m2 = sc._read_meta("fam", "tag", None)
+    assert m2["epoch"] == e1 + 1
+    # CAS against the CURRENT epoch succeeds
+    ok = sc._commit_meta(
+        "fam", "tag", None,
+        {"fingerprint": "fp1", "data": m2["data"], "extra": {}},
+        expect_epoch=m2["epoch"],
+    )
+    assert ok == m2["epoch"] + 1
+    # CAS against a STALE epoch is rejected and leaves the pointer alone
+    rejected = sc._commit_meta(
+        "fam", "tag", None,
+        {"fingerprint": "BOGUS", "data": "data-nope", "extra": {}},
+        expect_epoch=e1,
+    )
+    assert rejected is None
+    m3 = sc._read_meta("fam", "tag", None)
+    assert m3["fingerprint"] == "fp1"
+    assert m3["epoch"] == ok

@@ -31,25 +31,68 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-class ArtifactCtx:
-    """Resolves committed sidecar artifacts for one dataset dir."""
+#: Source parquet files each artifact family fingerprints against —
+#: mirrors the builders in plans/entry_queries.py (every _artifact_df
+#: family plus bm25_tf/unigram_lm derive from documents.parquet; the
+#: ANN index derives from embeddings.parquet).
+FAMILY_SOURCES: dict[str, tuple[str, ...]] = {
+    "ivfpq_index": ("embeddings.parquet",),
+}
+_DEFAULT_SOURCES: tuple[str, ...] = ("documents.parquet",)
 
-    def __init__(self, sf_dir: str):
+
+class ArtifactCtx:
+    """Resolves committed sidecar artifacts for one dataset dir.
+
+    Every access validates the committed artifact's recorded source
+    fingerprint against the CURRENT corpus files (the same derivation
+    ``_artifact_df`` uses), so a serve form invoked outside the
+    bench_compare flow — where the Spark warm-up has just rebuilt and
+    validated the artifact — fails loudly instead of silently timing a
+    stale artifact built from a different corpus state. Pass
+    ``validate_fingerprint=False`` only when the caller has its own
+    staleness guarantee."""
+
+    def __init__(self, sf_dir: str, validate_fingerprint: bool = True):
         from stac_fastapi_duckdb_spark.sources import sidecar as sc
 
         self._sc = sc
         self.sf = sf_dir
         self.tag = sc.dataset_tag(sf_dir)
+        self._validate = validate_fingerprint
+        self._fp_cache: dict[tuple[str, ...], str] = {}
+
+    def _expected_fp(self, family: str) -> str:
+        srcs = FAMILY_SOURCES.get(family, _DEFAULT_SOURCES)
+        if srcs not in self._fp_cache:
+            self._fp_cache[srcs] = self._sc.source_fingerprint(
+                *[os.path.join(self.sf, s) for s in srcs]
+            )
+        return self._fp_cache[srcs]
+
+    def _extra_validated(self, family: str) -> dict:
+        extra = self._sc.load_meta(family, self.tag, self._expected_fp(family))
+        if extra is None:
+            raise RuntimeError(
+                f"sidecar {family}/{self.tag} is absent or stale for the "
+                f"current corpus at {self.sf} — run the Spark query first "
+                "to (re)build it, or pass validate_fingerprint=False"
+            )
+        return extra
 
     def art(self, family: str) -> str:
         """SQL argument for read_parquet() over the committed artifact
-        (single dir or base+delta list)."""
+        (single dir or base+delta list), fingerprint-validated."""
+        if self._validate:
+            self._extra_validated(family)
         dirs = self._sc.data_paths(family, self.tag)
         if len(dirs) == 1:
             return f"'{dirs[0]}/*.parquet'"
         return "[" + ", ".join(f"'{d}/*.parquet'" for d in dirs) + "]"
 
     def meta(self, family: str) -> dict:
+        if self._validate:
+            return self._extra_validated(family)
         m = self._sc._read_meta(family, self.tag, None)
         if m is None:
             raise FileNotFoundError(f"no committed sidecar for {family}")
@@ -273,20 +316,15 @@ def lm_perplexity(ctx):
 
 
 def quality_tiers(ctx):
+    # round 11: the scored table itself is the artifact (lm_scores) —
+    # the serve residual is the ntile window alone, on both engines
     return f"""
-        WITH {_lm_core(ctx)},
-        scored AS (
-            SELECT tok.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   ROUND(avg(-coalesce(lm.logprob, oov.o)), 6) AS avg_nll
-            FROM tok LEFT JOIN lm USING (token), oov
-            GROUP BY tok.doc_id
-        ), tiered AS (
-            SELECT s.doc_id, d.lang, s.n_tokens, s.avg_nll,
-                   CAST(ntile(3) OVER (PARTITION BY d.lang
-                                       ORDER BY s.avg_nll ASC, s.doc_id ASC)
+        WITH tiered AS (
+            SELECT doc_id, lang, n_tokens, avg_nll,
+                   CAST(ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY avg_nll ASC, doc_id ASC)
                         AS BIGINT) AS tier
-            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+            FROM read_parquet({ctx.art("lm_scores")})
         )
         SELECT doc_id, lang, n_tokens, avg_nll, tier,
                CASE WHEN tier = 1 THEN 'head'
