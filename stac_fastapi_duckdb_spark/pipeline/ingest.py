@@ -1,0 +1,298 @@
+"""Per-ingest-batch DELTA maintenance of the decision-sidecar
+families (the written artifact tier of sources/sidecar.py).
+
+The corpus-constant decision artifacts — window-fingerprint streams,
+per-batch line KEEP verdicts, SymSpell blocking signatures, verified
+near-identical pair sets — are derived state the ingest pipeline
+writes once per batch. Rebuilding any of them from the FULL corpus
+when one batch lands is the recompute the artifact tier exists to
+avoid: at 100 TB a per-batch full rebuild of the pair set re-verifies
+every historical pair for every ingest. This module is the
+batch-delta path: each ``append_*_batch`` builds the family's delta
+FROM THE ARRIVING BATCH ONLY — joined against the standing (slim)
+artifacts where the semantics require it, never against the corpus
+text — and commits it through :func:`sidecar.append_sidecar`, whose
+``max_deltas`` compaction bounds the reader's directory fan under
+standing ingest.
+
+Exactness contract (pinned by tests/test_ingest_deltas.py): after an
+append, ``standing ∪ delta`` row-equals a from-scratch rebuild over
+``corpus ∪ batch`` — the append is a layout/work optimization, never
+an approximation. Where the operator's semantics put a precondition
+on that equality (monotone doc ids for star pair-sets, bucket-cap
+headroom), the functions FAIL LOUD instead of silently diverging.
+
+Single-writer discipline: these functions read the CURRENTLY
+committed chain and append with the caller's ADVANCED fingerprint —
+the ingest pipeline is the one writer advancing a slot (concurrent
+appenders are serialized by the sidecar's epoch-CAS commit; a racing
+full rebuild simply supersedes the chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.sources import sidecar as _sc
+
+
+def _standing(
+    spark: SparkSession, family: str, tag: str, root: str | None
+) -> DataFrame:
+    """The currently committed chain of a family as one DataFrame
+    (base + deltas). Raises FileNotFoundError when the slot has no
+    committed base — an ingest delta without a standing artifact is a
+    first write, not an append."""
+    return spark.read.parquet(*_sc.data_paths(family, tag, root))
+
+
+def append_fp_stream_batch(
+    batch_docs: DataFrame,
+    tag: str,
+    fingerprint: str,
+    k: int = 8,
+    family: str = "fp_stream",
+    root: str | None = None,
+    max_deltas: int | None = None,
+) -> list[str]:
+    """Append the arriving batch's window-fingerprint stream to the
+    standing ``fp_stream`` sidecar (the ExactSubstr/decontamination
+    front end — plans/entry_queries.py ``_fp_stream_artifact``).
+
+    The stream is PER-DOCUMENT state (doc_id, pos, fp): the corpus
+    stream of ``corpus ∪ batch`` is exactly the disjoint union of the
+    two streams, so the delta is ``window_fp_stream(batch)`` alone —
+    the stride-1 explode (the dominant cost at 100 TB) runs over the
+    new documents only and the standing chain is never read, let
+    alone re-exploded."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import window_fp_stream
+
+    return _sc.append_sidecar(
+        window_fp_stream(batch_docs.select("doc_id", "text"), k),
+        family,
+        tag,
+        fingerprint,
+        root=root,
+        max_deltas=max_deltas,
+    )
+
+
+def append_line_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    tag: str,
+    fingerprint: str,
+    min_chars: int = 10,
+    flagged_family: str = "incr_flagged",
+    standing_family: str = "standing_lines",
+    root: str | None = None,
+    max_deltas: int | None = None,
+) -> DataFrame:
+    """Land an ingest batch in the line-dedup families: flag the
+    batch's lines against the STANDING line-hash set
+    (``incremental_flag_lines`` — window once over the batch, LEFT
+    join against the slim 8-byte set; the corpus text is never read),
+    append the KEEP verdicts to ``incr_flagged``, and append the
+    surviving eligible line keys to ``standing_lines`` so the NEXT
+    batch deduplicates against them. Returns the batch's verdict
+    DataFrame (the rows just appended).
+
+    Equivalence: batch-by-batch processing with the standing set
+    advanced between batches reproduces the one-shot verdicts over the
+    concatenated ingest exactly (same keep-first semantics — a form
+    seen by an earlier batch is membership-dropped instead of
+    window-dropped, same ``_keep``), which is what the ingest test
+    pins row-for-row."""
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_flag_lines,
+        keyed_lines,
+    )
+
+    standing = _standing(spark, standing_family, tag, root)
+    flagged = incremental_flag_lines(
+        keyed_lines(batch_docs, min_chars=min_chars),
+        standing,
+        base_distinct=True,
+    ).persist()
+    try:
+        _sc.append_sidecar(
+            flagged,
+            flagged_family,
+            tag,
+            fingerprint,
+            root=root,
+            max_deltas=max_deltas,
+        )
+        new_hashes = (
+            flagged.filter(F.col("_e") & F.col("_keep"))
+            .select(F.col("_k").alias("h"))
+            .distinct()
+        )
+        _sc.append_sidecar(
+            new_hashes,
+            standing_family,
+            tag,
+            fingerprint,
+            root=root,
+            max_deltas=max_deltas,
+        )
+    finally:
+        flagged.unpersist()
+    return flagged
+
+
+def append_edit_pairs_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    corpus_texts: DataFrame,
+    tag: str,
+    fingerprint: str,
+    max_dist: int = 50,
+    max_bucket_size: int = 1_000_000,
+    sig_family: str = "deletion_sigs",
+    pairs_family: str = "edit_pairs",
+    root: str | None = None,
+    max_deltas: int | None = None,
+) -> DataFrame:
+    """Land an ingest batch in the near-identical families: compute the
+    batch's SymSpell deletion signatures (explode + window sums over
+    the BATCH only), derive the STAR pair delta against the standing
+    blocking index, verify it with banded Levenshtein, and append both
+    the signatures (to ``deletion_sigs``) and the verified pairs (to
+    ``edit_pairs``). Returns the delta pair DataFrame.
+
+    Star-delta construction: a bucket's canonical member is its
+    minimum id, so under MONOTONE ingest ids (every batch id greater
+    than every standing id — the natural ingest ordering) a standing
+    bucket's canonical never changes and the rebuilt pair set is
+    exactly ``standing_pairs ∪ (canon, new_member)`` — matched buckets
+    take the standing canonical (read from the standing signature
+    chain, pre-filtered to the batch's signatures before aggregation:
+    the corpus-sized part of the join is a slim 16-hex table, never
+    text), new-only buckets star among the batch. The corpus TEXT is
+    touched only to fetch the candidate canonicals' documents
+    (broadcast semi-filtered point fetch — at 100 TB an id-pruned
+    read), never to recompute signatures or pairs.
+
+    FAILS LOUD (ValueError) instead of silently diverging when:
+      - a batch id is ≤ a matched bucket's standing canonical (the
+        canonical would change — star deltas are undefined; rebuild);
+      - a matched bucket would cross ``max_bucket_size`` (the rebuild
+        semantics DROP over-cap buckets entirely, which an append-only
+        pair set cannot express; rebuild or raise the cap).
+
+    Reference parity note: the blocking/verify semantics are
+    pipeline/dedup.py ``edit_distance_pairs`` (star mode) exactly —
+    this function only re-partitions WHERE the work runs (per batch,
+    not per corpus)."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+    )
+
+    new_sigs = deletion_signatures(batch_docs).persist()
+    joined = None
+    try:
+        standing_sigs = _standing(spark, sig_family, tag, root)
+        batch_sig_keys = new_sigs.select("sig").distinct()
+        # per-signature standing summary, pre-filtered to the batch's
+        # signatures: the broadcast side is the batch's distinct sigs
+        standing_sum = (
+            standing_sigs.join(F.broadcast(batch_sig_keys), "sig")
+            .groupBy("sig")
+            .agg(
+                F.min("_id").alias("_canon"),
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+        )
+        new_per_sig = new_sigs.groupBy("sig").agg(
+            F.array_sort(F.collect_list("_id")).alias("_new_ids"),
+            F.count(F.lit(1)).alias("_new_cnt"),
+        )
+        joined = new_per_sig.join(standing_sum, "sig", "left").persist()
+        # precondition guards — fail loud, never diverge silently
+        bad_order = joined.filter(
+            F.col("_canon").isNotNull()
+            & (F.element_at("_new_ids", 1) <= F.col("_canon"))
+        ).limit(1)
+        if bad_order.count() > 0:
+            r = bad_order.collect()[0]
+            raise ValueError(
+                "append_edit_pairs_batch requires monotone ingest ids: "
+                f"batch id {r['_new_ids'][0]} <= standing canonical "
+                f"{r['_canon']} in bucket {r['sig']} — the star "
+                "canonical would change; rebuild the pair set instead"
+            )
+        over_cap = joined.filter(
+            F.coalesce(F.col("_cnt"), F.lit(0)) + F.col("_new_cnt")
+            > max_bucket_size
+        ).limit(1)
+        if over_cap.count() > 0:
+            r = over_cap.collect()[0]
+            raise ValueError(
+                f"bucket {r['sig']} would cross max_bucket_size="
+                f"{max_bucket_size} after the batch — the rebuild "
+                "semantics drop over-cap buckets, which an append-only "
+                "pair set cannot express; rebuild instead"
+            )
+        # star delta: matched buckets pair (standing canon, every new
+        # member); new-only buckets star among the batch (min → rest).
+        # A standing singleton bucket emitted no pairs before (size<2)
+        # and now pairs (its member, new) — covered by the same arm.
+        matched = joined.filter(F.col("_canon").isNotNull()).select(
+            F.col("_canon").alias("id_a"),
+            F.explode("_new_ids").alias("id_b"),
+        )
+        fresh = (
+            joined.filter(F.col("_canon").isNull() & (F.col("_new_cnt") >= 2))
+            .select(
+                F.element_at("_new_ids", 1).alias("id_a"),
+                F.explode(
+                    F.slice("_new_ids", 2, F.size("_new_ids") - 1)
+                ).alias("id_b"),
+            )
+        )
+        cand = matched.unionByName(fresh).distinct()
+        # candidate texts: canonicals may be standing docs — fetch them
+        # by broadcast semi-filter (the corpus side is scanned once,
+        # never shuffled; at scale an id-pruned point read), members
+        # come from the batch
+        texts = corpus_texts.select("doc_id", "text").unionByName(
+            batch_docs.select("doc_id", "text")
+        )
+        need = cand.select(F.col("id_a").alias("doc_id")).unionByName(
+            cand.select(F.col("id_b").alias("doc_id"))
+        ).distinct()
+        t = texts.join(F.broadcast(need), "doc_id")
+        a = t.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+        b = t.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+        delta = (
+            cand.join(a.hint("SHUFFLE_HASH"), "id_a")
+            .join(b.hint("SHUFFLE_HASH"), "id_b")
+            .withColumn(
+                "dist", F.levenshtein("_ta", "_tb", max_dist).cast("bigint")
+            )
+            .filter(F.col("dist") >= 0)
+            .select("id_a", "id_b", "dist")
+        )
+        _sc.append_sidecar(
+            new_sigs,
+            sig_family,
+            tag,
+            fingerprint,
+            root=root,
+            max_deltas=max_deltas,
+        )
+        _sc.append_sidecar(
+            delta,
+            pairs_family,
+            tag,
+            fingerprint,
+            root=root,
+            max_deltas=max_deltas,
+        )
+        return delta
+    finally:
+        if joined is not None:
+            joined.unpersist()
+        new_sigs.unpersist()

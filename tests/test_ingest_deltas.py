@@ -1,0 +1,320 @@
+"""Per-batch delta maintenance of the decision sidecars
+(pipeline/ingest.py).
+
+Contract under test, per family (fp_stream, incr_flagged +
+standing_lines, deletion_sigs + edit_pairs):
+  (a) EXACTNESS — after an append, standing ∪ delta row-equals a
+      from-scratch rebuild over corpus ∪ batch;
+  (b) BATCH-ONLY WORK — the delta build's executed plan reads the
+      arriving batch (plus slim standing artifacts), never re-scans
+      the corpus text; the one allowed corpus-text touch (the
+      edit-pairs canonical fetch) is a broadcast-filtered point read;
+  (c) FAIL-LOUD — preconditions (monotone ids, bucket-cap headroom)
+      raise instead of silently diverging.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stac_fastapi_duckdb_spark.pipeline import ingest as ing
+from stac_fastapi_duckdb_spark.sources import sidecar as sc
+
+
+@pytest.fixture()
+def sidecar_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_DIR", root)
+    return root
+
+
+def _write_docs(spark, tmp_path, name, rows):
+    p = str(tmp_path / f"{name}.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(p)
+    return spark.read.parquet(p), p
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scanned_dirs(df) -> set:
+    """The source directories a plan actually reads (inputFiles is
+    exact — plan strings elide long paths)."""
+    return {
+        os.path.basename(os.path.dirname(f.replace("file://", "")))
+        for f in df.inputFiles()
+    }
+
+
+# --- fp_stream --------------------------------------------------------------
+
+
+def test_fp_stream_append_equals_rebuild_and_scans_batch_only(
+    spark, sidecar_root, tmp_path
+):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import window_fp_stream
+
+    corpus, _ = _write_docs(
+        spark,
+        tmp_path,
+        "corpus",
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+    )
+    batch, _ = _write_docs(
+        spark,
+        tmp_path,
+        "batch",
+        [
+            (10, "one two three four five six seven eight nine ten"),
+            (11, "ten nine eight seven six five four three two one"),
+        ],
+    )
+    sc.write_sidecar(window_fp_stream(corpus, 8), "fp_stream", "t", "fp0")
+    ing.append_fp_stream_batch(batch, "t", "fp1", k=8)
+    got = sc.load_sidecar(spark, "fp_stream", "t", "fp1")
+    want = window_fp_stream(corpus.unionByName(batch), 8)
+    cols = ["doc_id", "pos", "fp"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # (b) the delta plan reads the batch parquet only — the corpus is
+    # neither scanned nor re-exploded, and the standing chain is not
+    # even opened (per-document state unions trivially)
+    assert _scanned_dirs(window_fp_stream(batch, 8)) == {"batch.parquet"}
+
+
+# --- incr_flagged + standing_lines ------------------------------------------
+
+
+def test_line_batch_append_equals_one_shot_and_scans_batch_only(
+    spark, sidecar_root, tmp_path
+):
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_flag_lines,
+        keyed_lines,
+    )
+
+    corpus, _ = _write_docs(
+        spark,
+        tmp_path,
+        "corpus",
+        [(1, "a standing corpus line\nanother corpus only line")],
+    )
+    b1, _ = _write_docs(
+        spark,
+        tmp_path,
+        "b1",
+        [
+            (10, "a standing corpus line\nfresh line from batch one"),
+            (11, "fresh line from batch one\nsecond fresh in batch one"),
+        ],
+    )
+    b2, _ = _write_docs(
+        spark,
+        tmp_path,
+        "b2",
+        [
+            (
+                20,
+                "fresh line from batch one\nsecond fresh in batch one\n"
+                "a genuinely new line in two\nshort ln",
+            )
+        ],
+    )
+    base = (
+        keyed_lines(corpus)
+        .filter(F.col("_e"))
+        .select(F.col("_k").alias("h"))
+        .distinct()
+    )
+    sc.write_sidecar(base, "standing_lines", "t", "fp0")
+    # batch 1 lands: verdicts are the first incr_flagged write, its
+    # surviving hashes advance the standing set
+    f1 = incremental_flag_lines(
+        keyed_lines(b1),
+        spark.read.parquet(*sc.data_paths("standing_lines", "t")),
+        base_distinct=True,
+    ).persist()
+    sc.write_sidecar(f1, "incr_flagged", "t", "fp1")
+    sc.append_sidecar(
+        f1.filter(F.col("_e") & F.col("_keep"))
+        .select(F.col("_k").alias("h"))
+        .distinct(),
+        "standing_lines",
+        "t",
+        "fp1",
+    )
+    # batch 2 lands through the ingest API
+    flagged2 = ing.append_line_batch(spark, b2, "t", "fp2")
+    cols = ["doc_id", "pos", "line", "_e", "_k", "_keep"]
+    got = sc.load_sidecar(spark, "incr_flagged", "t", "fp2")
+    # (a) one-shot reference: both batches flagged together against the
+    # ORIGINAL standing set — batch-by-batch with the set advanced in
+    # between must reproduce it verdict-for-verdict
+    want = incremental_flag_lines(
+        keyed_lines(b1.unionByName(b2)), base, base_distinct=True
+    )
+    assert _rows(got, cols) == _rows(want, cols)
+    # the standing set after both appends equals the one-shot union
+    want_h = base.unionByName(
+        want.filter(F.col("_e") & F.col("_keep"))
+        .select(F.col("_k").alias("h"))
+        .distinct()
+    ).distinct()
+    got_h = sc.load_sidecar(spark, "standing_lines", "t", "fp2")
+    assert _rows(got_h, ["h"]) == _rows(want_h, ["h"])
+    # a repeated b1 line was dropped by MEMBERSHIP (standing set), the
+    # genuinely new line survives, the short line survives untouched
+    by_line = {r["line"]: r["_keep"] for r in flagged2.collect()}
+    assert by_line["fresh line from batch one"] is False
+    assert by_line["a genuinely new line in two"] is True
+    assert by_line["short ln"] is True
+    # (b) the verdict build reads the batch parquet + the slim standing
+    # chain (data-* sidecar dirs) — the corpus text is never scanned
+    dirs = _scanned_dirs(flagged2)
+    assert "b2.parquet" in dirs
+    assert "corpus.parquet" not in dirs
+    assert any(d.startswith("data-") for d in dirs)  # the standing set
+    f1.unpersist()
+
+
+# --- deletion_sigs + edit_pairs ---------------------------------------------
+
+
+def _edit_fixture(spark, tmp_path):
+    corpus, _ = _write_docs(
+        spark,
+        tmp_path,
+        "corpus",
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "totally unrelated document text here"),
+        ],
+    )
+    batch, _ = _write_docs(
+        spark,
+        tmp_path,
+        "batch",
+        [
+            (10, "alpha beta gamma delta"),  # clone of standing doc 1
+            (11, "zeta eta theta iota"),  # new-only cluster...
+            (12, "zeta eta theta iota"),  # ...pairs inside the batch
+            (13, "nothing shared with anyone at all"),
+        ],
+    )
+    return corpus, batch
+
+
+def test_edit_pairs_append_equals_rebuild_and_batch_only_sigs(
+    spark, sidecar_root, tmp_path
+):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, batch = _edit_fixture(spark, tmp_path)
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")
+    pairs0 = edit_distance_pairs(
+        corpus, max_dist=50, pair_mode="star", signatures=sigs0
+    )
+    sc.write_sidecar(pairs0, "edit_pairs", "t", "fp0")
+    delta = ing.append_edit_pairs_batch(
+        spark, batch, corpus, "t", "fp1", max_dist=50
+    )
+    # (a) pairs: standing ∪ delta == star rebuild over corpus ∪ batch
+    both = corpus.unionByName(batch)
+    want_pairs = edit_distance_pairs(both, max_dist=50, pair_mode="star")
+    got_pairs = sc.load_sidecar(spark, "edit_pairs", "t", "fp1")
+    cols = ["id_a", "id_b", "dist"]
+    assert _rows(got_pairs, cols) == _rows(want_pairs, cols)
+    # the delta itself contains exactly the expected new links: the
+    # standing canonical adopts the clone, the new-only cluster stars
+    assert {(r["id_a"], r["id_b"]) for r in delta.collect()} == {
+        (1, 10),
+        (11, 12),
+    }
+    # (a) signatures: chain == from-scratch signatures of the union
+    got_sigs = sc.load_sidecar(spark, "deletion_sigs", "t", "fp1")
+    assert _rows(got_sigs, ["_id", "sig"]) == _rows(
+        deletion_signatures(both), ["_id", "sig"]
+    )
+    # (b) the signature/window work runs over the BATCH alone (the
+    # standing signatures come from the written chain — its data-* dirs
+    # are in the read set, so they were NOT recomputed from corpus
+    # text); the corpus parquet is touched only by the candidate text
+    # fetch, which the plan shows broadcast-filtered to candidate ids
+    dirs = _scanned_dirs(delta)
+    assert "batch.parquet" in dirs
+    assert any(d.startswith("data-") for d in dirs)  # standing sigs
+    assert "corpus.parquet" in dirs  # the one allowed touch: text fetch
+    assert "BroadcastHashJoin" in _plan(delta)
+    # and the batch's signature derivation itself never opens corpus
+    assert _scanned_dirs(deletion_signatures(batch)) == {"batch.parquet"}
+
+
+def test_edit_pairs_append_rejects_nonmonotone_ids(
+    spark, sidecar_root, tmp_path
+):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, _ = _edit_fixture(spark, tmp_path)
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")
+    sc.write_sidecar(
+        edit_distance_pairs(
+            corpus, max_dist=50, pair_mode="star", signatures=sigs0
+        ),
+        "edit_pairs",
+        "t",
+        "fp0",
+    )
+    # id 0 < standing canonical 1 in the shared bucket — the star
+    # canonical would change; the append must refuse
+    bad = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="monotone ingest ids"):
+        ing.append_edit_pairs_batch(spark, bad, corpus, "t", "fp1")
+
+
+def test_edit_pairs_append_rejects_bucket_cap_crossing(
+    spark, sidecar_root, tmp_path
+):
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, batch = _edit_fixture(spark, tmp_path)
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")
+    sc.write_sidecar(
+        edit_distance_pairs(
+            corpus, max_dist=50, pair_mode="star", signatures=sigs0
+        ),
+        "edit_pairs",
+        "t",
+        "fp0",
+    )
+    # docs 1, 2 and clone 10 land a shared bucket at size 3 > cap 2;
+    # the rebuild would DROP that bucket, which an append-only pair
+    # set cannot express
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        ing.append_edit_pairs_batch(
+            spark, batch, corpus, "t", "fp1", max_bucket_size=2
+        )
