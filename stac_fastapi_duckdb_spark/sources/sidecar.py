@@ -28,24 +28,29 @@ pointer makes)::
     {root}/{family}/{dataset-tag}/meta.json
         {"fingerprint": ..., "data": "data-{token}", "extra": {...}}
 
-A write lands in a fresh uniquely-named data directory and then
-atomically swings ``meta.json`` (os.replace) to point at it — readers
-either see the previous complete artifact or the new complete one,
-never a half-written directory, even with two builders racing
-(last-committer wins; both directories are complete).
+A build materializes into a ``stage-*`` directory, then — under the
+per-slot commit lock, atomically with the pointer commit — is RENAMED
+into the ``data-*`` namespace as ``meta.json`` swings to reference it
+(os.replace). Readers either see the previous complete artifact or
+the new complete one, never a half-written directory, even with
+builders racing across processes (every pointer commit carries a
+monotone ``epoch``; plain writes are last-committer-wins, compaction
+commits are an epoch compare-and-swap).
 
-Garbage collection is age-gated, not commit-time: a non-live data
-directory (superseded by a newer commit, or crash-orphaned by a writer
-that never committed) is swept on a later write only once its mtime is
-older than the grace window (``SPARK_GRAFT_SIDECAR_GC_SECONDS``,
-default 15 min; 0 = immediate). The grace protects (a) a lazy
-DataFrame handed out by :func:`load_sidecar` in another process just
-before a rebuild — it keeps resolving for the window; readers that
-outlive the window must eagerly materialize — and (b) a concurrent
-builder mid-write, whose uncommitted directory is necessarily younger
-than the grace. Delta chains compact automatically: past
-``max_deltas`` appended directories, :func:`append_sidecar` rewrites
-base+deltas through :func:`write_sidecar` so readers never fan over an
+Garbage collection is age-gated, not commit-time, and runs under the
+same per-slot lock as commits. ``data-*`` directories the committed
+meta does not reference are swept once their mtime is older than the
+grace window (``SPARK_GRAFT_SIDECAR_GC_SECONDS``, default 15 min;
+0 = immediate) — the grace protects a lazy DataFrame handed out by
+:func:`load_sidecar` in another process just before a rebuild; it
+keeps resolving for the window, and readers that outlive the window
+must eagerly materialize. In-flight builds need no grace at all:
+they live in ``stage-*``, which is never swept before the staging
+floor (``SIDECAR_STAGE_GC_FLOOR_SECONDS``, default 6 h — past it a
+staging directory is a crash orphan and is reclaimed), so grace 0 is
+safe under concurrent writers. Delta chains compact automatically:
+past ``max_deltas`` appended directories, :func:`append_sidecar`
+rewrites base+deltas into one directory so readers never fan over an
 unbounded directory list.
 
 Root resolution: ``$SPARK_GRAFT_SIDECAR_DIR``, else ``.artifacts/``
@@ -72,6 +77,15 @@ SIDECAR_GC_GRACE_SECONDS = 900.0
 #: base+deltas as one directory). Keeps the reader's
 #: ``spark.read.parquet(*dirs)`` fan bounded under standing ingest.
 SIDECAR_MAX_DELTAS = 8
+
+#: Age floor (seconds) below which a ``stage-*`` build directory is
+#: NEVER swept, whatever the GC grace: builders materialize into the
+#: staging namespace and promote atomically at commit, so a staging
+#: directory is either an in-flight build (must not be touched — this
+#: floor is what makes grace 0 safe under concurrent writers) or a
+#: crash orphan (swept once provably abandoned). Overridable via
+#: $SPARK_GRAFT_SIDECAR_STAGE_GC_SECONDS for tests.
+SIDECAR_STAGE_GC_FLOOR_SECONDS = 21600.0
 
 
 def _gc_grace() -> float:
@@ -104,51 +118,87 @@ def _touch_superseded(prev: dict | None, family: str, tag: str, root: str | None
             pass
 
 
+def _stage_gc_floor() -> float:
+    env = os.environ.get("SPARK_GRAFT_SIDECAR_STAGE_GC_SECONDS")
+    if env is not None and env != "":
+        try:
+            return max(0.0, float(env))
+        except ValueError:
+            return SIDECAR_STAGE_GC_FLOOR_SECONDS
+    return SIDECAR_STAGE_GC_FLOOR_SECONDS
+
+
 def _gc_slot(family: str, tag: str, root: str | None) -> list[str]:
-    """Sweep non-live data directories in the slot: every ``data-*``
-    entry the committed meta does not reference and whose mtime is
-    older than the grace window. Covers superseded directories from
-    earlier rewrites (whose mtime is reset to the supersession moment
-    by :func:`_touch_superseded`, so the grace counts from when they
-    stopped being live) AND crash-orphans from writers that never
-    reached their commit. Young directories are preserved — they are
-    either a concurrent builder mid-write or still within the
-    lazy-reader grace. The live set is read AFTER the directory
-    listing, so a directory committed by a racing writer between the
-    two reads is seen as live; with grace 0 (tests / single-writer
-    deployments) that ordering is the only protection, which is why 0
-    is not the default. Returns the swept paths."""
+    """Sweep abandoned directories in the slot, UNDER the per-slot
+    commit lock — sweeps and pointer commits are mutually exclusive,
+    so a sweep can never interleave between a build's atomic
+    promote-and-commit and observe its freshly promoted directory as
+    unreferenced.
+
+    Two namespaces, two policies:
+      - ``data-*`` — committed-at-some-point directories. Swept when
+        the committed meta does not reference them and their mtime is
+        older than the grace window (:func:`_touch_superseded` resets
+        mtime at supersession, so the grace counts from when they
+        stopped being live). The grace exists ONLY for lazy readers in
+        other processes — builders never occupy this namespace before
+        their commit (they build in ``stage-*`` and promote under the
+        lock), so grace 0 is safe under concurrent writers.
+      - ``stage-*`` — in-flight builds. NEVER swept before the staging
+        floor (:func:`_stage_gc_floor` — in-flight means untouchable,
+        whatever the grace); past the floor they are crash orphans and
+        are reclaimed.
+
+    Returns the swept paths."""
+    import fcntl
     import shutil
     import time
 
     slot = _slot_dir(family, tag, root)
     grace = _gc_grace()
+    stage_floor = max(_gc_grace(), _stage_gc_floor())
     now = time.time()
     swept: list[str] = []
     try:
-        entries = os.listdir(slot)
+        lf = open(os.path.join(slot, ".lock"), "a")
     except OSError:
         return swept
-    # meta is read AFTER listdir: any directory that was committed
-    # live before we listed is guaranteed to be in this live set
-    meta = _read_meta(family, tag, root)
-    live = (
-        {os.path.basename(p) for p in _data_dirs(meta, family, tag, root)}
-        if meta is not None
-        else set()
-    )
-    for name in entries:
-        if not name.startswith("data-") or name in live:
-            continue
-        p = os.path.join(slot, name)
+    with lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
         try:
-            age = now - os.path.getmtime(p)
-        except OSError:
-            continue
-        if age >= grace:
-            shutil.rmtree(p, ignore_errors=True)
-            swept.append(p)
-    return swept
+            try:
+                entries = os.listdir(slot)
+            except OSError:
+                return swept
+            meta = _read_meta(family, tag, root)
+            live = (
+                {
+                    os.path.basename(p)
+                    for p in _data_dirs(meta, family, tag, root)
+                }
+                if meta is not None
+                else set()
+            )
+            for name in entries:
+                if name.startswith("data-"):
+                    if name in live:
+                        continue
+                    threshold = grace
+                elif name.startswith("stage-"):
+                    threshold = stage_floor
+                else:
+                    continue
+                p = os.path.join(slot, name)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue
+                if age >= threshold:
+                    shutil.rmtree(p, ignore_errors=True)
+                    swept.append(p)
+            return swept
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def default_root() -> str:
@@ -209,21 +259,29 @@ def _commit_meta(
     root: str | None,
     meta: dict,
     expect_epoch: int | None = None,
+    promote: tuple[str, str] | None = None,
 ) -> int | None:
     """THE commit point, shared by every pointer swing (write, append,
     compaction) so the meta schema and the tmp-write + os.replace
     sequence exist exactly once.
 
     Commits are serialized by a per-slot ``flock`` held only for the
-    epoch read + pointer replace (never across a rewrite job). Every
-    committed meta carries a monotonically increasing ``epoch``; with
-    ``expect_epoch`` set the commit is a compare-and-swap that succeeds
-    only while the live epoch still equals it — this is how compaction
-    guarantees a concurrent appender's delta can never be overwritten
-    by a pointer built from the older chain. The tmp name is unique per
-    commit (pid + uuid), so two threads in one process can never
-    interleave writes into a shared tmp file and publish torn JSON.
-    Returns the committed epoch, or None when the CAS lost."""
+    epoch read + (promote +) pointer replace — never across a rewrite
+    job. Every committed meta carries a monotonically increasing
+    ``epoch``; with ``expect_epoch`` set the commit is a
+    compare-and-swap that succeeds only while the live epoch still
+    equals it — this is how compaction guarantees a concurrent
+    appender's delta can never be overwritten by a pointer built from
+    the older chain. ``promote=(stage_name, data_name)`` renames the
+    finished staging directory into the ``data-*`` namespace INSIDE
+    the same lock hold as the pointer replace; sweeps take the same
+    lock, so no GC can ever observe the promoted directory before the
+    meta that references it exists — the property that makes grace 0
+    safe under concurrent writers. The tmp name is unique per commit
+    (pid + uuid), so two threads in one process can never interleave
+    writes into a shared tmp file and publish torn JSON. Returns the
+    committed epoch, or None when the CAS lost (a lost CAS leaves the
+    staging directory unpromoted, for the staging-floor sweep)."""
     import fcntl
     import uuid
 
@@ -239,6 +297,11 @@ def _commit_meta(
             cur_epoch = int(cur.get("epoch", 0)) if cur is not None else 0
             if expect_epoch is not None and cur_epoch != expect_epoch:
                 return None
+            if promote is not None:
+                os.rename(
+                    os.path.join(slot, promote[0]),
+                    os.path.join(slot, promote[1]),
+                )
             out = dict(meta)
             out["epoch"] = cur_epoch + 1
             tmp = f"{mp}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -355,7 +418,8 @@ def write_sidecar(
     import uuid
 
     slot = _slot_dir(family, tag, root)
-    token = f"data-{uuid.uuid4().hex[:12]}"
+    tok = uuid.uuid4().hex[:12]
+    token = f"data-{tok}"
     d = os.path.join(slot, token)
     w = df
     if partitions is not None:
@@ -365,15 +429,18 @@ def write_sidecar(
     writer = w.write.mode("overwrite")
     if block_size is not None:
         writer = writer.option("parquet.block.size", str(block_size))
-    writer.parquet(d)
+    # materialize into the STAGING namespace (never age-zero-swept —
+    # see _gc_slot) and promote into data-* atomically with the
+    # pointer commit below, so a concurrent writer's sweep can neither
+    # reclaim this in-flight build nor observe the promoted directory
+    # before the meta that references it
+    writer.parquet(os.path.join(slot, f"stage-{tok}"))
     prev = _read_meta(family, tag, root)
-    # age-gated GC of everything non-live — superseded directories AND
-    # crash-orphans — once older than the grace window (module
-    # docstring): the supersession touch restarts the grace clock, so
-    # a lazy reader that loaded just before this commit keeps resolving
-    # for a FULL window however old the artifact was, and a concurrent
-    # builder's in-flight directory is younger than the grace by
-    # construction. The touch happens BEFORE the commit: touching a
+    # age-gated GC of superseded data directories once older than the
+    # grace window (module docstring): the supersession touch restarts
+    # the grace clock, so a lazy reader that loaded just before this
+    # commit keeps resolving for a FULL window however old the
+    # artifact was. The touch happens BEFORE the commit: touching a
     # still-live directory is harmless, while touch-after-commit would
     # leave a crash window in which the old dir is non-live with its
     # original (possibly ancient) mtime — instantly sweep-eligible.
@@ -396,6 +463,7 @@ def write_sidecar(
                 "block_size": block_size,
             },
         },
+        promote=(f"stage-{tok}", token),
     )
     _gc_slot(family, tag, root)
     return d
@@ -445,30 +513,57 @@ def append_sidecar(
             f"no committed sidecar for {family}/{tag} to append to"
         )
     slot = _slot_dir(family, tag, root)
-    token = f"data-{uuid.uuid4().hex[:12]}"
+    tok = uuid.uuid4().hex[:12]
+    token = f"data-{tok}"
     w = df
     if partitions is not None:
         w = w.repartition(partitions)
     if sort_cols:
         w = w.sortWithinPartitions(*sort_cols)
-    w.write.mode("overwrite").parquet(os.path.join(slot, token))
-    names = [os.path.basename(p) for p in _data_dirs(prev, family, tag, root)]
-    names.append(token)
-    merged_extra = extra if extra is not None else prev.get("extra", {})
-    layout = prev.get("layout") or {}
-    append_epoch = _commit_meta(
-        family,
-        tag,
-        root,
-        {
-            "fingerprint": fingerprint,
-            "data": names,
-            "extra": merged_extra,
-            # the BASE's serving layout travels with the chain so a
-            # later compaction reproduces it
-            "layout": layout,
-        },
-    )
+    # staging namespace + atomic promote, same as write_sidecar
+    w.write.mode("overwrite").parquet(os.path.join(slot, f"stage-{tok}"))
+    # the pointer commit is an epoch CAS RETRIED against the live
+    # chain: a chain computed from a stale read must never commit —
+    # its base may have been superseded and (grace 0) already swept by
+    # a concurrent writer, leaving a committed pointer that dangles.
+    # Retrying re-reads the live chain and appends our (still staged,
+    # still unpromoted) delta onto it, so concurrent appends all land,
+    # none is lost, and every committed chain extends the chain that
+    # was actually live at its commit instant.
+    cur = prev
+    for _ in range(1000):
+        names = [
+            os.path.basename(p) for p in _data_dirs(cur, family, tag, root)
+        ]
+        names.append(token)
+        merged_extra = extra if extra is not None else cur.get("extra", {})
+        layout = cur.get("layout") or {}
+        append_epoch = _commit_meta(
+            family,
+            tag,
+            root,
+            {
+                "fingerprint": fingerprint,
+                "data": names,
+                "extra": merged_extra,
+                # the BASE's serving layout travels with the chain so a
+                # later compaction reproduces it
+                "layout": layout,
+            },
+            expect_epoch=int(cur.get("epoch", 0)),
+            promote=(f"stage-{tok}", token),
+        )
+        if append_epoch is not None:
+            break
+        cur = _read_meta(family, tag, root)
+        if cur is None or "data" not in cur:
+            raise FileNotFoundError(
+                f"sidecar {family}/{tag} vanished mid-append"
+            )
+    else:  # pragma: no cover — 1000 lost CASes means a livelock bug
+        raise RuntimeError(
+            f"append to {family}/{tag} lost the commit race 1000 times"
+        )
     if max_deltas is None:
         max_deltas = SIDECAR_MAX_DELTAS
     if len(names) > max_deltas:
@@ -500,19 +595,35 @@ def append_sidecar(
             else (tuple(sort_cols) if sort_cols else None)
         )
         c_block = layout.get("block_size")
-        ctoken = f"data-{uuid.uuid4().hex[:12]}"
+        ctok = uuid.uuid4().hex[:12]
+        ctoken = f"data-{ctok}"
         cd = os.path.join(slot, ctoken)
-        w2 = df.sparkSession.read.parquet(
-            *[os.path.join(slot, n) for n in names]
-        )
-        if c_parts is not None:
-            w2 = w2.repartition(c_parts)
-        if c_sort:
-            w2 = w2.sortWithinPartitions(*c_sort)
-        wr = w2.write.mode("overwrite")
-        if c_block is not None:
-            wr = wr.option("parquet.block.size", str(c_block))
-        wr.parquet(cd)
+        try:
+            w2 = df.sparkSession.read.parquet(
+                *[os.path.join(slot, n) for n in names]
+            )
+            if c_parts is not None:
+                w2 = w2.repartition(c_parts)
+            if c_sort:
+                w2 = w2.sortWithinPartitions(*c_sort)
+            wr = w2.write.mode("overwrite")
+            if c_block is not None:
+                wr = wr.option("parquet.block.size", str(c_block))
+            # the long rewrite runs in staging; a lost CAS below
+            # leaves it unpromoted for the staging-floor sweep
+            wr.parquet(os.path.join(slot, f"stage-{ctok}"))
+        except Exception:
+            # the rewrite's own read is a lazy reader of the chain we
+            # just committed — under grace 0 a concurrent commit can
+            # supersede and sweep it mid-read. That superseding commit
+            # advanced the epoch, so our CAS was going to lose anyway:
+            # compaction is an optimization, losing it is always safe.
+            # The appended chain itself was committed above.
+            _gc_slot(family, tag, root)
+            cur = _read_meta(family, tag, root)
+            if cur is not None and "data" in cur:
+                return _data_dirs(cur, family, tag, root)
+            return [os.path.join(slot, n) for n in names]
         # touch-before-commit, same rationale as write_sidecar: the
         # chain's base may be arbitrarily old, and a crash between
         # commit and touch would leave it instantly sweep-eligible.
@@ -536,6 +647,7 @@ def append_sidecar(
                 },
             },
             expect_epoch=append_epoch,
+            promote=(f"stage-{ctok}", ctoken),
         )
         if committed is not None:
             _gc_slot(family, tag, root)

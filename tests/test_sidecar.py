@@ -457,9 +457,13 @@ def test_compaction_loses_race_to_concurrent_append(
     assert sorted(r["id"] for r in got.collect()) == list(range(10)) + [
         100, 101, 102, 103,
     ]
-    # the abandoned compacted dir exists but is unreferenced (grace)
+    # the abandoned compacted output was never promoted out of the
+    # staging namespace (the lost CAS leaves it for the staging-floor
+    # sweep); the data-* namespace holds exactly the live chain
     dirs = {d for d in os.listdir(slot) if d.startswith("data-")}
-    assert len(dirs) == 5  # 4 live + the abandoned compaction output
+    assert len(dirs) == 4  # the live chain only
+    stages = {d for d in os.listdir(slot) if d.startswith("stage-")}
+    assert len(stages) == 1  # the abandoned compaction rewrite
 
 
 def test_artifact_df_resplits_single_file_sidecar(spark, sidecar_root):
