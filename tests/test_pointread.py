@@ -124,3 +124,26 @@ def test_nulls_round_trip(catalog):
     fast = get_one_item(catalog, "demo", "it-000")
     slow = _spark_path_item(catalog, "demo", "it-000")
     assert fast["datetime"] is None and slow["datetime"] is None
+
+
+def test_point_lookup_latency_budget(catalog):
+    """Standing serving-latency pin: the point lookup must stay a
+    driver-side pyarrow row-group read in the low-millisecond range —
+    a future artifact-tier or catalog change that silently puts a
+    Spark job back on the hot path costs 100+ ms and fails this.
+    Median over 20 iterations with a generous 50 ms budget so box
+    load can't flake it (steady-state p50 is ~3 ms)."""
+    import statistics
+    import time
+
+    get_one_item(catalog, "demo", "it-000")  # build the lazy manifest
+    lat = []
+    for k in range(20):
+        t0 = time.perf_counter()
+        get_one_item(catalog, "demo", f"it-{(k * 7) % 30:03d}")
+        lat.append((time.perf_counter() - t0) * 1000)
+    p50 = statistics.median(lat)
+    assert p50 < 50, (
+        f"point-lookup p50 {p50:.1f} ms — a Spark job is back on the "
+        "serving hot path?"
+    )
