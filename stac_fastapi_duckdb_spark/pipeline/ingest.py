@@ -47,6 +47,34 @@ def _standing(
     return spark.read.parquet(*_sc.data_paths(family, tag, root))
 
 
+def _require_siblings_consistent(
+    tag: str, fams: tuple[str, ...], root: str | None
+) -> None:
+    """FAIL-LOUD torn-state guard for multi-family batch lands: the
+    sibling families a batch advances together must agree on their
+    committed source fingerprint before the next batch lands. The
+    two appends inside one land are not atomic across slots — a crash
+    (or a blind retry) between them leaves the families at different
+    fingerprints, and flagging the next batch against that torn state
+    would silently break the append-equals-rebuild contract. Detecting
+    the tear here turns it into an explicit rebuild/reconcile instead."""
+    fps = {}
+    for f in fams:
+        meta = _sc._read_meta(f, tag, root)
+        if meta is None or "fingerprint" not in meta:
+            raise FileNotFoundError(
+                f"no committed sidecar for {f}/{tag} to append to"
+            )
+        fps[f] = meta["fingerprint"]
+    if len(set(fps.values())) != 1:
+        raise ValueError(
+            f"sibling sidecars for {tag} are at different fingerprints "
+            f"({fps}) — a previous batch land was interrupted between "
+            "its family appends; rebuild the group (or re-land the "
+            "missing half) before appending further batches"
+        )
+
+
 def append_fp_stream_batch(
     batch_docs: DataFrame,
     tag: str,
@@ -103,12 +131,25 @@ def append_line_batch(
     concatenated ingest exactly (same keep-first semantics — a form
     seen by an earlier batch is membership-dropped instead of
     window-dropped, same ``_keep``), which is what the ingest test
-    pins row-for-row."""
+    pins row-for-row.
+
+    The two appends are not atomic across slots; a crash between them
+    leaves the families at different fingerprints, which the
+    torn-state guard at the START of the next land detects and fails
+    loud on (rebuild/re-land) — the contract is never silently broken.
+
+    The returned DataFrame is MATERIALIZED in the session cache (the
+    lazy lineage would otherwise re-read standing-chain paths that
+    this call's own compaction may have swept under a zero GC grace);
+    ``unpersist()`` it when done."""
     from stac_fastapi_duckdb_spark.pipeline.text import (
         incremental_flag_lines,
         keyed_lines,
     )
 
+    _require_siblings_consistent(
+        tag, (flagged_family, standing_family), root
+    )
     standing = _standing(spark, standing_family, tag, root)
     flagged = incremental_flag_lines(
         keyed_lines(batch_docs, min_chars=min_chars),
@@ -116,6 +157,7 @@ def append_line_batch(
         base_distinct=True,
     ).persist()
     try:
+        flagged.count()  # pin the verdicts before any chain mutation
         _sc.append_sidecar(
             flagged,
             flagged_family,
@@ -137,8 +179,9 @@ def append_line_batch(
             root=root,
             max_deltas=max_deltas,
         )
-    finally:
+    except Exception:
         flagged.unpersist()
+        raise
     return flagged
 
 
@@ -176,11 +219,22 @@ def append_edit_pairs_batch(
     read), never to recompute signatures or pairs.
 
     FAILS LOUD (ValueError) instead of silently diverging when:
-      - a batch id is ≤ a matched bucket's standing canonical (the
-        canonical would change — star deltas are undefined; rebuild);
-      - a matched bucket would cross ``max_bucket_size`` (the rebuild
-        semantics DROP over-cap buckets entirely, which an append-only
-        pair set cannot express; rebuild or raise the cap).
+      - any batch id is ≤ the standing maximum id (out-of-order or
+        re-ingested ids change bucket canonicals or duplicate standing
+        pairs — star deltas are undefined; rebuild);
+      - a matched bucket WITH STANDING PAIRS would cross
+        ``max_bucket_size`` (the rebuild semantics DROP over-cap
+        buckets entirely, and an append cannot retract the standing
+        pairs; rebuild or raise the cap). Buckets already over the cap
+        — or crossing it with no standing pairs to retract — simply
+        emit nothing, exactly as the rebuild would, so one boilerplate
+        mega-bucket can never wedge the append path shut.
+
+    The two appends are not atomic across slots; the torn-state guard
+    at the start of the next land fails loud on a half-landed batch.
+    The returned delta is MATERIALIZED in the session cache
+    (``unpersist()`` it when done) — its lazy lineage would otherwise
+    re-read chain paths this call's own compaction may have swept.
 
     Reference parity note: the blocking/verify semantics are
     pipeline/dedup.py ``edit_distance_pairs`` (star mode) exactly —
@@ -190,10 +244,40 @@ def append_edit_pairs_batch(
         deletion_signatures,
     )
 
+    _require_siblings_consistent(tag, (sig_family, pairs_family), root)
     new_sigs = deletion_signatures(batch_docs).persist()
     joined = None
     try:
         standing_sigs = _standing(spark, sig_family, tag, root)
+        # GLOBAL monotonicity guard: every batch id must exceed every
+        # standing id — a re-ingested id that happens to be above its
+        # bucket's canonical would slip per-bucket checks and duplicate
+        # that bucket's standing pairs. The standing maximum rides in
+        # the sig sidecar's scalar metadata (maintained by every land
+        # below and by the group cold build) so the guard is a
+        # metadata read; a pre-metadata chain falls back to ONE
+        # partial-agg scan of the slim (id, 16-hex) sig table — never
+        # the corpus.
+        sig_meta = _sc._read_meta(sig_family, tag, root) or {}
+        standing_max = (sig_meta.get("extra") or {}).get("max_id")
+        if standing_max is None:
+            standing_max = standing_sigs.agg(
+                F.max("_id").alias("mx")
+            ).collect()[0]["mx"]
+        nb = new_sigs.agg(
+            F.min("_id").alias("mn"), F.max("_id").alias("mx")
+        ).collect()[0]
+        if (
+            standing_max is not None
+            and nb["mn"] is not None
+            and nb["mn"] <= standing_max
+        ):
+            raise ValueError(
+                "append_edit_pairs_batch requires monotone ingest ids: "
+                f"batch min id {nb['mn']} <= standing max id "
+                f"{standing_max} — re-ingested or out-of-order ids "
+                "make star deltas undefined; rebuild the pair set"
+            )
         batch_sig_keys = new_sigs.select("sig").distinct()
         # per-signature standing summary, pre-filtered to the batch's
         # signatures: the broadcast side is the batch's distinct sigs
@@ -210,41 +294,48 @@ def append_edit_pairs_batch(
             F.count(F.lit(1)).alias("_new_cnt"),
         )
         joined = new_per_sig.join(standing_sum, "sig", "left").persist()
-        # precondition guards — fail loud, never diverge silently
-        bad_order = joined.filter(
+        # bucket-cap guard: raise ONLY when standing pairs would have
+        # to be retracted — the bucket had 2..cap standing members
+        # (so pairs exist in the standing set) and the batch pushes it
+        # over the cap, where the rebuild drops them. All other
+        # over-cap shapes (already-over-cap standing, singleton
+        # standing, new-only) have no standing pairs to retract and
+        # are expressed by emitting nothing (the filters below).
+        combined = F.coalesce(F.col("_cnt"), F.lit(0)) + F.col("_new_cnt")
+        wedge = joined.filter(
             F.col("_canon").isNotNull()
-            & (F.element_at("_new_ids", 1) <= F.col("_canon"))
-        ).limit(1)
-        if bad_order.count() > 0:
-            r = bad_order.collect()[0]
+            & (F.col("_cnt") >= 2)
+            & (F.col("_cnt") <= max_bucket_size)
+            & (combined > max_bucket_size)
+        ).limit(1).collect()
+        if wedge:
             raise ValueError(
-                "append_edit_pairs_batch requires monotone ingest ids: "
-                f"batch id {r['_new_ids'][0]} <= standing canonical "
-                f"{r['_canon']} in bucket {r['sig']} — the star "
-                "canonical would change; rebuild the pair set instead"
+                f"bucket {wedge[0]['sig']} crosses max_bucket_size="
+                f"{max_bucket_size} with standing pairs in place — the "
+                "rebuild semantics drop over-cap buckets, which an "
+                "append-only pair set cannot express; rebuild instead"
             )
-        over_cap = joined.filter(
-            F.coalesce(F.col("_cnt"), F.lit(0)) + F.col("_new_cnt")
-            > max_bucket_size
-        ).limit(1)
-        if over_cap.count() > 0:
-            r = over_cap.collect()[0]
-            raise ValueError(
-                f"bucket {r['sig']} would cross max_bucket_size="
-                f"{max_bucket_size} after the batch — the rebuild "
-                "semantics drop over-cap buckets, which an append-only "
-                "pair set cannot express; rebuild instead"
+        # star delta: matched under-cap buckets pair (standing canon,
+        # every new member); new-only under-cap buckets star among the
+        # batch (min → rest). A standing singleton bucket emitted no
+        # pairs before (size<2) and now pairs (its member, new) —
+        # covered by the matched arm. Over-cap buckets emit nothing,
+        # mirroring _bucket_pairs' size filter in the rebuild.
+        matched = (
+            joined.filter(
+                F.col("_canon").isNotNull() & (combined <= max_bucket_size)
             )
-        # star delta: matched buckets pair (standing canon, every new
-        # member); new-only buckets star among the batch (min → rest).
-        # A standing singleton bucket emitted no pairs before (size<2)
-        # and now pairs (its member, new) — covered by the same arm.
-        matched = joined.filter(F.col("_canon").isNotNull()).select(
-            F.col("_canon").alias("id_a"),
-            F.explode("_new_ids").alias("id_b"),
+            .select(
+                F.col("_canon").alias("id_a"),
+                F.explode("_new_ids").alias("id_b"),
+            )
         )
         fresh = (
-            joined.filter(F.col("_canon").isNull() & (F.col("_new_cnt") >= 2))
+            joined.filter(
+                F.col("_canon").isNull()
+                & (F.col("_new_cnt") >= 2)
+                & (F.col("_new_cnt") <= max_bucket_size)
+            )
             .select(
                 F.element_at("_new_ids", 1).alias("id_a"),
                 F.explode(
@@ -274,23 +365,38 @@ def append_edit_pairs_batch(
             )
             .filter(F.col("dist") >= 0)
             .select("id_a", "id_b", "dist")
+            .persist()
         )
-        _sc.append_sidecar(
-            new_sigs,
-            sig_family,
-            tag,
-            fingerprint,
-            root=root,
-            max_deltas=max_deltas,
-        )
-        _sc.append_sidecar(
-            delta,
-            pairs_family,
-            tag,
-            fingerprint,
-            root=root,
-            max_deltas=max_deltas,
-        )
+        try:
+            delta.count()  # pin the pairs before any chain mutation
+            # the sig append advances the running max-id metadata the
+            # next land's monotonicity guard reads (O(1) instead of a
+            # chain agg)
+            _sc.append_sidecar(
+                new_sigs,
+                sig_family,
+                tag,
+                fingerprint,
+                root=root,
+                extra={
+                    **(sig_meta.get("extra") or {}),
+                    "max_id": (
+                        nb["mx"] if nb["mx"] is not None else standing_max
+                    ),
+                },
+                max_deltas=max_deltas,
+            )
+            _sc.append_sidecar(
+                delta,
+                pairs_family,
+                tag,
+                fingerprint,
+                root=root,
+                max_deltas=max_deltas,
+            )
+        except Exception:
+            delta.unpersist()
+            raise
         return delta
     finally:
         if joined is not None:

@@ -2777,7 +2777,12 @@ def _ensure_edit_families(spark, sf) -> None:
     ).persist()
     try:
         if "deletion_sigs" in stale:
-            _sc.write_sidecar(sigs, "deletion_sigs", tag, fp)
+            # the running max-id scalar is the O(1) monotonicity guard
+            # pipeline/ingest.py append_edit_pairs_batch reads per land
+            mx = sigs.agg(F.max("_id").alias("mx")).collect()[0]["mx"]
+            _sc.write_sidecar(
+                sigs, "deletion_sigs", tag, fp, extra={"max_id": mx}
+            )
         if "edit_pairs" in stale:
             _sc.write_sidecar(
                 edit_distance_pairs(

@@ -612,15 +612,32 @@ def append_sidecar(
             # the long rewrite runs in staging; a lost CAS below
             # leaves it unpromoted for the staging-floor sweep
             wr.parquet(os.path.join(slot, f"stage-{ctok}"))
-        except Exception:
+        except Exception as exc:
             # the rewrite's own read is a lazy reader of the chain we
             # just committed — under grace 0 a concurrent commit can
             # supersede and sweep it mid-read. That superseding commit
             # advanced the epoch, so our CAS was going to lose anyway:
             # compaction is an optimization, losing it is always safe.
-            # The appended chain itself was committed above.
+            # The appended chain itself was committed above. But a
+            # DETERMINISTIC rewrite failure (e.g. a schema-drifted
+            # delta) would skip compaction on every future append and
+            # grow the chain without bound — check whether the chain
+            # was actually superseded, and make the skip OBSERVABLE
+            # when it wasn't.
             _gc_slot(family, tag, root)
             cur = _read_meta(family, tag, root)
+            cur_epoch = int(cur.get("epoch", 0)) if cur is not None else 0
+            if cur_epoch == append_epoch:
+                import warnings
+
+                warnings.warn(
+                    f"sidecar compaction for {family}/{tag} failed with "
+                    f"no concurrent commit in sight ({exc!r}) — the "
+                    f"delta chain is {len(names)} directories and will "
+                    "keep growing until the cause is fixed",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             if cur is not None and "data" in cur:
                 return _data_dirs(cur, family, tag, root)
             return [os.path.join(slot, n) for n in names]

@@ -96,8 +96,18 @@ def test_fp_stream_append_equals_rebuild_and_scans_batch_only(
 
 
 def test_line_batch_append_equals_one_shot_and_scans_batch_only(
-    spark, sidecar_root, tmp_path
+    spark, sidecar_root, tmp_path, monkeypatch
 ):
+    # keep the returned deltas' lazy lineage inspectable: a persisted
+    # DataFrame's inputFiles() sees only the InMemoryRelation
+    import pyspark.sql.classic.dataframe as _cdf
+
+    monkeypatch.setattr(
+        _cdf.DataFrame, "persist", lambda self, *a, **k: self
+    )
+    monkeypatch.setattr(
+        _cdf.DataFrame, "unpersist", lambda self, *a, **k: self
+    )
     from stac_fastapi_duckdb_spark.pipeline.text import (
         incremental_flag_lines,
         keyed_lines,
@@ -216,8 +226,16 @@ def _edit_fixture(spark, tmp_path):
 
 
 def test_edit_pairs_append_equals_rebuild_and_batch_only_sigs(
-    spark, sidecar_root, tmp_path
+    spark, sidecar_root, tmp_path, monkeypatch
 ):
+    import pyspark.sql.classic.dataframe as _cdf
+
+    monkeypatch.setattr(
+        _cdf.DataFrame, "persist", lambda self, *a, **k: self
+    )
+    monkeypatch.setattr(
+        _cdf.DataFrame, "unpersist", lambda self, *a, **k: self
+    )
     from stac_fastapi_duckdb_spark.pipeline.dedup import (
         deletion_signatures,
         edit_distance_pairs,
@@ -283,13 +301,20 @@ def test_edit_pairs_append_rejects_nonmonotone_ids(
         "t",
         "fp0",
     )
-    # id 0 < standing canonical 1 in the shared bucket — the star
-    # canonical would change; the append must refuse
+    # id 0 < every standing id — the star canonicals would change;
+    # the append must refuse
     bad = spark.createDataFrame(
         [(0, "alpha beta gamma delta")], "doc_id long, text string"
     )
     with pytest.raises(ValueError, match="monotone ingest ids"):
         ing.append_edit_pairs_batch(spark, bad, corpus, "t", "fp1")
+    # a RE-INGESTED id above its bucket's canonical is just as unsound
+    # (it would duplicate that bucket's standing pairs) — also refused
+    reingest = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="monotone ingest ids"):
+        ing.append_edit_pairs_batch(spark, reingest, corpus, "t", "fp1")
 
 
 def test_edit_pairs_append_rejects_bucket_cap_crossing(
@@ -318,3 +343,97 @@ def test_edit_pairs_append_rejects_bucket_cap_crossing(
         ing.append_edit_pairs_batch(
             spark, batch, corpus, "t", "fp1", max_bucket_size=2
         )
+
+
+def test_line_batch_torn_state_fails_loud(spark, sidecar_root, tmp_path):
+    """A batch land interrupted between its two family appends leaves
+    incr_flagged and standing_lines at different fingerprints; the
+    NEXT land must refuse instead of silently flagging against the
+    torn standing set."""
+    from stac_fastapi_duckdb_spark.pipeline.text import keyed_lines
+
+    corpus, _ = _write_docs(
+        spark, tmp_path, "corpus",
+        [(1, "a standing corpus line\nanother corpus only line")],
+    )
+    b, _ = _write_docs(
+        spark, tmp_path, "b", [(10, "some fresh batch line here")]
+    )
+    base = (
+        keyed_lines(corpus)
+        .filter(F.col("_e"))
+        .select(F.col("_k").alias("h"))
+        .distinct()
+    )
+    sc.write_sidecar(base, "standing_lines", "t", "fp0")
+    # simulate the crash: verdicts landed at fp1, the standing set did not
+    sc.write_sidecar(spark.range(0), "incr_flagged", "t", "fp1")
+    with pytest.raises(ValueError, match="different fingerprints"):
+        ing.append_line_batch(spark, b, "t", "fp2")
+
+
+def test_edit_pairs_over_cap_bucket_does_not_wedge_appends(
+    spark, sidecar_root, tmp_path
+):
+    """A bucket ALREADY over max_bucket_size has no standing pairs (the
+    rebuild drops over-cap buckets), so the append must emit nothing
+    for it — not refuse forever. Only a crossing that would retract
+    standing pairs raises."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, batch = _edit_fixture(spark, tmp_path)
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")
+    # standing pair set built at cap=1: every shared bucket is over cap
+    # already, so NO standing pairs exist anywhere
+    pairs0 = edit_distance_pairs(
+        corpus, max_dist=50, pair_mode="star",
+        max_bucket_size=1, signatures=sigs0,
+    )
+    sc.write_sidecar(pairs0, "edit_pairs", "t", "fp0")
+    delta = ing.append_edit_pairs_batch(
+        spark, batch, corpus, "t", "fp1", max_dist=50, max_bucket_size=1
+    )
+    # equivalence at the SAME cap: rebuild over corpus ∪ batch at cap=1
+    # drops every multi-member bucket — empty pair set, and so is ours
+    both = corpus.unionByName(batch)
+    want = edit_distance_pairs(
+        both, max_dist=50, pair_mode="star", max_bucket_size=1
+    )
+    got = sc.load_sidecar(spark, "edit_pairs", "t", "fp1")
+    cols = ["id_a", "id_b", "dist"]
+    assert _rows(got, cols) == _rows(want, cols) == []
+    assert delta.count() == 0
+    delta.unpersist()
+
+
+def test_edit_pairs_append_maintains_max_id_metadata(
+    spark, sidecar_root, tmp_path
+):
+    """Each land advances the sig sidecar's running max-id scalar so
+    the next land's monotonicity guard is a metadata read, not a
+    standing-chain aggregation."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, batch = _edit_fixture(spark, tmp_path)
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")  # no extra:
+    # first land exercises the chain-aggregation fallback
+    sc.write_sidecar(
+        edit_distance_pairs(
+            corpus, max_dist=50, pair_mode="star", signatures=sigs0
+        ),
+        "edit_pairs", "t", "fp0",
+    )
+    delta = ing.append_edit_pairs_batch(
+        spark, batch, corpus, "t", "fp1", max_dist=50
+    )
+    delta.unpersist()
+    meta = sc._read_meta("deletion_sigs", "t", None)
+    assert meta["extra"]["max_id"] == 13  # the batch's maximum doc id
