@@ -792,3 +792,26 @@ def test_commit_epoch_monotonic_and_cas(spark, sidecar_root):
     m3 = sc._read_meta("fam", "tag", None)
     assert m3["fingerprint"] == "fp1"
     assert m3["epoch"] == ok
+
+
+def test_stage_orphans_swept_past_floor_protected_before(
+    spark, sidecar_root, monkeypatch
+):
+    """stage-* build directories are untouchable before the staging
+    floor whatever the GC grace (in-flight builds under grace 0), and
+    reclaimed as crash orphans past it."""
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_GC_SECONDS", "0")
+    sc.write_sidecar(spark.range(3), "fam", "tag", "fp0")
+    slot = os.path.join(sidecar_root, "fam", "tag")
+    orphan = os.path.join(slot, "stage-deadbeef0000")
+    os.makedirs(orphan)
+    # grace 0 but the stage floor protects the (possibly in-flight) dir
+    sc.write_sidecar(spark.range(4), "fam", "tag", "fp1")
+    assert os.path.isdir(orphan)
+    # floor 0: the orphan is reclaimable on the next write's sweep
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_STAGE_GC_SECONDS", "0")
+    sc.write_sidecar(spark.range(5), "fam", "tag", "fp2")
+    assert not os.path.exists(orphan)
+    # malformed floor env falls back to the (large) default
+    monkeypatch.setenv("SPARK_GRAFT_SIDECAR_STAGE_GC_SECONDS", "nope")
+    assert sc._stage_gc_floor() == sc.SIDECAR_STAGE_GC_FLOOR_SECONDS
