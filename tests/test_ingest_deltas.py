@@ -437,3 +437,130 @@ def test_edit_pairs_append_maintains_max_id_metadata(
     delta.unpersist()
     meta = sc._read_meta("deletion_sigs", "t", None)
     assert meta["extra"]["max_id"] == 13  # the batch's maximum doc id
+
+
+def test_edit_pairs_two_successive_batches(spark, sidecar_root, tmp_path):
+    """Two successive lands: the second uses the max-id metadata fast
+    path and the chain still equals the from-scratch rebuild over all
+    three corpus states."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        deletion_signatures,
+        edit_distance_pairs,
+    )
+
+    corpus, batch = _edit_fixture(spark, tmp_path)
+    b2, _ = _write_docs(
+        spark,
+        tmp_path,
+        "batch2",
+        [
+            (20, "zeta eta theta iota"),  # joins the batch-1 cluster
+            (21, "alpha beta gamma delta epsilon"),  # clone of doc 2
+            (22, "entirely novel text again here"),
+        ],
+    )
+    sigs0 = deletion_signatures(corpus)
+    sc.write_sidecar(sigs0, "deletion_sigs", "t", "fp0")
+    sc.write_sidecar(
+        edit_distance_pairs(
+            corpus, max_dist=50, pair_mode="star", signatures=sigs0
+        ),
+        "edit_pairs", "t", "fp0",
+    )
+    d1 = ing.append_edit_pairs_batch(spark, batch, corpus, "t", "fp1")
+    d1.unpersist()
+    all1 = corpus.unionByName(batch)
+    d2 = ing.append_edit_pairs_batch(spark, b2, all1, "t", "fp2")
+    d2.unpersist()
+    both = all1.unionByName(b2)
+    want = edit_distance_pairs(both, max_dist=50, pair_mode="star")
+    got = sc.load_sidecar(spark, "edit_pairs", "t", "fp2")
+    cols = ["id_a", "id_b", "dist"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert sc.load_sidecar(spark, "deletion_sigs", "t", "fp2").count() == (
+        deletion_signatures(both).count()
+    )
+    assert sc._read_meta("deletion_sigs", "t", None)["extra"]["max_id"] == 22
+
+
+def test_line_batch_lands_property(spark, sidecar_root):
+    """PROPERTY: for randomized batch sequences over a small line
+    alphabet (maximizing cross-batch collisions), sequential lands
+    through append_line_batch reproduce the one-shot verdicts over the
+    concatenated ingest row-for-row, and the standing set equals the
+    one-shot union — the exactness contract under arbitrary batch
+    boundaries."""
+    import random
+
+    from stac_fastapi_duckdb_spark.pipeline.text import (
+        incremental_flag_lines,
+        keyed_lines,
+    )
+
+    lines_pool = [
+        "first long boilerplate line here",
+        "second long boilerplate line here",
+        "third distinct content line okay",
+        "fourth distinct content line okay",
+        "short",  # ineligible — always kept
+    ]
+    for seed in range(3):
+        rng = random.Random(seed)
+        root_tag = f"prop{seed}"
+        corpus_rows = [(1, "a standing corpus line for the property\n"
+                        + rng.choice(lines_pool))]
+        corpus = spark.createDataFrame(
+            corpus_rows, "doc_id long, text string"
+        )
+        base = (
+            keyed_lines(corpus)
+            .filter(F.col("_e"))
+            .select(F.col("_k").alias("h"))
+            .distinct()
+        )
+        sc.write_sidecar(base, "standing_lines", root_tag, "fp0")
+        next_id = 10
+        batches = []
+        for _ in range(rng.randint(2, 3)):
+            docs = []
+            for _ in range(rng.randint(1, 3)):
+                text = "\n".join(
+                    rng.choice(lines_pool)
+                    for _ in range(rng.randint(1, 4))
+                )
+                docs.append((next_id, text))
+                next_id += 1
+            batches.append(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            )
+        # first batch initializes the verdict family; later ones land
+        # through the ingest API
+        f1 = incremental_flag_lines(
+            keyed_lines(batches[0]), base, base_distinct=True
+        ).persist()
+        sc.write_sidecar(f1, "incr_flagged", root_tag, "fp1")
+        sc.append_sidecar(
+            f1.filter(F.col("_e") & F.col("_keep"))
+            .select(F.col("_k").alias("h"))
+            .distinct(),
+            "standing_lines", root_tag, "fp1",
+        )
+        for i, b in enumerate(batches[1:], start=2):
+            out = ing.append_line_batch(
+                spark, b, root_tag, f"fp{i}",
+                flagged_family="incr_flagged",
+                standing_family="standing_lines",
+            )
+            out.unpersist()
+        allb = batches[0]
+        for b in batches[1:]:
+            allb = allb.unionByName(b)
+        want = incremental_flag_lines(
+            keyed_lines(allb), base, base_distinct=True
+        )
+        cols = ["doc_id", "pos", "line", "_e", "_k", "_keep"]
+        got = sc.load_sidecar(
+            spark, "incr_flagged", root_tag, f"fp{len(batches)}"
+        )
+        assert _rows(got, cols) == _rows(want, cols), f"seed {seed}"
+        f1.unpersist()
