@@ -402,3 +402,123 @@ def append_edit_pairs_batch(
         if joined is not None:
             joined.unpersist()
         new_sigs.unpersist()
+
+
+def append_novelty_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    tag: str,
+    fingerprint: str,
+    shingle_n: int = 3,
+    counts_family: str = "novelty_counts",
+    keys_family: str = "shingle_keys",
+    root: str | None = None,
+    max_deltas: int | None = None,
+) -> DataFrame:
+    """Land an ingest batch in the n-gram novelty families: explode the
+    BATCH's shingles only, find its first occurrences, subtract the
+    standing shingle-key set (the slim 8-byte corpus key table — the
+    membership join the standing-line set also uses), and append the
+    batch's per-doc novelty totals to ``novelty_counts`` plus its
+    genuinely new keys to ``shingle_keys``. Returns the delta counts.
+
+    Exactness under MONOTONE ingest ids: a later document can never
+    lower an earlier document's first-occurrence, so standing counts
+    are immutable and the rebuild over corpus ∪ batch is exactly
+    ``standing_counts ∪ delta_counts`` — the guard reads the running
+    max id from the key sidecar's scalar metadata (O(1); chain-agg
+    fallback for pre-metadata chains) and fails loud on violation.
+    Torn sibling state (a crash between the two appends) is caught by
+    the start-of-land guard, same as the line families. The returned
+    delta is MATERIALIZED in the session cache (``unpersist()`` when
+    done)."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        shingles_col,
+    )
+
+    _require_siblings_consistent(tag, (counts_family, keys_family), root)
+    keys_meta = _sc._read_meta(keys_family, tag, root) or {}
+    standing_keys = _standing(spark, keys_family, tag, root)
+    standing_max = (keys_meta.get("extra") or {}).get("max_id")
+    bounds = (
+        ensure_parallelism(batch_docs)
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .collect()[0]
+    )
+    if standing_max is None:
+        raise ValueError(
+            f"{keys_family}/{tag} carries no max_id metadata — it was "
+            "not written by the novelty group ingest pass; rebuild the "
+            "group before appending batches"
+        )
+    if bounds["mn"] is not None and bounds["mn"] <= standing_max:
+        raise ValueError(
+            "append_novelty_batch requires monotone ingest ids: batch "
+            f"min id {bounds['mn']} <= standing max id {standing_max} — "
+            "a re-ingested or out-of-order id could lower a standing "
+            "first-occurrence; rebuild instead"
+        )
+    batch_firsts = (
+        ensure_parallelism(batch_docs)
+        .select(
+            "doc_id",
+            F.explode(shingles_col(F.col("text"), shingle_n)).alias("_g"),
+        )
+        .select("doc_id", F.xxhash64("_g").alias("_k"))
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("_first"))
+    )
+    # membership as LEFT join + null marker (the standing-line shape:
+    # one pass over the batch, the standing set never carries bodies;
+    # the batch side is small so AQE broadcasts it)
+    fresh = (
+        batch_firsts.join(
+            standing_keys.select(F.col("k").alias("_k")).withColumn(
+                "_inbase", F.lit(True)
+            ),
+            "_k",
+            "left",
+        )
+        .filter(F.col("_inbase").isNull())
+        .select("_k", "_first")
+        .persist()
+    )
+    try:
+        delta = (
+            fresh.groupBy(F.col("_first").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+            .persist()
+        )
+        try:
+            delta.count()  # pin before any chain mutation
+            _sc.append_sidecar(
+                delta,
+                counts_family,
+                tag,
+                fingerprint,
+                root=root,
+                max_deltas=max_deltas,
+            )
+            _sc.append_sidecar(
+                fresh.select(F.col("_k").alias("k")),
+                keys_family,
+                tag,
+                fingerprint,
+                root=root,
+                extra={
+                    **(keys_meta.get("extra") or {}),
+                    "max_id": (
+                        bounds["mx"]
+                        if bounds["mx"] is not None
+                        else standing_max
+                    ),
+                },
+                max_deltas=max_deltas,
+            )
+        except Exception:
+            delta.unpersist()
+            raise
+        return delta
+    finally:
+        fresh.unpersist()

@@ -3311,14 +3311,80 @@ def q_ngram_novelty(spark, sf):
     )
 
 
+def _ensure_novelty_families(spark, sf) -> None:
+    """ONE-PASS cold build of the novelty artifact group
+    (``novelty_counts``, ``shingle_keys``): both derive from the same
+    shingle explode + first-occurrence aggregation, so the ingest job
+    computes the (key, first_doc) stream once and writes the per-doc
+    totals AND the standing distinct shingle-key set off it. The key
+    set is what makes the family APPENDABLE
+    (pipeline/ingest.py append_novelty_batch): a landing batch's
+    novelty is its shingles absent from the standing set, so the
+    full-corpus explode never recurs under standing ingest. The
+    running max doc id rides in the key sidecar's scalar metadata for
+    the O(1) monotonicity guard."""
+    from stac_fastapi_duckdb_spark.pipeline.dedup import (
+        ensure_parallelism,
+        shingles_col,
+    )
+    from stac_fastapi_duckdb_spark.sources import sidecar as _sc
+
+    fp = _sc.source_fingerprint(f"{sf}/documents.parquet")
+    tag = _sc.dataset_tag(sf)
+    stale = [
+        f
+        for f in ("novelty_counts", "shingle_keys")
+        if _sc.load_meta(f, tag, fp) is None
+    ]
+    if not stale:
+        return
+    docs = ensure_parallelism(_t(spark, sf, "documents"))
+    firsts = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(F.col("text"), 3)).alias("_g"),
+        )
+        .select("doc_id", F.xxhash64("_g").alias("_k"))
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("_first"))
+        .persist()
+    )
+    try:
+        if "novelty_counts" in stale:
+            _sc.write_sidecar(
+                firsts.groupBy(F.col("_first").alias("doc_id")).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_novel")
+                ),
+                "novelty_counts",
+                tag,
+                fp,
+            )
+        if "shingle_keys" in stale:
+            mx = docs.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
+            _sc.write_sidecar(
+                firsts.select(F.col("_k").alias("k")),
+                "shingle_keys",
+                tag,
+                fp,
+                extra={"max_id": mx},
+            )
+    finally:
+        firsts.unpersist()
+
+
 def _novelty_counts_artifact(spark, sf) -> DataFrame:
     """The corpus-constant per-doc first-occurrence totals of
     ngram_novelty (``novelty_counts``: doc_id, n_novel) as a FROZEN
     artifact — doc-cardinality output, one explode + two partial-agg
-    shuffles at build, persisted once per session/SF."""
+    shuffles at build, persisted once per session/SF. Cold builds go
+    through the GROUP ingest pass (:func:`_ensure_novelty_families` —
+    the same derivation also writes the standing shingle-key set the
+    append path needs)."""
     from stac_fastapi_duckdb_spark.pipeline.text import novelty_counts
 
-    def build():
+    _ensure_novelty_families(spark, sf)
+
+    def build():  # pragma: no cover — ensure() already wrote the sidecar
         return novelty_counts(_t(spark, sf, "documents"))
 
     return _artifact_df(spark, "novelty_counts", sf, build)

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from stac_fastapi_duckdb_spark.pipeline import ingest as ing
 from stac_fastapi_duckdb_spark.sources import sidecar as sc
 
+SF = "/root/testdata/sf0.001"
+
 
 @pytest.fixture()
 def sidecar_root(tmp_path, monkeypatch):
@@ -564,3 +566,113 @@ def test_line_batch_lands_property(spark, sidecar_root):
         )
         assert _rows(got, cols) == _rows(want, cols), f"seed {seed}"
         f1.unpersist()
+
+
+# --- novelty_counts + shingle_keys ------------------------------------------
+
+
+def test_novelty_batch_append_equals_rebuild_and_scans_batch_only(
+    spark, sidecar_root, tmp_path, monkeypatch
+):
+    import pyspark.sql.classic.dataframe as _cdf
+
+    monkeypatch.setattr(
+        _cdf.DataFrame, "persist", lambda self, *a, **k: self
+    )
+    monkeypatch.setattr(
+        _cdf.DataFrame, "unpersist", lambda self, *a, **k: self
+    )
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shingles_col
+    from stac_fastapi_duckdb_spark.pipeline.text import novelty_counts
+
+    corpus, _ = _write_docs(
+        spark,
+        tmp_path,
+        "corpus",
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sleeps all day long today"),
+        ],
+    )
+    batch, _ = _write_docs(
+        spark,
+        tmp_path,
+        "batch",
+        [
+            (10, "the quick brown fox jumps over the fence now"),
+            (11, "entirely novel shingle content lives right here"),
+            (12, "entirely novel shingle content lives right here"),
+        ],
+    )
+    # group cold build: counts + standing key set off one derivation
+    firsts = (
+        corpus.select(
+            "doc_id",
+            F.explode(shingles_col(F.col("text"), 3)).alias("_g"),
+        )
+        .select("doc_id", F.xxhash64("_g").alias("_k"))
+        .groupBy("_k")
+        .agg(F.min("doc_id").alias("_first"))
+    )
+    sc.write_sidecar(
+        firsts.groupBy(F.col("_first").alias("doc_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel")
+        ),
+        "novelty_counts", "t", "fp0",
+    )
+    sc.write_sidecar(
+        firsts.select(F.col("_k").alias("k")),
+        "shingle_keys", "t", "fp0", extra={"max_id": 2},
+    )
+    delta = ing.append_novelty_batch(spark, batch, "t", "fp1")
+    got = sc.load_sidecar(spark, "novelty_counts", "t", "fp1")
+    want = novelty_counts(corpus.unionByName(batch))
+    cols = ["doc_id", "n_novel"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # doc 12 clones doc 11 → no novelty row for 12 in either path
+    assert 12 not in {r["doc_id"] for r in got.collect()}
+    # the standing key set equals the union's distinct keys
+    both_keys = (
+        corpus.unionByName(batch)
+        .select(F.explode(shingles_col(F.col("text"), 3)).alias("_g"))
+        .select(F.xxhash64("_g").alias("k"))
+        .distinct()
+    )
+    got_keys = sc.load_sidecar(spark, "shingle_keys", "t", "fp1")
+    assert _rows(got_keys, ["k"]) == _rows(both_keys, ["k"])
+    assert sc._read_meta("shingle_keys", "t", None)["extra"]["max_id"] == 12
+    # (b) the delta reads the batch + the slim standing key chain —
+    # never the corpus text
+    dirs = _scanned_dirs(delta)
+    assert "batch.parquet" in dirs
+    assert "corpus.parquet" not in dirs
+    assert any(d.startswith("data-") for d in dirs)
+    # (c) monotonicity guard
+    with pytest.raises(ValueError, match="monotone ingest ids"):
+        ing.append_novelty_batch(
+            spark,
+            spark.createDataFrame(
+                [(5, "whatever text")], "doc_id long, text string"
+            ),
+            "t",
+            "fp2",
+        )
+
+
+def test_novelty_group_cold_build_matches_library(spark, sidecar_root):
+    """The group ingest pass writes exactly novelty_counts' rows, and
+    the artifact accessor serves them with the key sidecar in place."""
+    from stac_fastapi_duckdb_spark.plans import entry_queries as eq
+    from stac_fastapi_duckdb_spark.pipeline.text import novelty_counts
+
+    eq._ARTIFACT_CACHE.pop(spark, None)
+    got = eq._novelty_counts_artifact(spark, SF)
+    want = novelty_counts(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    )
+    cols = ["doc_id", "n_novel"]
+    assert _rows(got, cols) == _rows(want, cols)
+    tag = sc.dataset_tag(SF)
+    fp = sc.source_fingerprint(f"{SF}/documents.parquet")
+    assert sc.load_meta("shingle_keys", tag, fp)["max_id"] is not None
+    eq._ARTIFACT_CACHE.pop(spark, None)
