@@ -647,16 +647,20 @@ def simhash_near_dup_pairs(
     # beats in-array pair expansion (measured 5× at sf0.1; the sparse
     # minhash buckets take the _bucket_pairs route instead). Skew guard
     # caps degenerate chunks (e.g. an all-zero chunk from boilerplate).
+    # The repartition comes BEFORE the window (round 11): the window's
+    # required ClusteredDistribution(chunk, ckey) is satisfied by the
+    # explicit hash repartition, so the plan carries ONE exchange of
+    # the banded table instead of window-exchange + repartition-
+    # exchange, and that single exchange is the shuffle child both
+    # self-join sides reuse (AQE ReusedExchange) — the signature UDF
+    # runs once, the banded rows cross the network once.
     sized = (
-        banded.withColumn(
+        banded.repartition("chunk", "ckey")
+        .withColumn(
             "_bucket_n",
             F.count(F.lit(1)).over(Window.partitionBy("chunk", "ckey")),
         )
         .filter(F.col("_bucket_n") <= max_bucket_size)
-        # one shuffle child shared by both self-join sides: AQE reuses
-        # the exchange instead of recomputing the signature UDF +
-        # window twice (same trick as embedding_near_dup_pairs)
-        .repartition("chunk", "ckey")
     )
     a = sized.select(
         "chunk", "ckey", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")
@@ -664,13 +668,36 @@ def simhash_near_dup_pairs(
     b = sized.select(
         "chunk", "ckey", F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")
     )
-    hamming = F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+    xor = F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))
+    hamming = F.bit_count(xor)
+    # FIRST-AGREEING-CHUNK emission (round 11), replacing the
+    # post-verify .distinct(): a near-dup pair agrees on every chunk
+    # its signatures share (a hamming≤t pair agrees on ~chunks-t of
+    # them), so the bucket join emits it once PER agreeing chunk and
+    # the old distinct paid a full exchange + hash-aggregate over the
+    # multiplied pair stream to collapse the copies. The agreeing
+    # chunks are a pure function of the two signatures already on the
+    # joined row, so "emit exactly once" is a codegen filter instead:
+    # keep the pair only where the join chunk is the FIRST chunk whose
+    # signature windows agree (xor window == 0). No exchange, no
+    # aggregate, and candidate copies die inside the join stage.
+    # Cap interplay: when a degenerate bucket IS capped, a pair whose
+    # first-agreeing chunk sat in that bucket is suppressed even if a
+    # later chunk's bucket survived — the guard's conservative intent
+    # (capped buckets contribute no pairs); with no capped buckets the
+    # output is provably identical to the distinct formulation
+    # (tests/test_dedup.py pins both properties).
+    first_agree = F.lit(-1)
+    for c in range(chunks - 1, -1, -1):
+        win = F.shiftrightunsigned(xor, c * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        first_agree = F.when(win == 0, F.lit(c)).otherwise(first_agree)
     return (
         a.join(b, ["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("chunk") == first_agree))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

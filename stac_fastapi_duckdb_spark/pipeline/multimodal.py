@@ -302,6 +302,7 @@ def perceptual_hash(
     id_col: str = "media_id",
     blocks: int = 64,
     num_bands: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Block-average perceptual hash (aHash) over the decoded sample
     stream: split the stream into ``blocks`` equal spans, bit b = 1 iff
@@ -311,23 +312,31 @@ def perceptual_hash(
     deployment swaps in pixel luma / PCM frames and keeps every plan
     below unchanged.
 
-    Scale shape: ONE explode of (id, block, sample) rows whose
-    map-side partial agg collapses to ≤ ``blocks`` rows per media item
-    before the shuffle, then ONE per-id aggregate producing the dense
-    per-block sums as 2·``blocks`` conditional-sum columns — the bit
-    votes and band packing after it are plain integer Column
-    arithmetic with literal shift weights, so the whole signature
-    stays inside whole-stage codegen. (The first cut gathered the
-    sparse block rows into an array and probed it with nested
-    higher-order functions — interpreted expression eval, ~blocks²
-    element scans per item, which dominated the runtime ~6:1 over the
-    explode itself.) The votes compare exact integer cross-products
-    (block_sum·n > total·block_len — no float means), so the DuckDB
-    oracle replays bit-for-bit. Empty payloads carry no signal and
-    are excluded; blocks with no samples (n < blocks) vote 0.
+    ``impl="arrow"`` (default, round 11): ONE map-only vectorized
+    kernel — each Arrow batch of payloads is decoded and segment-
+    summed with numpy (int64-exact), so the signature costs zero
+    shuffles and the payload bytes are read exactly once per task.
+    This replaced the pure-Column formulation (kept as
+    ``impl="column"``, the A/B-pinned reference): that shape exploded
+    one row PER SAMPLE (``Generate`` over ``sequence(1, n)`` + a
+    per-char ``substr``) into two aggregate exchanges — at sf0.1 the
+    explode stage alone was ~4 s of the 5.7 s query, the textbook
+    guide-§4 case for handing whole batches to a native kernel
+    instead of per-row JVM expression eval. Both impls compute the
+    identical exact integer votes (block_sum·n > total·block_len — no
+    float means), pinned equal by tests/test_multimodal.py, so the
+    DuckDB oracle replays bit-for-bit against either. Empty payloads
+    carry no signal and are excluded; blocks with no samples
+    (n < blocks) vote 0.
 
     → (id_col, bands): ``bands[j]`` packs bits 8j..8j+7 as 0-255.
     """
+    if impl == "arrow":
+        return _perceptual_hash_arrow(df, payload_col, id_col, blocks, num_bands)
+    if impl != "column":
+        raise ValueError(
+            f"perceptual_hash: unknown impl {impl!r} (expected 'arrow' or 'column')"
+        )
     from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
 
     txt = F.decode(F.col(payload_col), "UTF-8")
@@ -384,6 +393,76 @@ def perceptual_hash(
     return per.select(F.col("_id").alias(id_col), bands.alias("bands"))
 
 
+def _perceptual_hash_arrow(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    blocks: int,
+    num_bands: int,
+) -> DataFrame:
+    """Vectorized aHash kernel: per Arrow batch, decode every payload
+    once, segment-sum code points into ``blocks`` spans with
+    ``np.add.reduceat`` (int64 — exact), majority-vote with the same
+    integer cross-products as the Column reference, pack bands.
+
+    The whole signature is map-only: no Generate, no aggregation
+    exchange — the payload's bytes never leave the scan task. Decode
+    uses ``errors="replace"`` for parity with the JVM's UTF-8 decode
+    (malformed bytes → U+FFFD); block b of an n-sample stream is
+    samples ``ceil(b·n/blocks) .. ceil((b+1)·n/blocks)-1``, the same
+    assignment as the reference's ``((i-1)·blocks) div n``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import ensure_parallelism
+
+    bpb = blocks // num_bands
+    b_idx = np.arange(blocks, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _bands(payloads: pd.Series) -> pd.Series:
+        out = []
+        for raw in payloads:
+            s = bytes(raw).decode("utf-8", "replace")
+            n = len(s)
+            # empty payloads are filtered out before the UDF; guard
+            # anyway so a direct call can't divide by zero
+            if n == 0:
+                out.append([0] * num_bands)
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(
+                np.int64
+            )
+            starts = (b_idx * n + blocks - 1) // blocks  # ceil(b*n/blocks)
+            counts = np.diff(np.append(starts, n))
+            # sentinel element so reduceat accepts start == n (empty
+            # trailing blocks); those sums are masked to 0 below
+            sums = np.add.reduceat(np.append(cp, np.int64(0)), starts)
+            sums[counts == 0] = 0
+            total = int(cp.sum())
+            bits = ((sums * n) > (total * counts)).astype(np.int64)
+            bands = [
+                int((bits[j * bpb : (j + 1) * bpb] << np.arange(bpb)).sum())
+                for j in range(num_bands)
+            ]
+            out.append(bands)
+        return pd.Series(out)
+
+    # byte-length filter ≡ the reference's decoded-length filter: a
+    # payload decodes to zero characters iff it has zero bytes
+    # (malformed bytes decode to U+FFFD, never to nothing)
+    return (
+        ensure_parallelism(df)
+        .filter(F.length(F.col(payload_col)) > 0)
+        .select(
+            F.col(id_col),
+            _bands(F.col(payload_col)).alias("bands"),
+        )
+    )
+
+
 def phash_near_dup_pairs(
     df: DataFrame,
     payload_col: str = "payload",
@@ -410,8 +489,9 @@ def phash_near_dup_pairs(
     payload bytes) is localCheckpointed once so the per-character
     hashing scan runs exactly once, not once per join side; the
     8-element zip_with Hamming runs per surviving candidate only, and
-    id_a < id_b plus the post-verify distinct (a true pair can match
-    on several bands) keep the output canonical.
+    id_a < id_b plus first-agreeing-band emission (a true pair can
+    match on several bands — it is kept only at the first) keep the
+    output canonical without a distinct exchange.
 
     → (id_a, id_b, hamming), id_a < id_b, hamming ≤ max_hamming.
     """
@@ -440,10 +520,26 @@ def phash_near_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # FIRST-AGREEING-BAND emission (round 11), replacing the
+    # post-verify .distinct(): a hamming≤t pair agrees on every band
+    # its signatures share, so the bucket join emits it once per
+    # agreeing band and the old distinct paid an exchange + hash
+    # aggregate to collapse the copies. Which bands agree is a pure
+    # function of the two signatures already on the joined row — keep
+    # the pair only where the join band is the FIRST agreeing one.
+    # With no capped buckets the output is provably identical to the
+    # distinct formulation (tests/test_multimodal.py pins it); when a
+    # degenerate bucket IS capped, a pair whose first-agreeing band
+    # sat in it is suppressed — the guard's conservative intent.
+    first_band = (
+        F.array_position(
+            F.zip_with("h_a", "h_b", lambda x, y: x == y), F.lit(True)
+        )
+        - 1
+    )
     return (
         a.join(b, ["_band", "_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("_band") == first_band))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

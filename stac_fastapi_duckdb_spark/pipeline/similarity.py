@@ -219,18 +219,20 @@ def embedding_near_dup_pairs(
     # dense bucket — boilerplate-identical or highly correlated
     # embeddings — would otherwise go quadratic on one reducer at scale.
     # Degenerate buckets are dropped BEFORE the pair expansion.
-    # repartition on the bucket key BEFORE aliasing the two join sides:
-    # both sides then share one identical shuffle child, which AQE
-    # reuses at runtime instead of running the signature UDF + exchange
-    # twice (~25% faster at sf0.1; at scale it halves the UDF work)
+    # The repartition on the bucket key comes BEFORE the window (round
+    # 11): the explicit hash repartition satisfies the window's
+    # ClusteredDistribution(srp_sig), so the bucketed table crosses the
+    # network ONCE (previously window-exchange + repartition-exchange),
+    # and that single exchange is the shuffle child both self-join
+    # sides reuse (AQE ReusedExchange) — the signature UDF runs once.
     bucketed = (
         with_srp_signature(df, dim, num_planes, seed, vec_col)
+        .repartition("srp_sig")
         .withColumn(
             "_bucket_n", F.count(F.lit(1)).over(Window.partitionBy("srp_sig"))
         )
         .filter(F.col("_bucket_n") <= max_bucket_size)
         .drop("_bucket_n")
-        .repartition("srp_sig")
     )
     a = bucketed.select(
         F.col("srp_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
@@ -238,6 +240,11 @@ def embedding_near_dup_pairs(
     b = bucketed.select(
         F.col("srp_sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
     )
+    # no post-verify distinct (round 11): each row carries exactly ONE
+    # srp_sig, so a pair can meet in at most one bucket — the join
+    # output is duplicate-free by construction (ids are unique per the
+    # id_col contract) and the old .distinct() paid a full exchange +
+    # hash-aggregate to dedupe a stream with no duplicates.
     return (
         a.join(b, "srp_sig")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -247,7 +254,6 @@ def embedding_near_dup_pairs(
             F.round(V.cosine_similarity("_va", "_vb"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 

@@ -91,6 +91,50 @@ def test_simhash_near_dup_pairs(docs):
     assert (4, 5) not in got
 
 
+def test_simhash_first_agreeing_chunk_emission_exact(spark):
+    """Round-11 optimization pin: the first-agreeing-chunk emission
+    (codegen filter) must produce EXACTLY the pair multiset of the old
+    join + .distinct() formulation — i.e. the brute-force Hamming≤t
+    closure over the signature table, each pair once — whenever no
+    bucket is capped (the uncapped case is the contract; capped
+    degenerate buckets conservatively contribute no pairs)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(30)]
+        rows.append((i, " ".join(base)))
+        # planted near-dup: flip one word
+        mutated = list(base)
+        mutated[rng.randrange(len(mutated))] = rng.choice(words)
+        rows.append((i + 1000, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 8
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_dup_pairs(df, max_hamming=t).collect()
+    }
+    # brute-force reference over the signatures themselves
+    sigs = {
+        r.doc_id: r._sh
+        for r in dedup.with_simhash(df, "text", "_sh").collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        if h <= t:
+            want.add((a, b, h))
+    assert got == want
+    # duplicate-free by construction (the old formulation needed a
+    # distinct exchange to guarantee this)
+    pairs_df = dedup.simhash_near_dup_pairs(df, max_hamming=t)
+    assert pairs_df.count() == pairs_df.distinct().count()
+
+
 def test_connected_components_transitive_chain(spark):
     from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components
 

@@ -161,6 +161,63 @@ class TestPerceptualHash:
         assert len(bands) == 8
         assert all(0 <= v <= 255 for v in bands)
 
+    def test_arrow_kernel_matches_column_reference(self, spark):
+        """Round-11 A/B pin: the vectorized Arrow kernel (default) and
+        the pure-Column reference formulation compute the identical
+        signature — including multibyte code points (the samples are
+        code points, not bytes), short payloads (n < blocks → empty
+        blocks vote 0), single chars, and payloads straddling block
+        boundaries. The DuckDB oracle replays the Column form, so this
+        pin is what keeps the kernel oracle-exact."""
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import perceptual_hash
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "mixed ascii and 中文字符 and accents éàü " * 9),
+            (3, "短"),                        # single multibyte char
+            (4, "ab"),                        # n << blocks
+            (5, "x" * 64),                    # exactly one char per block
+            (6, "x" * 63 + "é"),         # boundary straddle
+            (7, "中" * 200),              # all multibyte
+            (8, "z" * 65),                    # one block gets 2 chars
+        ]
+        media = self._media(spark, rows)
+        arrow = {
+            r.media_id: r.bands
+            for r in perceptual_hash(media, impl="arrow").collect()
+        }
+        column = {
+            r.media_id: r.bands
+            for r in perceptual_hash(media, impl="column").collect()
+        }
+        assert arrow == column
+
+    def test_first_agreeing_band_emission_matches_distinct(self, spark):
+        """Round-11 pin: first-agreeing-band emission produces EXACTLY
+        the distinct pair set of the old formulation when no bucket is
+        capped — each hamming≤t pair once, no duplicates."""
+        from stac_fastapi_duckdb_spark.pipeline.multimodal import (
+            perceptual_hash,
+            phash_near_dup_pairs,
+        )
+
+        s = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 15
+        rows = [(1, s), (2, s.replace("e", "f")), (3, s), (4, "PREFIX " * 30 + s)]
+        media = self._media(spark, rows)
+        pairs = phash_near_dup_pairs(media, max_hamming=6)
+        got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
+        assert len(got) == len(set(got))  # duplicate-free w/o distinct
+        # reference: brute-force hamming over the signature table
+        sigs = {r.media_id: r.bands for r in perceptual_hash(media).collect()}
+        import itertools
+
+        want = set()
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+            if h <= 6:
+                want.add((a, b, h))
+        assert set(got) == want
+
 
 def test_phash_dedup_map_collapses_twins(spark):
     from stac_fastapi_duckdb_spark.pipeline.dedup import connected_components

@@ -75,6 +75,15 @@ def test_embedding_near_dup(vectors):
         assert r.cos_sim >= 0.999
 
 
+def test_embedding_near_dup_duplicate_free_without_distinct(vectors):
+    """Round-11 pin: each row carries exactly one srp_sig, so a pair
+    can meet in at most one bucket — the join output is duplicate-free
+    by construction and the operator no longer pays a distinct
+    exchange to guarantee it."""
+    pairs = sim.embedding_near_dup_pairs(vectors, threshold=0.9)
+    assert pairs.count() == pairs.distinct().count()
+
+
 def test_srp_signature_deterministic(vectors):
     s1 = {r.vec_id: r.srp_sig for r in sim.with_srp_signature(vectors, DIM, 12, seed=42).collect()}
     s2 = {r.vec_id: r.srp_sig for r in sim.with_srp_signature(vectors, DIM, 12, seed=42).collect()}
