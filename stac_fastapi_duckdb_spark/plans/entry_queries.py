@@ -110,21 +110,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _cache_partitions(spark: SparkSession, path: str) -> int:
     """~2 MB compressed bytes or ~50k rows per cached partition,
     whichever asks for more (zstd squeezes the synthetic text/props
-    tables 20×+, so bytes alone undersizes them), plus a CPU floor of
-    one partition per 32 rows — all capped at the core count.
-    Footer-only driver reads, once per cache build.
-
-    The CPU floor (round 11): bytes/row-count sizing is tuned for
-    I/O-bound scans, but a cached table here feeds CPU-heavy per-row
-    pipelines (shingling, 64-hash minhash, per-token LM scoring) where
-    a 5k-row / 0.6 MB documents table is minutes of core-time. Sized
-    by bytes alone it cached as ONE partition, so every map stage over
-    it either ran single-threaded or paid ``ensure_parallelism``'s
-    per-query repartition exchange (itself fed by a single serial
-    task). The floor spreads any table with ≥32 rows/core across the
-    cores once at cache build; ≥32 rows/task keeps the per-task
-    scheduling constant amortized even on tiny inputs, and production-
-    scale tables hit the bytes/rows terms long before the floor."""
+    tables 20×+, so bytes alone undersizes them), capped at the core
+    count. Footer-only driver reads, once per cache build."""
     import os as _os
 
     try:
@@ -146,7 +133,7 @@ def _cache_partitions(spark: SparkSession, path: str) -> int:
         # truncated footer — any failure here means "size unknown",
         # and the answer to that is 1 partition, not a crash
         return 1
-    want = max(size // (2 << 20), rows // 50_000, rows // 32)
+    want = max(size // (2 << 20), rows // 50_000)
     return max(1, min(spark.sparkContext.defaultParallelism, want))
 
 
