@@ -10,27 +10,36 @@ task (~0.07 s measured). Every driver-side serving path (hybrid probe,
 MMR/k-center greedy) returns a handful of numeric rows, so the floor is
 the whole query cost there.
 
-Numeric columns only: integer literals are exact, and ``repr(float)``
-is the shortest IEEE-754 round-trip decimal, which the JVM's
-``Double.parseDouble`` re-reads to the identical bits — the literals
-round-trip bit-exactly, preserving the driver/distributed path
-equivalence contracts. Anything else falls back to
-``createDataFrame`` unchanged.
+Numeric columns and quote-safe strings only: integer literals are
+exact, ``repr(float)`` is the shortest IEEE-754 round-trip decimal,
+which the JVM's ``Double.parseDouble`` re-reads to the identical bits,
+and strings are admitted only from a conservative charset with no
+quote/backslash/control characters — the literals round-trip exactly,
+preserving the driver/distributed path equivalence contracts.
+Anything else falls back to ``createDataFrame`` unchanged.
 """
 
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructType,
 )
 
 _INT_TYPES = (IntegerType, LongType)
+
+# strings admitted as inline literals: a conservative charset with no
+# quote/backslash/control characters, so the emitted literal can never
+# escape its quoting regardless of parser mode. Anything else falls
+# back to createDataFrame (identical results, just the RDD path).
+_SAFE_STR = re.compile(r"^[A-Za-z0-9_\-\. :/@#+,%()=\[\]]{0,256}$")
 
 
 def _lit(value, dtype) -> str | None:
@@ -65,6 +74,12 @@ def _lit(value, dtype) -> str | None:
             # only the string cast preserves the negative zero
             return "CAST('-0.0' AS DOUBLE)"
         return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(dtype, StringType):
+        if value is None:
+            return "CAST(NULL AS STRING)"
+        if not isinstance(value, str) or not _SAFE_STR.match(value):
+            return None
+        return f"'{value}'"
     return None
 
 

@@ -40,8 +40,15 @@ Reference parity note: no graph surface exists in the reference
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# driver-fixpoint edge cap: same bound (and same rationale) as
+# pipeline.similarity._DRIVER_POOL_MAX — the transition graph is
+# vocabulary-bounded by construction (event-type vocab², ~25 edges at
+# every SF here), so 8k edges × 3 slim columns is a few hundred KB of
+# driver memory; anything larger falls back to the distributed loop.
+_DRIVER_GRAPH_MAX = 8192
 
 
 def transition_edges(
@@ -87,6 +94,19 @@ def pagerank(
     # at 100 TB a full window over the events table — would be
     # recomputed per iteration.  localCheckpoint keeps it executor-side.
     edges = edges.localCheckpoint(eager=False)
+    # BOUNDED-POOL fast path (same contract as k-center/MMR's driver
+    # greedy): the edge list is aggregated to (src, dst) pairs, so it is
+    # bounded by the node vocabulary squared at ANY corpus scale — when
+    # it fits the driver cap, fetch it once (one CollectLimit job over
+    # the already-materialized checkpoint) and run the identical
+    # fixpoint in driver doubles: the 5-round distributed loop's
+    # ~10 join+agg jobs (pure scheduling floor at bench scale) become
+    # zero, and the result is served as a LocalRelation through the
+    # same F.round(…, 6).  The distributed loop below remains the >cap
+    # fallback and the equivalence oracle.
+    probe = edges.limit(_DRIVER_GRAPH_MAX + 1).collect()
+    if len(probe) <= _DRIVER_GRAPH_MAX:
+        return _pagerank_driver(edges.sparkSession, probe, iters, damping)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -129,3 +149,57 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _pagerank_driver(
+    spark: SparkSession,
+    edge_rows: list,
+    iters: int,
+    damping: float,
+) -> DataFrame:
+    """Exact driver fixpoint over a fully-fetched bounded edge list:
+    the identical update as the distributed loop in IEEE-754 double
+    arithmetic (Python floats ARE Java doubles), with the result served
+    as a LocalRelation through the same ``F.round(pr, 6)`` projection —
+    so the two paths agree to the rounded output.  Edge rows are
+    accumulated in sorted (src, dst) order so repeated runs are
+    bit-deterministic; the distributed sum's partition order differs in
+    the ~1e-16 tail, which the 6-decimal round absorbs (the module
+    float contract)."""
+    from stac_fastapi_duckdb_spark.functions.localrel import local_rows_df
+
+    rows = sorted((r["src"], r["dst"], float(r["w"])) for r in edge_rows)
+    nodes = sorted({s for s, _, _ in rows} | {t for _, t, _ in rows})
+    n = len(nodes)
+    schema = "node string, pr double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    idx = {v: i for i, v in enumerate(nodes)}
+    out_w = [0.0] * n
+    is_src = [False] * n
+    for s, _, w in rows:
+        out_w[idx[s]] += w
+        is_src[idx[s]] = True
+    pr = [1.0 / n] * n
+    base = float(1.0 - damping) / n
+    for _ in range(iters):
+        contrib = [0.0] * n
+        for s, t, w in rows:
+            si = idx[s]
+            contrib[idx[t]] += pr[si] * w / out_w[si]
+        # dangling = rank mass on nodes absent from the src side (the
+        # distributed loop's left_anti against src_nodes, replicated
+        # literally rather than as out_w == 0 so zero-weight edges
+        # cannot diverge the two paths)
+        dang = 0.0
+        for i in range(n):
+            if not is_src[i]:
+                dang += pr[i]
+        pr = [
+            base + damping * (contrib[i] + dang / float(n))
+            for i in range(n)
+        ]
+    out = local_rows_df(
+        spark, [(nodes[i], pr[i]) for i in range(n)], schema
+    )
+    return out.select("node", F.round("pr", 6).alias("pr"))

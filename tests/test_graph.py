@@ -93,6 +93,37 @@ def test_empty_edges(spark):
     assert pagerank(_edges(spark, []), iters=3).count() == 0
 
 
+def test_driver_fixpoint_matches_distributed_loop(spark, monkeypatch):
+    """The bounded-pool driver path (default at vocab-bounded edge
+    counts) and the distributed join+agg loop must agree EXACTLY on the
+    rounded output — the same equivalence contract as k-center's driver
+    greedy."""
+    from stac_fastapi_duckdb_spark.pipeline import graph as G
+
+    rows = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("b", "d", 3.0), ("e", "a", 4.0),
+        ("d", "d", 1.0),  # self-loop: contributes to its own rank
+    ]
+    fast = {r.node: r.pr for r in pagerank(_edges(spark, rows), iters=5).collect()}
+    monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX", 0)
+    slow = {r.node: r.pr for r in pagerank(_edges(spark, rows), iters=5).collect()}
+    assert fast == slow
+
+
+def test_driver_path_plans_local_relation(spark):
+    # the served result is a LocalRelation: no joins, no Python eval,
+    # no iterative jobs left in the query-time plan
+    rows = [("a", "b", 1.0), ("b", "a", 2.0)]
+    plan = (
+        pagerank(_edges(spark, rows), iters=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LocalTableScan" in plan
+    for bad in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
 def test_transition_edges_plan_is_window_plus_partial_agg(spark):
     # the data-heavy half at scale: ONE window shuffle on user_id, then
     # a partially-aggregated edge reduction — no Python, no join

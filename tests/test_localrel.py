@@ -45,10 +45,10 @@ def test_exact_literal_round_trip(spark):
     assert got[3] == (4, float("inf"), float("-inf"))
 
 
-def test_non_numeric_schema_falls_back(spark):
+def test_safe_strings_take_values_path(spark):
     df = local_rows_df(
         spark,
-        [(1, "x")],
+        [(1, "view"), (2, "add to_cart-2.0"), (3, None)],
         StructType(
             [
                 StructField("a", LongType()),
@@ -56,7 +56,30 @@ def test_non_numeric_schema_falls_back(spark):
             ]
         ),
     )
-    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert [tuple(r) for r in df.collect()] == [
+        (1, "view"), (2, "add to_cart-2.0"), (3, None)
+    ]
+
+
+def test_unsafe_strings_fall_back(spark):
+    # quotes/backslashes/control chars must NOT be inlined as SQL
+    # literals — the fallback path returns them verbatim instead
+    for bad in ("it's", 'a"b', "a\\b", "a\nb", "x；drop", "é"):
+        df = local_rows_df(
+            spark,
+            [(1, bad)],
+            StructType(
+                [
+                    StructField("a", LongType()),
+                    StructField("s", StringType()),
+                ]
+            ),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" not in plan, bad
+        assert [tuple(r) for r in df.collect()] == [(1, bad)]
 
 
 def test_numpy_scalars_stay_exact(spark):
