@@ -44,6 +44,28 @@ from pyspark.sql.window import Window
 # shingling
 # ---------------------------------------------------------------------------
 
+def shj_hint(df: DataFrame) -> DataFrame:
+    """SHUFFLE_HASH hint for the banded bucket SELF-joins (simhash /
+    phash / SRP): both join sides are projections of the SAME bucketed
+    table, already hash-repartitioned on the bucket key. Under the
+    default size-based planning the toy-scale estimates pick a
+    BROADCAST join, whose build side is a *separate* subtree — the
+    signature UDF + window chain then executes TWICE (once per side;
+    measured: simhash_pairs 2.9 s → 1.9 s, phash pair stage 2.4 s →
+    1.3 s at sf0.1 when the hint restores the shared exchange). With
+    SHUFFLE_HASH both sides consume the SAME repartition exchange
+    (AQE stage reuse), the chain runs once, and no sort is added
+    (guide §2.4/§3.1). Same per-partition build-memory caveat and
+    escape hatch as entry_queries._fact_hint: the in-bucket skew cap
+    bounds bucket sizes, AQE sizes partitions at scale, and
+    ``SPARK_GRAFT_NO_SHUFFLE_HASH=1`` restores planner choice."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_NO_SHUFFLE_HASH"):
+        return df
+    return df.hint("SHUFFLE_HASH")
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across all cores before CPU-heavy per-row
     compute. Single parquet files with one row group arrive as ONE
@@ -401,6 +423,54 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+# driver-fixpoint edge cap (the bounded-working-set serving contract
+# shared with similarity._DRIVER_POOL_MAX and graph._DRIVER_GRAPH_MAX):
+# a VERIFIED near-dup pair list is orders of magnitude smaller than the
+# corpus (pairs survive banding + an exact verify), so on real inputs
+# it frequently fits the driver even when the corpus never could.
+# 64k edges × 2 slim ids is ~1 MB of driver memory; the probe that
+# decides is one CollectLimit job over the already-checkpointed edge
+# set, and anything larger falls back to the distributed star loop
+# unchanged.
+_DRIVER_CC_MAX = 65536
+
+
+def _cc_driver_mapping(edge_rows) -> list[tuple]:
+    """Union-find closure over a fully-fetched bounded edge list →
+    sorted (node, component) rows for non-root nodes only (roots and
+    singletons self-map via the caller's left-join coalesce, exactly
+    like the star fixpoint's child→parent mapping). Components are
+    labeled by their MINIMUM id — the same fixpoint as star and
+    min-label propagation — via union-by-min roots; ids are compared
+    with the native ``<`` the Column algebra uses, so the labels are
+    identical values, not merely isomorphic."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        u, v = r[0], r[1]
+        if u == v:
+            continue
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru
+    return sorted(
+        (n, find(n)) for n in parent if find(n) != n
+    )
+
+
 def connected_components(
     edges: DataFrame,
     all_ids: DataFrame | None = None,
@@ -409,6 +479,7 @@ def connected_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
     algorithm: str = "star",
+    driver_cap: int | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (id, component) with
     component = min id in the cluster.
@@ -448,6 +519,62 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # BOUNDED-POOL fast path (round 11; the contract pagerank/MMR/
+    # k-center already use): probe the checkpointed edge set with ONE
+    # CollectLimit job — when the verified pair graph fits the driver
+    # cap, close it with union-find (identical min-id components, exact
+    # integer labels) and serve the child→component mapping through the
+    # SAME broadcast-join tail the star fixpoint uses. This replaces
+    # the per-round large-star/small-star job chains (2 joins + 2 aggs
+    # + checkpoint + fixpoint check per round — pure scheduling floor
+    # at bench scale) with zero iterative jobs. Graphs above the cap
+    # take the distributed star loop unchanged — that loop stays the
+    # >cap fallback and the equivalence oracle (tests pin both paths
+    # equal).
+    if driver_cap is None:
+        driver_cap = _DRIVER_CC_MAX
+    from pyspark.sql.types import IntegerType, LongType
+
+    # numeric ids only: Python int ``<`` is exactly the JVM integer
+    # ordering, so driver labels == distributed labels bit-for-bit.
+    # (String ids would compare by code point here vs unsigned UTF-8
+    # bytes in the JVM — skip the fast path rather than risk a
+    # divergent min on exotic ids.)
+    if driver_cap > 0 and isinstance(
+        e.schema["u"].dataType, (IntegerType, LongType)
+    ):
+        probe = e.limit(driver_cap + 1).collect()
+        if len(probe) <= driver_cap:
+            mapping_rows = _cc_driver_mapping(probe)
+            from pyspark.sql.types import StructField, StructType
+
+            node_t = e.schema["u"].dataType
+            schema = StructType(
+                [StructField("n", node_t), StructField("comp", node_t)]
+            )
+            from stac_fastapi_duckdb_spark.functions.localrel import (
+                local_rows_df,
+            )
+
+            spark = edges.sparkSession
+            mapping = local_rows_df(spark, mapping_rows, schema)
+            if all_ids is not None:
+                nodes = all_ids.select(F.col(id_col).alias("n")).distinct()
+            else:
+                # derive the node set from the ORIGINAL edges (not the
+                # probed ``e``): a node appearing only in self-loops is
+                # filtered out of ``e`` but still owns a singleton row
+                nodes = (
+                    edges.select(F.col(src).alias("n"))
+                    .unionByName(edges.select(F.col(dst).alias("n")))
+                    .distinct()
+                )
+            return nodes.join(
+                F.broadcast(mapping), "n", "left"
+            ).select(
+                F.col("n").alias(id_col),
+                F.coalesce("comp", F.col("n")).alias("component"),
+            )
     converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
@@ -662,12 +789,18 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("_bucket_n") <= max_bucket_size)
     )
-    a = sized.select(
+    # SHUFFLE_HASH (round 11): without it the toy-scale size estimates
+    # turn this self-join into a BROADCAST join whose build side is a
+    # separate subtree — the signature UDF + explode + window chain
+    # then runs TWICE. The hint keeps both sides on the ONE repartition
+    # exchange above (AQE stage reuse), so the chain executes once and
+    # no sort is added. See shj_hint for the skew/memory caveat.
+    a = shj_hint(sized.select(
         "chunk", "ckey", F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")
-    )
-    b = sized.select(
+    ))
+    b = shj_hint(sized.select(
         "chunk", "ckey", F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")
-    )
+    ))
     xor = F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))
     hamming = F.bit_count(xor)
     # FIRST-AGREEING-CHUNK emission (round 11), replacing the

@@ -497,24 +497,35 @@ def phash_near_dup_pairs(
     """
     from pyspark.sql import Window
 
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shj_hint
+
     sig = perceptual_hash(df, payload_col, id_col, blocks, num_bands).localCheckpoint()
     banded = sig.select(
         F.col(id_col).alias("_id"),
         "bands",
         F.posexplode("bands").alias("_band", "_val"),
     )
+    # explicit repartition on the bucket key + SHUFFLE_HASH join hints
+    # (round 11, the simhash/SRP single-exchange shape): the window's
+    # ClusteredDistribution is satisfied by this ONE exchange, and the
+    # hinted self-join below consumes that same exchange on both sides
+    # (AQE stage reuse). Without the hint the toy-scale estimates pick
+    # a BROADCAST join whose build side re-runs the explode + window
+    # chain as a separate subtree (measured 2.4 s → 1.3 s for the pair
+    # stage at sf0.1). See dedup.shj_hint for caveat + escape hatch.
     w = Window.partitionBy("_band", "_val")
     banded = (
-        banded.withColumn("_n", F.count(F.lit(1)).over(w))
+        banded.repartition("_band", "_val")
+        .withColumn("_n", F.count(F.lit(1)).over(w))
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
         .drop("_n")
     )
-    a = banded.select(
+    a = shj_hint(banded.select(
         F.col("_id").alias("id_a"), F.col("bands").alias("h_a"), "_band", "_val"
-    )
-    b = banded.select(
+    ))
+    b = shj_hint(banded.select(
         F.col("_id").alias("id_b"), F.col("bands").alias("h_b"), "_band", "_val"
-    )
+    ))
     ham = F.aggregate(
         F.zip_with("h_a", "h_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0).cast("long"),

@@ -234,12 +234,19 @@ def embedding_near_dup_pairs(
         .filter(F.col("_bucket_n") <= max_bucket_size)
         .drop("_bucket_n")
     )
-    a = bucketed.select(
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shj_hint
+
+    # SHUFFLE_HASH (round 11): at toy scale the size estimates turn
+    # this self-join into a BROADCAST join whose build side re-derives
+    # the whole signature chain (the UDF runs twice); the hint keeps
+    # both sides on the single srp_sig repartition exchange above (AQE
+    # stage reuse) — see dedup.shj_hint for the caveat + escape hatch.
+    a = shj_hint(bucketed.select(
         F.col("srp_sig"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    b = bucketed.select(
+    ))
+    b = shj_hint(bucketed.select(
         F.col("srp_sig"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
-    )
+    ))
     # no post-verify distinct (round 11): each row carries exactly ONE
     # srp_sig, so a pair can meet in at most one bucket — the join
     # output is duplicate-free by construction (ids are unique per the
@@ -755,6 +762,7 @@ def jl_project(
     dim: int = 64,
     out_dim: int = 16,
     seed: int = 7,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Johnson-Lindenstrauss projection to ``out_dim`` dimensions, in
     long form ``(id, pos, val)``.
@@ -766,13 +774,56 @@ def jl_project(
     projecting 768→64 dims cuts every downstream vector shuffle and
     GEMM by 12× for a bounded, provable distortion.
 
-    Spark shape: each output dim is a pure-Column JVM fold
-    (zip_with·aggregate) against a broadcast literal matrix row — no
-    UDF, no Python, whole-stage-codegen'd, map-only (zero shuffle).
-    Output values are ROUNDed to 6 and ``+ 0.0``-normalized (IEEE
-    -0.0 → +0.0) for engine-stable comparison.
+    Spark shape: map-only (zero shuffle) either way; rounding and the
+    ``+ 0.0`` IEEE −0.0 normalization always run JVM-side so the
+    engine-stable comparison contract is one code path.
+
+    ``impl="arrow"`` (default, round 11): the fold runs as ONE
+    vectorized numpy kernel per Arrow batch — sequential over the
+    input dimension j (``acc += v[:, j] * m[:, j]``), which is
+    bit-for-bit the ``aggregate(zip_with(...))`` left-fold order, just
+    computed for the whole batch × all output dims at once. The
+    Column form (``impl="column"``, kept as the A/B-pinned reference)
+    evaluates out_dim interpreted higher-order folds PER ROW —
+    LambdaFunction expressions never enter whole-stage codegen, and
+    the measured cost at sf0.1 was ~1.8 s of pure interpreted eval for
+    a 2 M-flop projection (the same interpreted-HOF wall the PQ
+    assignment hit; guide §4.2's exact case for handing batches to a
+    native kernel). tests/test_similarity.py pins both impls equal.
     """
     m = jl_matrix(out_dim, dim, seed)
+    if impl == "arrow":
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        mat = np.asarray(m, dtype=np.float64)  # (out_dim, dim)
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def _proj(vecs: pd.Series) -> pd.Series:
+            x = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, dim)
+            acc = np.zeros((x.shape[0], mat.shape[0]), dtype=np.float64)
+            # sequential in j == the aggregate() left-fold order, so
+            # every double is IEEE-identical to the Column fold
+            for j in range(mat.shape[1]):
+                acc += x[:, j : j + 1] * mat[None, :, j]
+            return pd.Series(list(acc))
+
+        from stac_fastapi_duckdb_spark.pipeline.dedup import (
+            ensure_parallelism,
+        )
+
+        projected = ensure_parallelism(df).select(
+            F.col(id_col),
+            _proj(F.col(vec_col).cast("array<double>")).alias("_p"),
+        )
+        return projected.select(
+            F.col(id_col), F.posexplode("_p").alias("pos", "_raw")
+        ).select(
+            id_col, "pos", (F.round(F.col("_raw"), 6) + F.lit(0.0)).alias("val")
+        )
+    if impl != "column":
+        raise ValueError(
+            f"jl_project: unknown impl {impl!r} (expected 'arrow' or 'column')"
+        )
     v = F.col(vec_col).cast("array<double>")
     outs = [
         F.round(

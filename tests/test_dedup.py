@@ -167,8 +167,10 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
+    # driver_cap=0 forces the distributed loop (the driver union-find
+    # fast path would close the chain exactly regardless of max_iter)
     with pytest.warns(RuntimeWarning, match="fixpoint not reached"):
-        connected_components(chain, max_iter=1)
+        connected_components(chain, max_iter=1, driver_cap=0)
     # and a converged run emits no fixpoint warning (only that one is
     # escalated — unrelated pyspark Deprecation/Resource warnings from
     # a future version bump must not fail this test)
@@ -216,7 +218,7 @@ def test_connected_components_star_matches_minlabel(spark):
         star = {
             r.doc_id: r.component
             for r in connected_components(
-                edges, all_ids=ids, algorithm="star"
+                edges, all_ids=ids, algorithm="star", driver_cap=0
             ).collect()
         }
         minl = {
@@ -226,6 +228,26 @@ def test_connected_components_star_matches_minlabel(spark):
             ).collect()
         }
         assert star == minl
+        # the round-11 driver union-find fast path (default cap) must
+        # reach the identical min-id fixpoint as the distributed loop
+        fast = {
+            r.doc_id: r.component
+            for r in connected_components(
+                edges, all_ids=ids, algorithm="star"
+            ).collect()
+        }
+        assert fast == star
+        # without all_ids the fast path serves the whole answer from a
+        # LocalRelation — same values as the distributed no-all_ids run
+        fast_local = {
+            r.doc_id: r.component
+            for r in connected_components(edges).collect()
+        }
+        dist_local = {
+            r.doc_id: r.component
+            for r in connected_components(edges, driver_cap=0).collect()
+        }
+        assert fast_local == dist_local
 
 
 def test_connected_components_star_fuzz_vs_minlabel(spark):

@@ -177,6 +177,10 @@ def test_no_accidental_python_or_nested_loops(spark):
         "simhash_pairs",
         # broadcast nearest-centroid assignment (vectorized pandas UDF)
         "kmeans_round",
+        # JL fold as a batched numpy kernel (round 11): the Column HOF
+        # form is interpreted per row; the kernel replays the identical
+        # sequential fold per batch (test_similarity pins both equal)
+        "jl_projection",
         # per-cluster GEMM kernel (applyInPandas) — the paper's own
         # compute shape; A/B'd 14× faster than the Column-fold join
         "semdedup",

@@ -404,16 +404,49 @@ def test_jl_projection_preserves_distances_loosely(spark):
     assert (ratio > 0.2).all() and (ratio < 3.0).all()
 
 
-def test_jl_projection_is_map_only_jvm(spark):
+def test_jl_projection_column_impl_is_map_only_jvm(spark):
+    # the Column reference impl stays zero-shuffle/zero-Python — the
+    # UDF-free fallback contract for deployments without Python workers
     from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = (
-        jl_project(emb)._jdf.queryExecution().executedPlan().toString()
+        jl_project(emb, impl="column")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
                 "MapInPandas"):
         assert bad not in plan
+
+
+def test_jl_projection_arrow_equals_column_bitwise(spark):
+    # the round-11 batched numpy kernel replays the aggregate()
+    # left-fold sequentially in j, so the doubles must be IDENTICAL
+    # (not approximately equal) to the interpreted Column fold
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    col = {
+        (r.vec_id, r.pos): r.val
+        for r in jl_project(emb, impl="column").collect()
+    }
+    arrow = {
+        (r.vec_id, r.pos): r.val
+        for r in jl_project(emb, impl="arrow").collect()
+    }
+    assert col == arrow
+
+
+def test_jl_projection_rejects_unknown_impl(spark):
+    import pytest
+
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown impl"):
+        jl_project(emb, impl="numpyish")
 
 
 def test_ivfpq_composes_cell_pruning_with_adc(spark):
