@@ -102,6 +102,12 @@ def main() -> None:
         loadavg_start = None
     spark = get_spark("stac-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # observability stamps (r11 verdict): the env contract IS honored
+    # (session.py builds local[$SPARK_GRAFT_CPUS]) — make it visible in
+    # the recorded JSON so a low-core comparison run can be verified
+    # directly instead of inferred from stage-concurrency tails.
+    master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
 
     # Warm-up pass (untimed): JVM classloading, whole-stage-codegen
     # compilation, parquet footer cache — steady-state is what a
@@ -136,6 +142,8 @@ def main() -> None:
     full = {
         "loadavg_start": loadavg_start,
         "loadavg": loadavg,
+        "master": master,
+        "default_parallelism": default_parallelism,
         "pipeline_ops": _pipeline_ops(spark, sf_dir),
         "streaming": _streaming_components(spark, sf_dir),
         "layout": _layout_components(spark, sf_dir),
@@ -183,6 +191,8 @@ def main() -> None:
                 "mode": full["mode"],
                 "loadavg_start": loadavg_start,
                 "loadavg": loadavg,
+                "master": master,
+                "default_parallelism": default_parallelism,
                 "artifact_served": sorted(
                     ARTIFACT_SERVED & set(timings)
                 ),
