@@ -50,10 +50,12 @@ def main() -> None:
         else:
             os.environ.pop(flag, None)
         try:
-            df = eq.QUERIES[name](spark, sf_dir)
+            # plan construction INSIDE the timed region, exactly like
+            # bench.py (eager work such as localCheckpoint() runs at
+            # construction — excluding it would time a different thing)
             spark.sparkContext.setJobDescription(f"{name} [{arm}]")
             t0 = time.perf_counter()
-            force(df)
+            force(eq.QUERIES[name](spark, sf_dir))
             return round(time.perf_counter() - t0, 4)
         finally:
             os.environ.pop(flag, None)
