@@ -513,24 +513,35 @@ def connected_components(
             f"connected_components: unknown algorithm {algorithm!r} "
             "(expected 'star' or 'minlabel')"
         )
-    e = (
+    e_plan = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     # BOUNDED-POOL fast path (round 11; the contract pagerank/MMR/
-    # k-center already use): probe the checkpointed edge set with ONE
-    # CollectLimit job — when the verified pair graph fits the driver
-    # cap, close it with union-find (identical min-id components, exact
-    # integer labels) and serve the child→component mapping through the
-    # SAME broadcast-join tail the star fixpoint uses. This replaces
-    # the per-round large-star/small-star job chains (2 joins + 2 aggs
-    # + checkpoint + fixpoint check per round — pure scheduling floor
-    # at bench scale) with zero iterative jobs. Graphs above the cap
-    # take the distributed star loop unchanged — that loop stays the
-    # >cap fallback and the equivalence oracle (tests pin both paths
-    # equal).
+    # k-center already use): probe the edge plan with ONE CollectLimit
+    # job — when the verified pair graph fits the driver cap, close it
+    # with union-find (identical min-id components, exact integer
+    # labels) and serve the child→component mapping through the SAME
+    # broadcast-join tail the star fixpoint uses. This replaces the
+    # per-round large-star/small-star job chains (2 joins + 2 aggs +
+    # checkpoint + fixpoint check per round — pure scheduling floor at
+    # bench scale) with zero iterative jobs. Graphs above the cap take
+    # the distributed star loop unchanged — that loop stays the >cap
+    # fallback and the equivalence oracle (tests pin both paths equal).
+    #
+    # The probe runs BEFORE the localCheckpoint (round 12): a
+    # checkpoint materializes through the RDD path, where AQE exchange
+    # reuse is lost — every self-join-shaped pair plan (banded LSH
+    # verify, blocked entity pairs) then executes its shared
+    # repartition subtree TWICE just to land in the checkpoint the
+    # fast path never re-reads (measured: entity_resolution pair
+    # materialization 3.7 s checkpointed vs 1.9 s probed directly).
+    # Only the >cap fallback pays the checkpoint now, and its probe is
+    # a CollectLimit that early-exits after cap+1 rows instead of a
+    # full materialization (the fixed per-call driver fetch the r11
+    # advisory flagged); scale pipelines that KNOW the graph is large
+    # can still pass driver_cap=0 to skip the probe outright.
     if driver_cap is None:
         driver_cap = _DRIVER_CC_MAX
     from pyspark.sql.types import IntegerType, LongType
@@ -541,14 +552,14 @@ def connected_components(
     # bytes in the JVM — skip the fast path rather than risk a
     # divergent min on exotic ids.)
     if driver_cap > 0 and isinstance(
-        e.schema["u"].dataType, (IntegerType, LongType)
+        e_plan.schema["u"].dataType, (IntegerType, LongType)
     ):
-        probe = e.limit(driver_cap + 1).collect()
+        probe = e_plan.limit(driver_cap + 1).collect()
         if len(probe) <= driver_cap:
             mapping_rows = _cc_driver_mapping(probe)
             from pyspark.sql.types import StructField, StructType
 
-            node_t = e.schema["u"].dataType
+            node_t = e_plan.schema["u"].dataType
             schema = StructType(
                 [StructField("n", node_t), StructField("comp", node_t)]
             )
@@ -575,6 +586,8 @@ def connected_components(
                 F.col("n").alias(id_col),
                 F.coalesce("comp", F.col("n")).alias("component"),
             )
+    # >cap (or non-numeric-id) graphs: materialize once, iterate
+    e = e_plan.localCheckpoint()
     converged = False
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -42,24 +42,45 @@ def blocked_match_pairs(
     max_dist: int = 1,
     max_block_size: int = 10_000,
     pair_mode: str = "all",
+    expansion: str | None = None,
 ) -> DataFrame:
     """Candidate+verified match pairs (id_a < id_b, dist ≤ max_dist).
 
-    One shuffle on the blocking key: groupBy block → sorted
-    collect_list(struct(id, name)) → size cap → in-array pair
-    expansion → Levenshtein verify. Carrying the name inside the
-    struct means verification needs NO join-back to the base table
-    (an id-only pair list would re-shuffle the input twice to attach
-    both names).
+    One shuffle on the blocking key. ``pair_mode="all"`` emits every
+    C(m, 2) in-block pair — output quadratic in duplicate-cluster size
+    (an m-record boilerplate entity emits m(m-1)/2 rows); required when
+    the pairs feed a transitive-closure pass (``resolve_entities``).
+    ``pair_mode="star"`` pairs each record only with its block's
+    CANONICAL (minimum-id) record — m-1 pairs, linear output at any
+    cluster shape, and the surviving rows ARE the member→canonical
+    merge map.
 
-    ``pair_mode="all"`` emits every C(m, 2) in-block pair — output
-    quadratic in duplicate-cluster size (an m-record boilerplate
-    entity emits m(m-1)/2 rows); required when the pairs feed a
-    transitive-closure pass (``resolve_entities``). ``pair_mode=
-    "star"`` pairs each record only with its block's CANONICAL
-    (minimum-id) record — m-1 pairs, linear output at any cluster
-    shape, and the surviving rows ARE the member→canonical merge map.
+    ``expansion`` (round 12) picks how the in-block pair stream is
+    generated; ``None`` → "join" for all-pairs, "array" for star:
+
+    - ``"join"`` — explicit repartition on the blocking key + hinted
+      SHUFFLE_HASH self-join consuming that ONE exchange on both sides
+      (the phash/simhash single-exchange shape). Entity blocks are
+      DENSE (hundreds of members per (nation, segment) block), so the
+      codegen'd join beats the interpreted higher-order-function
+      expansion ~5× at sf0.1 — the same dense-bucket trade
+      ``phash_near_dup_pairs`` documents. The blocking key travels as
+      ONE struct column so null block values group/join exactly like
+      groupBy treats them (struct equality is null-safe field-wise).
+      The in-join verify is a free length-difference prune plus the
+      thresholded Levenshtein itself (tests/test_entities.py pins both
+      expansions equal, including under random single edits).
+    - ``"array"`` — the groupBy + sorted collect_list(struct(id,
+      name)) + in-array expansion reference: carrying the name inside
+      the struct needs no join-back, and for the LINEAR star output it
+      stays the cheaper plan (no second pass over the exchange).
     """
+    if expansion is None:
+        expansion = "star-array" if pair_mode == "star" else "join"
+    if expansion == "join" and pair_mode == "all":
+        return _blocked_match_pairs_join(
+            df, id_col, name_col, block_cols, max_dist, max_block_size
+        )
     items = F.array_sort(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(name_col).alias("s")))
     )
@@ -99,6 +120,57 @@ def blocked_match_pairs(
     # (-1), exact distance for every kept pair — same values, O(len·d)
     return (
         exploded.withColumn(
+            "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def _blocked_match_pairs_join(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    max_dist: int,
+    max_block_size: int,
+) -> DataFrame:
+    """All-pairs expansion as a single-exchange hinted self-join; see
+    ``blocked_match_pairs`` (expansion="join") for the contract."""
+    from pyspark.sql.window import Window
+
+    from stac_fastapi_duckdb_spark.pipeline.dedup import shj_hint
+
+    base = df.select(
+        F.struct(*[F.col(c) for c in block_cols]).alias("_bk"),
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+    ).repartition("_bk")
+    sized = (
+        base.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("_bk"))
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_block_size))
+        .drop("_n")
+    )
+    a = shj_hint(
+        sized.select("_bk", F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"))
+    )
+    b = shj_hint(
+        sized.select("_bk", F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"))
+    )
+    pairs = a.join(b, "_bk").filter(F.col("id_a") < F.col("id_b"))
+    la, lb = F.length("name_a"), F.length("name_b")
+    # |len diff| > d already implies lev > d — free prune on any d.
+    # A stronger pigeonhole pre-filter (first-or-last-half equality)
+    # was A/B'd and REJECTED: its 6 substr allocations per candidate
+    # cost 2× the thresholded Levenshtein they were guarding (3.5 s vs
+    # 1.7 s at sf0.1) — the banded O(len·d) DP is already the cheap op.
+    pairs = pairs.filter(
+        F.abs(la - lb) <= F.lit(max_dist)
+    )
+    return (
+        pairs.withColumn(
             "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
         )
         .filter(F.col("dist") >= 0)
