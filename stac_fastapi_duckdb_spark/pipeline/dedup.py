@@ -102,6 +102,49 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<bigint> of xxhash64 identities
+    (distinct) — the dedup-pipeline twin of :func:`shingles_col`.
+
+    Identity, not content: every consumer of the shingle set (minhash
+    signatures, Jaccard/containment verify) only ever compares
+    shingles for EQUALITY, so an 8-byte hash is a drop-in identity for
+    the gram string (the same trade ``exact_dedup`` and
+    ``contamination_overlap(hash_shingles=True)`` already make; a
+    2⁻⁶⁴-probability collision can only merge two grams). What it buys
+    (round 12, measured at sf0.1): :func:`shingles_col` built every
+    gram STRING — an interpreted ``slice`` + ``concat_ws`` allocation
+    per gram, ~3.1 s for the 5k-doc corpus before any hashing — while
+    here each token is hashed ONCE and a gram's identity is the
+    fixed-arity xxhash64 chain of its n token hashes (pure long
+    mixing, no string is ever materialized).
+
+    A doc shorter than n tokens contributes one whole-text shingle,
+    hashed as a STRING (xxhash64 of the joined tokens) — the same
+    value two identical short docs produce, and a value that cannot
+    (mod 2⁻⁶⁴) collide with any n-token chain hash.
+    """
+    toks = tokens_col(text)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    count = F.size(th)
+    # the n references to the token-hash array live in n SLICED copies
+    # zipped into one struct array, so token hashing runs n times per
+    # ROW; referencing th via element_at inside the per-gram lambda
+    # instead re-evaluates the whole token-hash transform per GRAM
+    # (interpreted lambdas get no common-subexpression reuse) —
+    # measured 16× slower at sf0.1
+    m = count - n + 1
+    z = F.arrays_zip(*[F.slice(th, k + 1, m).alias(f"t{k}") for k in range(n)])
+    grams = F.transform(
+        z, lambda s: F.xxhash64(*[s[f"t{k}"] for k in range(n)])
+    )
+    return F.array_distinct(
+        F.when(count >= n, grams).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", toks)))
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -132,29 +175,36 @@ def minhash_signature(
 ) -> Column:
     """array<bigint> of ``num_hashes`` min-hash values.
 
-    Each hash family member is xxhash64(shingle, seed=i) — seeded JVM
-    hashing, so the signature needs neither explode nor Python.
+    Each hash family member is xxhash64(gram_hash, seed=i) over the
+    8-byte shingle identities of :func:`shingle_hashes_col` — pure
+    long mixing in the JVM, so the signature needs neither explode nor
+    Python nor any per-(gram, seed) string pass. (Round 12: the
+    previous family hashed the gram STRING per seed — 64 full string
+    passes per gram after building each gram with an interpreted
+    slice+concat. Hashing the gram once and seeding over its 64-bit
+    identity is the standard one-hash-then-derive minhash family; LSH
+    recall depends only on the family being uniform per seed, which a
+    full avalanche mix over the gram identity is, and every candidate
+    is still exact-verified downstream.)
     """
-    sh = shingles_col(text, shingle_n)
-    # The shingle array must appear exactly ONCE in the expression tree:
-    # a naive array(array_min(transform(sh, h_i)) for i) embeds the full
-    # shingle construction (split+slice+concat per gram) 64 times and
-    # codegen re-evaluates it per hash — measured 100×+ slower. Shape
-    # here: per shingle, emit all k seeded hashes (xxhash64(s, i) — the
-    # lambda MUST take a single arg; F.transform feeds the element index
-    # to two-arg callables), then fold elementwise mins with
-    # aggregate+zip_with. Work is k hashes per shingle, shingles built
-    # once, all inside whole-stage codegen.
+    gh = shingle_hashes_col(text, shingle_n)
+    # The gram-hash array must appear exactly ONCE in the expression
+    # tree: a naive array(array_min(transform(gh, h_i)) for i) embeds
+    # the full shingle construction 64 times and codegen re-evaluates
+    # it per hash — measured 100×+ slower. Shape here: per gram, emit
+    # all k seeded hashes, then fold elementwise mins with
+    # aggregate+zip_with. Work is k long-hashes per gram, grams built
+    # once.
     # the hash family is generated from a runtime sequence, NOT unrolled
     # into num_hashes separate expressions: unrolling makes codegen emit
     # a ~num_hashes× larger class (measured ~9 s to janino-compile at
     # k=64) that thrashes the fixed-size codegen cache under a mixed
-    # workload. xxhash64(s, i) with i from sequence() produces the same
-    # values as xxhash64(s, lit(i)) — both hash the (string, int) pair.
+    # workload. xxhash64(g, i) with i from sequence() produces the same
+    # values as xxhash64(g, lit(i)) — both hash the (long, int) pair.
     max_long = (1 << 63) - 1
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     per_shingle = F.transform(
-        sh, lambda s: F.transform(seeds, lambda i: F.xxhash64(s, i))
+        gh, lambda g: F.transform(seeds, lambda i: F.xxhash64(g, i))
     )
     return F.aggregate(
         per_shingle,
@@ -181,6 +231,11 @@ def banded_signatures(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
     )
+    # band key = xxhash64 chain over the band's signature longs (round
+    # 12; previously a decimal concat_ws string was built per band and
+    # string-hashed — the key only needs equality semantics, so the
+    # fixed-arity long chain is the same identity without the per-band
+    # string allocation)
     return sig.select(
         "_id",
         F.explode(
@@ -189,13 +244,10 @@ def banded_signatures(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("_sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("_sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bhash"),
                     )
                     for b in range(bands)
@@ -305,7 +357,11 @@ def ngram_jaccard_pairs(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+            # hashed shingle identities (round 12): set EQUALITY is all
+            # intersect/union need, and 8-byte longs make both the
+            # verify exchange and the array algebra ~an order of
+            # magnitude lighter than gram strings
+            shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh"),
         )
         # both verify joins consume sh keyed on _id; one explicit
         # repartition before aliasing makes the two join inputs one
@@ -902,11 +958,11 @@ def incremental_near_dup(
 
     sh_new = ensure_parallelism(new_docs).select(
         F.col(id_col).alias("new_id"),
-        shingles_col(F.col(text_col), shingle_n).alias("_sh_a"),
+        shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh_a"),
     )
     sh_base = ensure_parallelism(base_docs).select(
         F.col(id_col).alias("base_id"),
-        shingles_col(F.col(text_col), shingle_n).alias("_sh_b"),
+        shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh_b"),
     )
     pairs = cand.join(sh_new, "new_id").join(sh_base, "base_id")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
@@ -950,7 +1006,7 @@ def shingle_containment_pairs(
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+            shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh"),
         )
         .repartition("_id")
     )
