@@ -551,8 +551,11 @@ def _run_fold(sorted_col: str) -> Column:
     best = longest equal-run length (count of the most frequent gram),
     dups = number of positions belonging to runs of length ≥ 2 (count
     of duplicated gram positions)."""
+    # prev seeds as a typed NULL: x == NULL is null (never true), so the
+    # first element always opens a fresh run — correct for any element
+    # value, unlike a sentinel literal that a real gram could equal
     zero = F.struct(
-        F.lit("").alias("prev"),
+        F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
         F.lit(0).alias("dups"),
@@ -597,7 +600,11 @@ def _with_repetition_metrics(
     keep = [F.col(c) for c in carry]
 
     # n-grams via zip_with over shifted slices: TWO array slices per
-    # document (not one per position) and a single zip pass
+    # document (not one per position) and a single zip pass. (A
+    # hash-identity variant — xxhash64 chains instead of gram strings,
+    # the minhash-family trade — was A/B'd value-identical and
+    # perf-NEUTRAL here: the interpreted per-element lambda dispatch
+    # dominates, not the string building, so the string form stays.)
     n = F.size("_w")
     bg0 = F.zip_with(
         F.slice("_w", 1, F.greatest(n - 1, F.lit(0))),
