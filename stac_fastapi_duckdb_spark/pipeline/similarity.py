@@ -774,8 +774,11 @@ def jl_project(
     projecting 768→64 dims cuts every downstream vector shuffle and
     GEMM by 12× for a bounded, provable distortion.
 
-    Spark shape: map-only (zero shuffle) either way; rounding and the
-    ``+ 0.0`` IEEE −0.0 normalization always run JVM-side so the
+    Spark shape: the Column impl is map-only (zero shuffle); the arrow
+    impl is map-only on already-wide inputs but may insert ONE
+    repartition exchange on narrow inputs (ensure_parallelism fans a
+    single-row-group scan across cores before the kernel). Rounding and
+    the ``+ 0.0`` IEEE −0.0 normalization always run JVM-side so the
     engine-stable comparison contract is one code path.
 
     ``impl="arrow"`` (default, round 11): the fold runs as ONE
@@ -799,13 +802,30 @@ def jl_project(
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def _proj(vecs: pd.Series) -> pd.Series:
-            x = np.stack(vecs.to_numpy()).astype(np.float64)  # (b, dim)
-            acc = np.zeros((x.shape[0], mat.shape[0]), dtype=np.float64)
-            # sequential in j == the aggregate() left-fold order, so
-            # every double is IEEE-identical to the Column fold
-            for j in range(mat.shape[1]):
-                acc += x[:, j : j + 1] * mat[None, :, j]
-            return pd.Series(list(acc))
+            # null / wrong-width rows project to an all-null vector —
+            # exactly what the Column fold yields there (zip_with pads
+            # with null, the fold absorbs it), so both impls stay
+            # behavior-identical on malformed input instead of the
+            # kernel crashing in np.stack (r11 advisory)
+            vals = vecs.to_numpy()
+            ok = np.fromiter(
+                (v is not None and len(v) == mat.shape[1] for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            out = np.empty(len(vals), dtype=object)
+            if ok.any():
+                x = np.stack(vals[ok]).astype(np.float64)  # (b_ok, dim)
+                acc = np.zeros((x.shape[0], mat.shape[0]), dtype=np.float64)
+                # sequential in j == the aggregate() left-fold order, so
+                # every double is IEEE-identical to the Column fold
+                for j in range(mat.shape[1]):
+                    acc += x[:, j : j + 1] * mat[None, :, j]
+                out[np.flatnonzero(ok)] = list(acc)
+            bad = [None] * mat.shape[0]
+            for i in np.flatnonzero(~ok):
+                out[i] = bad
+            return pd.Series(out)
 
         from stac_fastapi_duckdb_spark.pipeline.dedup import (
             ensure_parallelism,

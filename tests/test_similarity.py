@@ -439,6 +439,33 @@ def test_jl_projection_arrow_equals_column_bitwise(spark):
     assert col == arrow
 
 
+def test_jl_projection_arrow_handles_null_and_ragged_rows(spark):
+    # malformed input contract (r11 advisory): a null or wrong-width
+    # embedding must project to null vals in BOTH impls — the arrow
+    # kernel masks those rows instead of crashing in np.stack
+    from stac_fastapi_duckdb_spark.pipeline.similarity import jl_project
+
+    rows = [
+        (0, [float(i) for i in range(8)]),
+        (1, None),
+        (2, [1.0, 2.0]),  # ragged: width 2 instead of 8
+        (3, [float(i + 1) for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    col = {
+        (r.vec_id, r.pos): r.val
+        for r in jl_project(df, dim=8, out_dim=4, impl="column").collect()
+    }
+    arrow = {
+        (r.vec_id, r.pos): r.val
+        for r in jl_project(df, dim=8, out_dim=4, impl="arrow").collect()
+    }
+    assert col == arrow
+    assert all(col[(1, j)] is None for j in range(4))
+    assert all(col[(2, j)] is None for j in range(4))
+    assert col[(0, 0)] is not None
+
+
 def test_jl_projection_rejects_unknown_impl(spark):
     import pytest
 
