@@ -89,6 +89,45 @@ def _norm(df) -> list[str]:
     return sorted(rows)
 
 
+# Per-query absolute float tolerance for the RANDOM-corpus comparison.
+# Both engines compute single-pass double moments (covar/corr/var) with
+# their own accumulation order; when a true value lands within an ulp
+# of the query's rounding boundary, two CORRECT engines flip the last
+# rounded digit differently (hypothesis-found example: covar_samp
+# -2978.09875, rounded at 1e-4 → -2978.0988 vs -2978.0987). The fixed
+# testdata oracle gate stays EXACT; this tolerance — 1.5 steps of the
+# query's coarsest rounding — only absorbs boundary flips on
+# adversarial random inputs, never semantic divergence.
+FLOAT_TOL = {"stats_agg": 1.5e-4}
+
+
+def _rows_close(a: list[str], b: list[str], tol: float) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        fa, fb = ra.split("|"), rb.split("|")
+        if len(fa) != len(fb):
+            return False
+        for va, vb in zip(fa, fb):
+            if va == vb:
+                continue
+            try:
+                if abs(float(va) - float(vb)) <= tol:
+                    continue
+            except ValueError:
+                pass
+            return False
+    return True
+
+
+def _assert_match(name: str, a: list[str], b: list[str]) -> None:
+    tol = FLOAT_TOL.get(name)
+    if tol is not None:
+        assert _rows_close(a, b, tol), f"{name} diverged: {a[:3]} vs {b[:3]}"
+    else:
+        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+
+
 @pytest.fixture(scope="module")
 def fuzz_dir(tmp_path_factory):
     return tmp_path_factory.mktemp("diff_fuzz")
@@ -214,7 +253,7 @@ def test_spark_and_duckdb_agree_on_random_events(spark, fuzz_dir, evs):
         odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         a, b = _norm(sdf), _norm(odf)
-        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+        _assert_match(name, a, b)
     con.close()
 
 
@@ -323,7 +362,7 @@ def test_spark_and_duckdb_agree_on_random_relational(spark, fuzz_dir, lis, ords)
         odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         a, b = _norm(sdf), _norm(odf)
-        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+        _assert_match(name, a, b)
     con.close()
 
 
@@ -378,5 +417,5 @@ def test_spark_and_duckdb_agree_on_random_embeddings(spark, fuzz_dir, vecs):
         odf = con.execute(eq.ORACLE_SQL[name]).fetchdf()
         assert sorted(sdf.columns) == sorted(odf.columns), name
         a, b = _norm(sdf), _norm(odf)
-        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+        _assert_match(name, a, b)
     con.close()
